@@ -1,0 +1,70 @@
+"""Quantization / dithering — the "final pass".
+
+Port of Shaders/d3d11/ps_final_pass.hlsl: the reference tiles a 32x32
+float16 dither texture (resource IDF_DITHER_32X32_FLOAT16,
+Source/DX11VideoProcessor.cpp dither texture load) over the target and
+quantizes ``floor(pixel * Q + dither) / Q``.
+
+The reference's binary dither texture cannot be copied; we generate the
+canonical 32x32 ordered (Bayer) matrix instead, which has the same uniform
+[0,1) distribution and tiling semantics.  A stochastic (per-frame random)
+dither using the TPU PRNG is also provided.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DITHER_SIZE = 32
+
+
+@functools.cache
+def bayer_matrix(n: int = DITHER_SIZE) -> np.ndarray:
+    """Recursive Bayer ordered-dither matrix, values in [0, 1)."""
+    assert n and (n & (n - 1)) == 0, "size must be a power of two"
+    m = np.array([[0]], dtype=np.int64)
+    size = 1
+    while size < n:
+        m = np.block([[4 * m + 0, 4 * m + 2],
+                      [4 * m + 3, 4 * m + 1]])
+        size *= 2
+    return ((m.astype(np.float64) + 0.5) / (n * n)).astype(np.float32)
+
+
+def _tile_to(pattern: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    ph, pw = pattern.shape
+    reps = ((h + ph - 1) // ph, (w + pw - 1) // pw)
+    return jnp.tile(pattern, reps)[:h, :w]
+
+
+def ordered_dither(img: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Ordered-dither quantization to ``bits`` (ps_final_pass.hlsl:24-28):
+    ``floor(pixel * Q + dither) / Q`` with QUANTIZATION = 2**bits - 1.
+
+    ``img``: float array whose last two dims are (H, W); leading dims
+    (channels/batch) broadcast over the same tiled pattern, matching the
+    reference (one dither texture shared by R, G and B).
+    """
+    q = float(2 ** bits - 1)
+    h, w = img.shape[-2], img.shape[-1]
+    d = _tile_to(jnp.asarray(bayer_matrix()), h, w).astype(img.dtype)
+    return jnp.floor(img * q + d) / q
+
+
+def random_dither(img: jnp.ndarray, bits: int, key: jax.Array) -> jnp.ndarray:
+    """Per-pixel uniform random dither (the "random dither" bench config):
+    same quantization rule with U[0,1) noise instead of the tiled pattern."""
+    q = float(2 ** bits - 1)
+    noise = jax.random.uniform(key, img.shape, dtype=img.dtype)
+    return jnp.floor(img * q + noise) / q
+
+
+def quantize(img: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Plain round-to-nearest quantization (dither disabled,
+    Settings.use_dither == False path)."""
+    q = float(2 ** bits - 1)
+    return jnp.round(img * q) / q

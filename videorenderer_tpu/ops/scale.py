@@ -1,0 +1,344 @@
+"""Image resizing — the reference's resizer shader family, TPU-idiomatic.
+
+The reference implements scaling as per-pixel gather loops in HLSL:
+ - upscale ("interpolation"): Shaders/d3d11/ps_interpolation_spline4.hlsl
+   (Mitchell / Catmull-Rom), ps_interpolation_lanczos2/3.hlsl
+ - downscale ("convolution"): Shaders/d3d11/ps_convolution.hlsl over
+   Shaders/resize/convolution_filters.hlsl (box / bilinear / hamming /
+   bicubic A=-0.5 / bicubic A=-1.5 / lanczos), each compiled separately for
+   X and Y (Shaders/compile_shaders.cmd)
+ - one-pass 2D Jinc2 with anti-ringing:
+   Shaders/examples/resizer_onepass_jinc2.hlsl
+ - per-axis up-vs-down selection with the 50% threshold rule
+   (ResizeShaderPass, Source/DX11VideoProcessor.cpp:3115-3199)
+
+TPU idiom: because all shapes are static under jit, every output pixel's
+taps and weights are known at trace time.  Each separable pass therefore
+becomes a dense (in_size x out_size) weight-matrix **matmul** that runs on
+the MXU — the key idiomatic transformation (gathers -> matmuls).  Weight
+matrices are built host-side in float64 and baked as constants; a banded
+Pallas kernel (videorenderer_tpu/kernels/resize_pallas.py) provides the
+bandwidth-optimal version of the same contraction for the hot path.
+
+Sampling-semantics notes (verified against the HLSL):
+ * texel centers sit at integer+0.5; ``pos = (j+0.5)*in/out - 0.5`` is the
+   source-texel-space position of output texel j (interpolation shaders).
+ * the convolution shader measures tap distance as ``(n - pos + 0.5)/scale``
+   with ``pos = (j+0.5)*scale + 0.5`` — i.e. from the texel *left edge* —
+   and normalizes by the weight sum.
+ * out-of-range taps clamp to the edge texel (D3D CLAMP addressing); the
+   matrices accumulate those weights onto row 0 / in-1.
+ * the reference's ps_interpolation_lanczos3.hlsl samples Q0 and Q1 from the
+   same coordinate (pos-1.5) — an upstream typo that drops the outermost
+   left tap.  We implement the mathematically correct 6-tap kernel and keep
+   a ``reference_bug_compat`` switch for bit-parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Downscaling, Upscaling
+
+# ---------------------------------------------------------------------------
+# filter kernels (host-side, float64) — convolution_filters.hlsl
+# ---------------------------------------------------------------------------
+
+
+def _filter_box(x: np.ndarray) -> np.ndarray:
+    return ((x >= -0.5) & (x < 0.5)).astype(np.float64)
+
+
+def _filter_bilinear(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(ax < 1.0, 1.0 - ax, 0.0)
+
+
+def _filter_hamming(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    out = np.zeros_like(ax)
+    nz = (ax > 0) & (ax < 1.0)
+    xpi = ax[nz] * np.pi
+    out[nz] = np.sin(xpi) / xpi * (0.54 + 0.46 * np.cos(xpi))
+    out[ax == 0] = 1.0
+    return out
+
+
+def _filter_bicubic(a: float):
+    def f(x: np.ndarray) -> np.ndarray:
+        ax = np.abs(x)
+        out = np.zeros_like(ax)
+        m1 = ax < 1.0
+        m2 = (ax >= 1.0) & (ax < 2.0)
+        out[m1] = ((a + 2.0) * ax[m1] - (a + 3.0)) * ax[m1] * ax[m1] + 1.0
+        out[m2] = (((ax[m2] - 5) * ax[m2] + 8) * ax[m2] - 4) * a
+        return out
+    return f
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    out = np.ones_like(x)
+    nz = x != 0
+    xpi = x[nz] * np.pi
+    out[nz] = np.sin(xpi) / xpi
+    return out
+
+
+def _filter_lanczos3(x: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(x)
+    m = (x >= -3.0) & (x < 3.0)
+    out[m] = _sinc(x[m]) * _sinc(x[m] / 3.0)
+    return out
+
+
+# {Downscaling: (filter_fn, filter_support)} — convolution_filters.hlsl
+_DOWN_FILTERS = {
+    Downscaling.BOX: (_filter_box, 0.5),
+    Downscaling.BILINEAR: (_filter_bilinear, 1.0),
+    Downscaling.HAMMING: (_filter_hamming, 1.0),
+    Downscaling.BICUBIC: (_filter_bicubic(-0.5), 2.0),
+    Downscaling.BICUBIC_SHARP: (_filter_bicubic(-1.5), 2.0),
+    Downscaling.LANCZOS: (_filter_lanczos3, 3.0),
+}
+
+
+# ---------------------------------------------------------------------------
+# weight-matrix builders
+# ---------------------------------------------------------------------------
+
+
+def _accumulate(mat: np.ndarray, taps: np.ndarray, w: np.ndarray, j: int) -> None:
+    """Scatter tap weights into column j with edge clamp."""
+    n_in = mat.shape[0]
+    idx = np.clip(taps, 0, n_in - 1)
+    np.add.at(mat[:, j], idx, w)
+
+
+@functools.cache
+def upscale_matrix(method: Upscaling, in_size: int, out_size: int,
+                   reference_bug_compat: bool = False) -> np.ndarray:
+    """(in_size, out_size) interpolation matrix for one axis.
+
+    Implements the exact tap/weight math of the ps_interpolation_* shaders;
+    each column sums to 1.
+    """
+    mat = np.zeros((in_size, out_size), dtype=np.float64)
+    for j in range(out_size):
+        pos = (j + 0.5) * in_size / out_size - 0.5
+        t = pos - math.floor(pos)
+        base = int(math.floor(pos))
+
+        if method == Upscaling.NEAREST:
+            # point sampling: texel floor((j+0.5)*in/out)
+            _accumulate(mat, np.array([int((j + 0.5) * in_size / out_size)]),
+                        np.array([1.0]), j)
+            continue
+
+        if method in (Upscaling.MITCHELL, Upscaling.CATMULL_ROM):
+            t2, t3 = t * t, t * t * t
+            if method == Upscaling.MITCHELL:
+                # ps_interpolation_spline4.hlsl METHOD==0
+                w = (np.array([1., 16., 1., 0.]) / 18.
+                     + np.array([-.5, 0., .5, 0.]) * t
+                     + np.array([5., -12., 9., -2.]) / 6. * t2
+                     + np.array([-7., 21., -21., 7.]) / 18. * t3)
+            else:
+                # ps_interpolation_spline4.hlsl METHOD==1
+                w = (np.array([-.5, 0., .5, 0.]) * t
+                     + np.array([1., -2.5, 2., -.5]) * t2
+                     + np.array([-.5, 1.5, -1.5, .5]) * t3)
+                w[1] += 1.0
+            _accumulate(mat, base + np.arange(-1, 3), w, j)
+        elif method == Upscaling.LANCZOS2:
+            # ps_interpolation_lanczos2.hlsl
+            if t == 0.0:
+                _accumulate(mat, np.array([base]), np.array([1.0]), j)
+                continue
+            wset = np.array([1 + t, t, 1 - t, 2 - t]) * np.pi
+            w = np.sin(wset) * np.sin(wset * 0.5) / (wset * wset * 0.5)
+            wc = 1.0 - w.sum()
+            w[1] += wc * (1.0 - t)
+            w[2] += wc * t
+            _accumulate(mat, base + np.arange(-1, 3), w, j)
+        elif method == Upscaling.LANCZOS3:
+            # ps_interpolation_lanczos3.hlsl (corrected taps; see module doc)
+            if t == 0.0:
+                _accumulate(mat, np.array([base]), np.array([1.0]), j)
+                continue
+            wset0 = (np.array([2., 1., 0.]) + t) * np.pi
+            wset1 = (np.array([1., 2., 3.]) - t) * np.pi
+            w0 = np.sin(wset0) * np.sin(wset0 * .5) / (wset0 * wset0 * .5)
+            w1 = np.sin(wset1) * np.sin(wset1 * .5) / (wset1 * wset1 * .5)
+            wc = 1.0 - (w0.sum() + w1.sum())
+            w0[2] += wc * (1.0 - t)
+            w1[0] += wc * t
+            if reference_bug_compat:
+                taps = base + np.array([-2, -2, 0, 1, 2, 3])
+            else:
+                taps = base + np.arange(-2, 4)
+            _accumulate(mat, taps, np.concatenate([w0, w1]), j)
+        else:
+            raise ValueError(f"not a separable upscale method: {method!r}")
+    return mat
+
+
+@functools.cache
+def downscale_matrix(method: Downscaling, in_size: int, out_size: int) -> np.ndarray:
+    """(in_size, out_size) convolution matrix for one axis
+    (ps_convolution.hlsl:28-43 semantics)."""
+    filt, support0 = _DOWN_FILTERS[method]
+    scale = in_size / out_size
+    support = support0 * scale
+    ss = 1.0 / scale
+    mat = np.zeros((in_size, out_size), dtype=np.float64)
+    for j in range(out_size):
+        pos = (j + 0.5) * scale + 0.5
+        low = int(math.floor(pos - support))
+        high = int(math.ceil(pos + support))
+        n = np.arange(low, high)
+        w = filt((n - pos + 0.5) * ss)
+        s = w.sum()
+        if s == 0.0:
+            w = np.zeros_like(w)
+            w[len(w) // 2] = 1.0
+        else:
+            w = w / s
+        _accumulate(mat, n, w, j)
+    return mat
+
+
+# ---------------------------------------------------------------------------
+# application
+# ---------------------------------------------------------------------------
+
+
+def resize_axis(x: jnp.ndarray, mat: np.ndarray, axis: int,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """Apply a (in,out) weight matrix along ``axis`` via MXU matmul."""
+    m = jnp.asarray(mat, dtype=dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.matmul(moved, m, preferred_element_type=jnp.float32)
+    return jnp.moveaxis(out.astype(x.dtype), -1, axis)
+
+
+def select_scaler(in_size: int, out_size: int, upscaling: Upscaling,
+                  downscaling: Downscaling, interpolate_at_50pct: bool):
+    """Per-axis filter choice (ResizeShaderPass,
+    Source/DX11VideoProcessor.cpp:3120-3139): no-op if equal; the
+    *downscale* filter only when in > k*out (k=2 with the 50% rule, else 1);
+    the upscale interpolation filter otherwise."""
+    if in_size == out_size:
+        return None
+    k = 2 if interpolate_at_50pct else 1
+    if in_size > k * out_size:
+        return ("down", downscaling)
+    return ("up", upscaling)
+
+
+def build_axis_matrix(choice, in_size: int, out_size: int) -> np.ndarray | None:
+    if choice is None:
+        return None
+    kind, method = choice
+    if kind == "down":
+        return downscale_matrix(method, in_size, out_size)
+    return upscale_matrix(method, in_size, out_size)
+
+
+def resize_plane(x: jnp.ndarray, out_h: int, out_w: int,
+                 upscaling: Upscaling = Upscaling.CATMULL_ROM,
+                 downscaling: Downscaling = Downscaling.HAMMING,
+                 interpolate_at_50pct: bool = True) -> jnp.ndarray:
+    """Separable two-pass resize of (..., H, W) to (..., out_h, out_w) with
+    the reference's per-axis up/down selection.  X pass first, then Y —
+    matching the intermediate-texture order in ResizeShaderPass."""
+    h, w = x.shape[-2], x.shape[-1]
+    if (h, w) == (out_h, out_w):
+        return x
+
+    if upscaling == Upscaling.JINC2 and (out_h > h or out_w > w) \
+            and not (h > 2 * out_h or w > 2 * out_w):
+        return jinc2_resize(x, out_h, out_w)
+
+    cx = select_scaler(w, out_w, upscaling, downscaling, interpolate_at_50pct)
+    cy = select_scaler(h, out_h, upscaling, downscaling, interpolate_at_50pct)
+    mx = build_axis_matrix(cx, w, out_w)
+    my = build_axis_matrix(cy, h, out_h)
+    if mx is not None:
+        x = resize_axis(x, mx, axis=-1)
+    if my is not None:
+        x = resize_axis(x, my, axis=-2)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Jinc2 (one-pass 2D, non-separable) with anti-ringing
+# ---------------------------------------------------------------------------
+
+_JINC2_WINDOW_SINC = 0.416
+_JINC2_SINC = 0.985
+_JINC2_AR_STRENGTH = 0.8
+
+
+@functools.cache
+def _jinc2_tap_data(in_size: int, out_size: int):
+    """Per-output-axis base indices and fractional offsets (static)."""
+    j = np.arange(out_size)
+    tex = (j + 0.5) * in_size / out_size  # texel-space coordinate of center
+    base = np.floor(tex - 0.5).astype(np.int64)  # tc = floor(tex-0.5)+0.5
+    frac = (tex - 0.5) - base                    # pc - tc in [0,1)
+    return base, frac
+
+
+def jinc2_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """One-pass 2D Jinc2 resample with anti-ringing
+    (Shaders/examples/resizer_onepass_jinc2.hlsl).
+
+    Weights: ``resampler(d) = sin(d*wa)*sin(d*wb)/d^2`` over the 4x4 texel
+    neighborhood (d = Euclidean distance in texel units), normalized by the
+    weight sum; anti-ringing lerps toward the clamp against the center 2x2
+    min/max with strength 0.8.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    wa = _JINC2_WINDOW_SINC * np.pi
+    wb = _JINC2_SINC * np.pi
+
+    by, fy = _jinc2_tap_data(h, out_h)
+    bx, fx = _jinc2_tap_data(w, out_w)
+
+    # Distances from the sample point to the 16 texel centers, per output px.
+    # dy_j = fy - (j_off), dx_i = fx - (i_off) for offsets -1..2.
+    offs = np.arange(-1, 3)
+    dy = fy[:, None] - offs[None, :]         # (out_h, 4)
+    dx = fx[:, None] - offs[None, :]         # (out_w, 4)
+    d2 = (dy[:, None, :, None] ** 2 + dx[None, :, None, :] ** 2)  # (oh,ow,4,4)
+    d = np.sqrt(d2)
+    wgt = np.where(d == 0.0, wa * wb, np.sin(d * wa) * np.sin(d * wb) / np.where(d2 == 0, 1.0, d2))
+    wgt = wgt / wgt.sum(axis=(-1, -2), keepdims=True)
+    wgt = jnp.asarray(wgt, dtype=x.dtype)    # (oh, ow, 4, 4)
+
+    rows = [np.clip(by + o, 0, h - 1) for o in offs]
+    cols = [np.clip(bx + o, 0, w - 1) for o in offs]
+
+    # Gather each of the 16 taps as row/col selections (static indices).
+    out = None
+    center = []
+    for jo, r in enumerate(rows):
+        xr = jnp.take(x, jnp.asarray(r), axis=-2)
+        for io, c in enumerate(cols):
+            tap = jnp.take(xr, jnp.asarray(c), axis=-1)  # (..., oh, ow)
+            if jo in (1, 2) and io in (1, 2):
+                center.append(tap)
+            term = tap * wgt[..., jo, io]
+            out = term if out is None else out + term
+
+    # Anti-ringing (JINC2_AR_ENABLE): clamp toward center 2x2 min/max.
+    mn = jnp.minimum(jnp.minimum(center[0], center[1]),
+                     jnp.minimum(center[2], center[3]))
+    mx = jnp.maximum(jnp.maximum(center[0], center[1]),
+                     jnp.maximum(center[2], center[3]))
+    clamped = jnp.clip(out, mn, mx)
+    return out + (clamped - out) * _JINC2_AR_STRENGTH

@@ -1,0 +1,287 @@
+"""HDR tone-mapping operators (device-side, jnp).
+
+Ports of the reference's shaders:
+ - Hable "convert to SDR" curve: Shaders/convert/hdr_tone_mapping.hlsl
+ - the 6 selectable local tone-map operators + ICtCp + Dolby L2 trims:
+   Shaders/d3d11/ps_hdr10_tonemap.hlsl
+
+Conventions: unless stated otherwise, "linear" values are in **nits-scaled
+linear light** matching each shader's expectations (the local tone-map shader
+works on ``ST2084ToLinear(pq, 10000)`` absolute nits; the Hable SDR path
+works on ``ST2084ToLinear(pq, 10000/sdr_nits)`` relative light).
+
+The RGB channel stacking axis is configurable (default -1); the planar
+(C, H, W) pipeline passes ``axis=0``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from .transfer import linear_to_st2084, st2084_to_linear
+
+_BT2020_LUMA = (0.2627, 0.6780, 0.0593)
+
+
+def _luma(rgb: jnp.ndarray, axis: int) -> jnp.ndarray:
+    w = jnp.asarray(_BT2020_LUMA, dtype=rgb.dtype)
+    shape = [1] * rgb.ndim
+    shape[axis] = 3
+    return jnp.sum(rgb * w.reshape(shape), axis=axis, keepdims=True)
+
+
+# -- Hable (the "Convert to SDR" fixed curve) --------------------------------
+
+def _hable(x: jnp.ndarray) -> jnp.ndarray:
+    A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+    return ((x * (A * x + C * B) + D * E) / (x * (A * x + B) + D * F)) - E / F
+
+
+_HABLE_DIV = ((4.8 * (0.15 * 4.8 + 0.10 * 0.50) + 0.20 * 0.02)
+              / (4.8 * (0.15 * 4.8 + 0.50) + 0.20 * 0.30)) - 0.02 / 0.30
+
+
+def tonemap_hable_sdr(rgb: jnp.ndarray) -> jnp.ndarray:
+    """ToneMappingHable (hdr_tone_mapping.hlsl:1-13): Hable curve normalized
+    so input 4.8 maps to 1.0."""
+    return _hable(rgb) / _HABLE_DIV
+
+
+# -- the 6 local tone-map operators (ps_hdr10_tonemap.hlsl) -------------------
+
+@dataclass(frozen=True)
+class HDRParams:
+    """HDRParamsConstantBuffer (ps_hdr10_tonemap.hlsl:13-22)."""
+
+    mastering_min_nits: float = 0.0
+    mastering_max_nits: float = 1000.0
+    max_cll: float = 1000.0
+    max_fall: float = 400.0
+    display_max_nits: float = 1000.0
+
+
+def aces_film(x: jnp.ndarray) -> jnp.ndarray:
+    """ACESFilmTonemap (ps_hdr10_tonemap.hlsl:33-46)."""
+    A, B, C, D, E = 2.51, 0.03, 2.43, 0.59, 0.14
+    return (x * (A * x + B)) / (x * (C * x + D) + E)
+
+
+def reinhard(x: jnp.ndarray) -> jnp.ndarray:
+    """ReinhardTonemap (ps_hdr10_tonemap.hlsl:48-51)."""
+    return x / (1.0 + x)
+
+
+def habel(x: jnp.ndarray) -> jnp.ndarray:
+    """HabelTonemap (ps_hdr10_tonemap.hlsl:53-57) — unnormalized Hable."""
+    return _hable(x)
+
+
+def mobius(x: jnp.ndarray, display_max_nits: float) -> jnp.ndarray:
+    """MobiusTonemap (ps_hdr10_tonemap.hlsl:59-64)."""
+    return x / (1.0 + x / (display_max_nits + 1e-6))
+
+
+def bt2390(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
+    """BT2390Tonemap (ps_hdr10_tonemap.hlsl:66-117): BT.2390 EETF Hermite
+    roll-off in PQ space on the BT.2020 luma average, hue-preserving scale.
+    Input/output in absolute nits."""
+    safe_max_cll = p.max_cll if p.max_cll > 10.0 else (
+        p.mastering_max_nits if p.mastering_max_nits > 10.0 else 1000.0)
+    if p.display_max_nits >= safe_max_cll:
+        return rgb
+
+    avg = _luma(rgb, axis)
+    max_cll_pq = float(linear_to_st2084(jnp.float32(safe_max_cll), 10000.0))
+    target_pq = float(linear_to_st2084(jnp.float32(p.display_max_nits), 10000.0))
+    e1 = linear_to_st2084(avg, 10000.0)
+
+    ks = max(0.0, 1.5 * target_pq - 0.5 * max_cll_pq)
+    t = (e1 - ks) / max(1e-6, max_cll_pq - ks)
+    t2 = t * t
+    t3 = t2 * t
+    e2_spline = ((2.0 * t3 - 3.0 * t2 + 1.0) * ks
+                 + (t3 - 2.0 * t2 + t) * (max_cll_pq - ks)
+                 + (-2.0 * t3 + 3.0 * t2) * target_pq)
+    e2 = jnp.where(e1 > ks, e2_spline, e1)
+    mapped = st2084_to_linear(e2, 10000.0)
+    scale = jnp.where(avg <= 1e-6, 1.0, mapped / jnp.maximum(avg, 1e-6))
+    return rgb * scale
+
+
+def _smoothstep(edge0: float, edge1: float, x: float) -> float:
+    t = min(max((x - edge0) / (edge1 - edge0), 0.0), 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def st2094_10(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
+    """ST209410Tonemap (ps_hdr10_tonemap.hlsl:119-189): ST 2094-10 EETF via a
+    rational spline through (min, knee, max) anchor points."""
+    if p.display_max_nits >= p.max_cll:
+        return rgb
+
+    def pq1(v: float) -> float:
+        return float(linear_to_st2084(jnp.float64(v), 10000.0))
+
+    src_min = pq1(p.mastering_min_nits)
+    src_max = pq1(p.max_cll)
+    src_avg = pq1(p.max_fall)
+    dst_min = pq1(0.0)
+    dst_max = pq1(p.display_max_nits)
+
+    min_knee, max_knee, def_knee, knee_adaptation = 0.1, 0.8, 0.4, 0.4
+
+    def lerp(a, b, t):
+        return a + (b - a) * t
+
+    src_knee_min = lerp(src_min, src_max, min_knee)
+    src_knee_max = lerp(src_min, src_max, max_knee)
+    dst_knee_min = lerp(dst_min, dst_max, min_knee)
+    dst_knee_max = lerp(dst_min, dst_max, max_knee)
+
+    src_knee = src_avg if p.max_fall > 0.0 else lerp(src_min, src_max, def_knee)
+    src_knee = min(max(src_knee, src_knee_min), src_knee_max)
+
+    target = (src_knee - src_min) / (src_max - src_min)
+    adapted = lerp(dst_min, dst_max, target)
+    tuning = 1.0 - _smoothstep(max_knee, def_knee, target) * _smoothstep(min_knee, def_knee, target)
+    adaptation = lerp(knee_adaptation, 1.0, tuning)
+    dst_knee = lerp(src_knee, adapted, adaptation)
+    dst_knee = min(max(dst_knee, dst_knee_min), dst_knee_max)
+
+    def pq_inv1(v: float) -> float:
+        return float(st2084_to_linear(jnp.float64(v), 10000.0))
+
+    x1, x2, x3 = p.mastering_min_nits, pq_inv1(src_knee), p.max_cll
+    y1, y2, y3 = 0.0, pq_inv1(dst_knee), p.display_max_nits
+
+    m00 = x2 * x3 * (y2 - y3)
+    m01 = x1 * x3 * (y3 - y1)
+    m02 = x1 * x2 * (y1 - y2)
+    m10 = x3 * y3 - x2 * y2
+    m11 = x1 * y1 - x3 * y3
+    m12 = x2 * y2 - x1 * y1
+    m20 = x3 - x2
+    m21 = x1 - x3
+    m22 = x2 - x1
+    coef0 = m00 * y1 + m01 * y2 + m02 * y3
+    coef1 = m10 * y1 + m11 * y2 + m12 * y3
+    coef2 = m20 * y1 + m21 * y2 + m22 * y3
+    k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1) + x1 * y1 * (x2 - x3))
+    c1, c2, c3 = k * coef0, k * coef1, k * coef2
+
+    x_nits = _luma(rgb, axis)
+    y_nits = (c1 + c2 * x_nits) / (1.0 + c3 * x_nits)
+    scale = jnp.where(x_nits > 0.0, y_nits / jnp.maximum(x_nits, 1e-9), 1.0)
+    return rgb * scale
+
+
+# -- ICtCp + Dolby Vision L2 trims -------------------------------------------
+
+def rgb_to_ictcp(rgb_nits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """RGB_to_ICTCP (ps_hdr10_tonemap.hlsl:191-208): BT.2020 RGB nits ->
+    ICtCp via the LMS/4096 integer matrices."""
+    r, g, b = jnp.split(rgb_nits, 3, axis=axis)
+    l = (1688.0 * r + 2146.0 * g + 262.0 * b) / 4096.0
+    m = (683.0 * r + 2951.0 * g + 462.0 * b) / 4096.0
+    s = (99.0 * r + 309.0 * g + 3688.0 * b) / 4096.0
+    l = linear_to_st2084(l, 10000.0)
+    m = linear_to_st2084(m, 10000.0)
+    s = linear_to_st2084(s, 10000.0)
+    i = (2048.0 * l + 2048.0 * m) / 4096.0
+    ct = (6610.0 * l - 13613.0 * m + 7003.0 * s) / 4096.0
+    cp = (17933.0 * l - 17390.0 * m - 543.0 * s) / 4096.0
+    return jnp.concatenate([i, ct, cp], axis=axis)
+
+
+def ictcp_to_rgb(ictcp: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """ICTCP_to_RGB (ps_hdr10_tonemap.hlsl:210-229)."""
+    i, ct, cp = jnp.split(ictcp, 3, axis=axis)
+    l = i + 0.00860904 * ct + 0.11102963 * cp
+    m = i - 0.00860904 * ct - 0.11102963 * cp
+    s = i + 0.56003134 * ct - 0.32062717 * cp
+    l = st2084_to_linear(l, 10000.0)
+    m = st2084_to_linear(m, 10000.0)
+    s = st2084_to_linear(s, 10000.0)
+    r = 3.43660669 * l - 2.50645212 * m + 0.06984542 * s
+    g = -0.79132956 * l + 1.98360045 * m - 0.19227090 * s
+    b = -0.02594990 * l - 0.09891371 * m + 1.12486361 * s
+    return jnp.concatenate([r, g, b], axis=axis)
+
+
+@dataclass(frozen=True)
+class DoviTrims:
+    """DolbyConstants cbuffer (ps_hdr10_tonemap.hlsl:24-33)."""
+
+    chroma_weight: float = 0.0
+    saturation_gain: float = 1.0
+    trim_slope: float = 1.0
+    trim_offset: float = 0.0
+    trim_power: float = 1.0
+    l2_enabled: bool = False
+
+
+def apply_l2_trim(rgb_nits: jnp.ndarray, t: DoviTrims, axis: int = -1) -> jnp.ndarray:
+    """ApplyL2Trim (ps_hdr10_tonemap.hlsl:231-248): intensity trim in ICtCp
+    with highlight-weighted saturation."""
+    ictcp = rgb_to_ictcp(rgb_nits, axis=axis)
+    i, ct, cp = jnp.split(ictcp, 3, axis=axis)
+    orig_i = i
+    i = jnp.maximum(i * t.trim_slope + t.trim_offset, 0.0)
+    i = jnp.power(i, max(t.trim_power, 0.1))
+    sat = max(t.saturation_gain, 0.0)
+    hw = jnp.clip(orig_i * 2.0, 0.0, 1.0)
+    eff = sat + (1.0 - sat) * hw * (1.0 - t.chroma_weight)
+    ct = ct * eff
+    cp = cp * eff
+    return ictcp_to_rgb(jnp.concatenate([i, ct, cp], axis=axis), axis=axis)
+
+
+def dolby_vision_trims(linear: jnp.ndarray, t: DoviTrims, axis: int = -1,
+                       pq_input: bool = False) -> jnp.ndarray:
+    """DolbyVisionTrims (ps_hdr10_tonemap.hlsl:250-263): slope/offset/power in
+    PQ plus chroma-weighted saturation; in/out linear (10000-nit scale) unless
+    ``pq_input`` (the convert-color codegen variant, Source/Shaders.cpp:788-796,
+    operates directly on PQ-encoded values)."""
+    color = linear if pq_input else linear_to_st2084(linear, 10000.0)
+    color = jnp.power(jnp.maximum(color * t.trim_slope + t.trim_offset, 0.0),
+                      t.trim_power)
+    y = _luma(color, axis)
+    color = color * jnp.power(
+        jnp.maximum((1.0 + t.chroma_weight) * color / jnp.maximum(y, 1e-9), 0.0),
+        t.saturation_gain)
+    return color if pq_input else st2084_to_linear(color, 10000.0)
+
+
+def local_tonemap_pq(pq_rgba: jnp.ndarray, selection: int, p: HDRParams,
+                     trims: DoviTrims | None = None, axis: int = -1) -> jnp.ndarray:
+    """Full ps_hdr10_tonemap main() (ps_hdr10_tonemap.hlsl:265-331):
+    PQ in -> PQ out, operator chosen by ``selection`` (ToneMapType).
+    Channel axis must hold exactly R,G,B."""
+    color = st2084_to_linear(pq_rgba, 10000.0)
+    if trims is not None and trims.l2_enabled:
+        color = dolby_vision_trims(color, trims, axis=axis)
+
+    if selection == 5:
+        color = bt2390(color, p, axis=axis)
+        return linear_to_st2084(color, 10000.0)
+    if selection == 6:
+        color = st2094_10(color, p, axis=axis)
+        return linear_to_st2084(color, 10000.0)
+
+    base_lum = max(p.display_max_nits, p.mastering_max_nits)
+    effective_max = min(base_lum, p.max_cll)
+    fall_adj = min(base_lum / p.max_fall, 1.0) if p.max_fall else 1.0
+
+    color = jnp.clip(color / effective_max, 0.0, 1.0) * fall_adj
+    if selection == 2:
+        color = reinhard(color)
+    elif selection == 3:
+        color = habel(color)
+    elif selection == 4:
+        color = mobius(color, p.display_max_nits)
+    else:  # 1 and fallback
+        color = aces_film(color)
+    color = color * p.display_max_nits
+    return linear_to_st2084(color, 10000.0)

@@ -1,0 +1,83 @@
+"""Electro-optical transfer functions (device-side, jnp).
+
+Ports of the reference's HLSL include library:
+ - SMPTE ST 2084 (PQ):  Shaders/convert/st2084.hlsl
+ - ARIB STD-B67 (HLG):  Shaders/convert/hlg.hlsl
+ - power gammas used by the convert-color codegen
+   (Source/Shaders.cpp:893-922)
+
+All functions are elementwise over arrays of linear/encoded values and map
+1:1 onto the TPU VPU; XLA fuses them into surrounding producers/consumers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# ST 2084 constants (Shaders/convert/st2084.hlsl:1-5)
+ST2084_M1 = 2610.0 / (4096.0 * 4.0)
+ST2084_M2 = (2523.0 / 4096.0) * 128.0
+ST2084_C1 = 3424.0 / 4096.0
+ST2084_C2 = (2413.0 / 4096.0) * 32.0
+ST2084_C3 = (2392.0 / 4096.0) * 32.0
+
+
+def st2084_to_linear(x: jnp.ndarray, factor: float | jnp.ndarray) -> jnp.ndarray:
+    """PQ EOTF (ST2084ToLinear, st2084.hlsl:9-16).
+
+    ``factor`` scales the decoded [0,1] signal; the reference uses
+    10000/sdr_nits ("LuminanceScale", Source/DX11VideoProcessor.cpp:893) so
+    1.0 out == the SDR white level, or 10000.0 for absolute nits.
+    """
+    x = jnp.power(jnp.maximum(x, 0.0), 1.0 / ST2084_M2)
+    x = jnp.maximum(x - ST2084_C1, 0.0) / (ST2084_C2 - ST2084_C3 * x)
+    x = jnp.power(x, 1.0 / ST2084_M1)
+    return x * factor
+
+
+def linear_to_st2084(x: jnp.ndarray, divider: float | jnp.ndarray) -> jnp.ndarray:
+    """PQ OETF (LinearToST2084, st2084.hlsl:18-25)."""
+    x = jnp.power(jnp.maximum(x / divider, 0.0), ST2084_M1)
+    x = (ST2084_C1 + ST2084_C2 * x) / (1.0 + ST2084_C3 * x)
+    return jnp.power(x, ST2084_M2)
+
+
+# HLG constants (Shaders/convert/hlg.hlsl:1-8)
+_B67_A = 0.17883277
+_B67_B = 0.28466892
+_B67_C = 0.55991073
+_B67_INV_R2 = 4.0
+
+
+def inverse_hlg(x: jnp.ndarray) -> jnp.ndarray:
+    """HLG inverse OETF (inverse_HLG, hlg.hlsl:1-11): signal -> scene light
+    in [0,12]."""
+    lo = x * x * _B67_INV_R2
+    hi = jnp.exp((x - _B67_C) / _B67_A) + _B67_B
+    return jnp.where(x <= 0.5, lo, hi)
+
+
+def hlg_to_linear(rgb: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """HLG signal -> display-light with the reference's OOTF
+    (HLGtoLinear, hlg.hlsl:13-21): per-pixel BT.2020 luminance drives a
+    system-gamma 1.2 boost at a 2000-nit nominal display.
+
+    ``rgb`` has R,G,B stacked along ``axis``.
+    """
+    rgb = inverse_hlg(rgb)
+    w = jnp.asarray([0.2627, 0.6780, 0.0593], dtype=rgb.dtype)
+    shape = [1] * rgb.ndim
+    shape[axis] = 3
+    ys = 2000.0 * jnp.sum(rgb * w.reshape(shape), axis=axis, keepdims=True)
+    return rgb * jnp.power(jnp.maximum(ys, 1e-7), 0.2)
+
+
+def srgb_like_to_linear(x: jnp.ndarray, gamma: float = 2.2) -> jnp.ndarray:
+    """Simple power-law decode used by the fix/convert shaders
+    (e.g. ps_fix_bt2020.hlsl: ``pow(color, 2.2)``)."""
+    return jnp.power(jnp.clip(x, 0.0, 1.0), gamma)
+
+
+def linear_to_srgb_like(x: jnp.ndarray, gamma: float = 2.2) -> jnp.ndarray:
+    """Power-law encode (``pow(color, 1/2.2)``, Source/Shaders.cpp:917-923)."""
+    return jnp.power(jnp.clip(x, 0.0, 1.0), 1.0 / gamma)

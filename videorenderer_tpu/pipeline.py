@@ -1,0 +1,368 @@
+"""Pipeline builder: config -> jit-compiled frame-processing function.
+
+This is the TPU analogue of the reference's pipeline assembly:
+
+ * media-type negotiation and path selection
+   (CDX11VideoProcessor::InitMediaType, Source/DX11VideoProcessor.cpp:1742-1959)
+ * runtime HLSL codegen specialization
+   (GetShaderConvertColor, Source/Shaders.cpp:593-930)
+ * render-pass orchestration
+   (CDX11VideoProcessor::Process, Source/DX11VideoProcessor.cpp:3297-3436)
+
+Where the reference generates HLSL text and calls D3DCompile, we compose
+pure jnp functions and let XLA trace/compile them — tracing *is* the
+codegen.  A (Settings, SourceDescriptor, OutputDescriptor) triple fully
+determines the computation; all matrices/weights are baked as constants.
+
+Stage order follows the reference's two backends:
+ * ``vp_scaling=True`` (default; the "D3D11VP" order): convert color at
+   source res (matrix only) -> resize -> post-scale corrections
+   (HLG->PQ / HDR->SDR / BT.2020 fix) -> local tone-map -> dither.
+ * ``vp_scaling=False`` (the "shader path" order): convert + corrections at
+   source resolution (Source/Shaders.cpp:861-923 are appended to the convert
+   shader) -> resize -> local tone-map -> dither.
+
+Unlike the reference's fixconvert_* shaders we never need the
+"fix incorrect BT.2020 YCbCr" matrix (ps_fix_bt2020.hlsl) in the VP order:
+our convert stage always uses the correct matrix (the fix exists only
+because the Windows fixed-function VP lacks BT.2020 support).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import csputils
+from .config import ChromaScaling, Settings, TexFormat, ToneMapType
+from .csputils import (CSP, ChromaLocation, Colorspace, CSPParams, Levels,
+                       Primaries, TRC)
+from .formats import ColorFormat, ColorSystem, FormatInfo, get_format_info
+from .ops import chroma as chroma_ops
+from .ops import dither as dither_ops
+from .ops import scale as scale_ops
+from .ops import tonemap as tonemap_ops
+from .ops import transfer as transfer_ops
+
+
+@dataclass(frozen=True)
+class HDR10Metadata:
+    """HDR10 static metadata carried as media side data
+    (MediaSideDataHDR / ...ContentLightLevel, consumed in
+    Source/DX11VideoProcessor.cpp:2232-2267)."""
+
+    mastering_min_nits: float = 0.005
+    mastering_max_nits: float = 1000.0
+    max_cll: float = 1000.0
+    max_fall: float = 400.0
+
+
+@dataclass(frozen=True)
+class SourceDescriptor:
+    """Media type + DXVA2 extended-format analogue (what InitMediaType
+    parses from VIDEOINFOHEADER2, Source/DX11VideoProcessor.cpp:1757-1821)."""
+
+    format: ColorFormat
+    width: int
+    height: int
+    matrix: CSP = CSP.AUTO
+    levels: Levels = Levels.AUTO
+    primaries: Primaries = Primaries.AUTO
+    transfer: TRC = TRC.AUTO
+    chroma_location: ChromaLocation = ChromaLocation.UNKNOWN
+    interlaced: bool = False
+    hdr10: HDR10Metadata | None = None
+    # ProcAmp (IMFVideoProcessor, Source/VideoProcessor.cpp:334-403)
+    brightness: float = 0.0   # -1..1 (reference: -100..100 /255... see below)
+    contrast: float = 1.0
+    hue_deg: float = 0.0
+    saturation: float = 1.0
+
+    def specified(self) -> "SourceDescriptor":
+        """Apply SpecifyExtendedFormat defaulting (Source/Helper.cpp:1169-1212)
+        + set_colorspace mapping (Source/Helper.cpp:949-1004)."""
+        info = get_format_info(self.format)
+        d = self
+        if info.cs_type == ColorSystem.RGB:
+            return dataclasses.replace(
+                d, matrix=CSP.RGB, levels=Levels.PC,
+                primaries=(d.primaries if d.primaries != Primaries.AUTO
+                           else Primaries.BT_709),
+                transfer=(d.transfer if d.transfer != TRC.AUTO else TRC.SRGB),
+                chroma_location=ChromaLocation.UNKNOWN)
+        chroma_loc = self.chroma_location
+        if info.subsampling != 420:
+            chroma_loc = ChromaLocation.UNKNOWN
+        elif chroma_loc == ChromaLocation.UNKNOWN:
+            chroma_loc = ChromaLocation.MPEG2
+        levels = d.levels if d.levels != Levels.AUTO else Levels.TV
+        matrix = d.matrix
+        if matrix == CSP.AUTO:
+            matrix = csputils.default_matrix_for_size(d.width, d.height)
+        primaries = d.primaries if d.primaries != Primaries.AUTO else Primaries.BT_709
+        transfer = d.transfer if d.transfer != TRC.AUTO else TRC.BT_1886
+        return dataclasses.replace(
+            d, matrix=matrix, levels=levels, primaries=primaries,
+            transfer=transfer, chroma_location=chroma_loc)
+
+    @property
+    def is_hdr(self) -> bool:
+        return self.transfer in (TRC.PQ, TRC.HLG)
+
+
+@dataclass(frozen=True)
+class OutputDescriptor:
+    """Target surface description (swap-chain analogue)."""
+
+    width: int
+    height: int
+    bits: int = 8            # quantization depth: 8 / 10; 16 = float16 out
+    hdr: bool = False        # True: PQ/BT.2020 output (HDR passthrough)
+
+
+@dataclass(frozen=True)
+class PipelinePlan:
+    """Resolved static plan — everything the traced function needs."""
+
+    settings: Settings
+    src: SourceDescriptor
+    dst: OutputDescriptor
+    info: FormatInfo
+    cmat_m: np.ndarray     # (3,3)
+    cmat_c: np.ndarray     # (3,)
+    apply_matrix: bool
+    # correction stages (post-scale in VP order / in-convert in shader order)
+    convert_to_sdr: bool       # PQ or HLG -> SDR (Hable + 2020->709 + gamma)
+    hlg_to_pq: bool            # HDR passthrough of HLG source
+    fix_bt2020_sdr: bool       # SDR BT.2020 primaries -> 709 display
+    sdr_gamma: float           # source power gamma for fix_bt2020_sdr
+    local_tonemap: bool
+    dither_bits: int | None
+
+
+def _build_cmat(src: SourceDescriptor, info: FormatInfo) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Color matrix exactly as SetShaderConvertColorParams
+    (Source/DX11VideoProcessor.cpp:813-890)."""
+    params = CSPParams(
+        color=Colorspace(space=src.matrix, levels=src.levels,
+                         primaries=src.primaries, gamma=src.transfer),
+        brightness=src.brightness,
+        contrast=src.contrast,
+        hue=src.hue_deg / 180.0 * np.pi,
+        saturation=src.saturation,
+        gray=info.cs_type == ColorSystem.GRAY,
+        input_bits=info.depth,
+        texture_bits=info.depth,
+    )
+    cm = csputils.get_csp_matrix(params)
+    enable = (
+        info.cs_type == ColorSystem.YUV
+        or info.cformat in (ColorFormat.GBRP8, ColorFormat.GBRP10, ColorFormat.GBRP16)
+        or params.gray
+        or abs(params.brightness) > 1e-4
+        or abs(params.contrast - 1.0) > 1e-4
+    )
+    return cm.m, cm.c, enable
+
+
+def plan_pipeline(settings: Settings, src: SourceDescriptor,
+                  dst: OutputDescriptor) -> PipelinePlan:
+    """Static planning — the InitMediaType analogue."""
+    src = src.specified()
+    info = get_format_info(src.format)
+    m, c, apply_matrix = _build_cmat(src, info)
+
+    is_pq = src.transfer == TRC.PQ
+    is_hlg = src.transfer == TRC.HLG
+    bt2020 = src.primaries == Primaries.BT_2020
+
+    convert_to_sdr = (not dst.hdr) and settings.convert_to_sdr and (is_pq or is_hlg)
+    hlg_to_pq = dst.hdr and settings.hdr_passthrough and is_hlg
+    # SDR source with BT.2020 primaries shown on a 709 display
+    # (ps_fix_bt2020.hlsl; codegen branch Source/Shaders.cpp:892-915)
+    fix_bt2020_sdr = bt2020 and not (is_pq or is_hlg) and not dst.hdr
+    sdr_gamma = {
+        TRC.LINEAR: 1.0, TRC.GAMMA18: 1.8, TRC.GAMMA20: 2.0,
+        TRC.GAMMA26: 2.6, TRC.GAMMA28: 2.8,
+    }.get(src.transfer, 2.2)
+    local_tonemap = (dst.hdr and settings.hdr_local_tone_mapping
+                     and (is_pq or is_hlg))
+
+    # positive: ordered dither to that depth; negative: plain rounding;
+    # 0: float output, no quantization (TEXFMT_16FLOAT analogue)
+    if dst.bits in (8, 10):
+        dither_bits = dst.bits if settings.use_dither else -dst.bits
+    else:
+        dither_bits = 0
+
+    return PipelinePlan(
+        settings=settings, src=src, dst=dst, info=info,
+        cmat_m=m, cmat_c=c, apply_matrix=apply_matrix,
+        convert_to_sdr=convert_to_sdr, hlg_to_pq=hlg_to_pq,
+        fix_bt2020_sdr=fix_bt2020_sdr, sdr_gamma=sdr_gamma,
+        local_tonemap=local_tonemap, dither_bits=dither_bits,
+    )
+
+
+# ---------------------------------------------------------------------------
+# traced stages — all take/return (..., 3, H, W) float arrays
+# ---------------------------------------------------------------------------
+
+
+def _normalize_planes(plan: PipelinePlan, planes, dtype) -> list[jnp.ndarray]:
+    scale = 1.0 / (2.0 ** plan.info.plane_bits - 1.0)
+    return [p.astype(dtype) * jnp.asarray(scale, dtype) for p in planes]
+
+
+def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """ConvertColorPass analogue: normalize, chroma upsample, 3x3 matrix.
+    Returns (..., 3, H, W)."""
+    info = plan.info
+    s = plan.settings
+    norm = _normalize_planes(plan, planes, dtype)
+
+    if info.cs_type == ColorSystem.GRAY:
+        y = norm[0]
+        m, c = plan.cmat_m, plan.cmat_c
+        rgb = jnp.stack([y * m[i, 0] + c[i] for i in range(3)], axis=-3)
+        return rgb
+
+    if info.cs_type == ColorSystem.YUV:
+        y, u, v = norm
+        if s.deint_blend and plan.src.interlaced and info.subsampling == 420:
+            y = chroma_ops.blend_deinterlace_luma(y)
+        uv = jnp.stack([u, v], axis=-3)
+        uv = chroma_ops.upsample_chroma(
+            uv, info.subsampling, s.chroma_scaling, plan.src.chroma_location)
+        comps = jnp.concatenate([y[..., None, :, :], uv], axis=-3)
+    else:
+        comps = jnp.stack(norm, axis=-3)
+
+    if plan.apply_matrix:
+        m = jnp.asarray(plan.cmat_m, dtype)
+        c = jnp.asarray(plan.cmat_c, dtype)
+        # per-pixel 3-vector FMA on the VPU (cm_r/cm_g/cm_b/cm_c cbuffer,
+        # Source/Shaders.cpp:819-820)
+        yc = comps[..., 0, :, :]
+        uc = comps[..., 1, :, :]
+        vc = comps[..., 2, :, :]
+        rgb = jnp.stack([m[i, 0] * yc + m[i, 1] * uc + m[i, 2] * vc + c[i]
+                         for i in range(3)], axis=-3)
+        return rgb
+    return comps
+
+
+def _corrections(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
+    """Post-scale correction shaders (selection in InitMediaType,
+    Source/DX11VideoProcessor.cpp:1896-1930)."""
+    s = plan.settings
+    axis = -3
+    if plan.convert_to_sdr:
+        # ps_convert_pq_to_sdr.hlsl / HLG variant: -> linear(SDR-relative) ->
+        # Hable -> 2020->709 -> sRGB-ish gamma
+        luminance_scale = 10000.0 / s.sdr_display_nits  # SetShaderLuminanceParams
+        x = jnp.clip(rgb, 0.0, 1.0)
+        if plan.src.transfer == TRC.HLG:
+            x = transfer_ops.hlg_to_linear(x, axis=axis)
+            x = transfer_ops.linear_to_st2084(x, 1000.0)
+            x = jnp.clip(x, 0.0, 1.0)
+        x = transfer_ops.st2084_to_linear(x, luminance_scale)
+        x = tonemap_ops.tonemap_hable_sdr(x)
+        gm = jnp.asarray(csputils.bt2020_to_bt709_matrix(), x.dtype)
+        r, g, b = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+        x = jnp.stack([gm[i, 0] * r + gm[i, 1] * g + gm[i, 2] * b
+                       for i in range(3)], axis=axis)
+        return transfer_ops.linear_to_srgb_like(x)
+    if plan.hlg_to_pq:
+        # ps_convert_hlg_to_pq.hlsl
+        x = jnp.clip(rgb, 0.0, 1.0)
+        x = transfer_ops.hlg_to_linear(x, axis=axis)
+        return transfer_ops.linear_to_st2084(x, 1000.0)
+    if plan.fix_bt2020_sdr:
+        # SDR BT.2020 -> 709 (codegen branch, Source/Shaders.cpp:892-915)
+        x = transfer_ops.srgb_like_to_linear(rgb, plan.sdr_gamma)
+        gm = jnp.asarray(csputils.bt2020_to_bt709_matrix(), x.dtype)
+        r, g, b = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+        x = jnp.stack([gm[i, 0] * r + gm[i, 1] * g + gm[i, 2] * b
+                       for i in range(3)], axis=-3)
+        return transfer_ops.linear_to_srgb_like(x)
+    return rgb
+
+
+def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
+    h = plan.src.hdr10 or HDR10Metadata()
+    params = tonemap_ops.HDRParams(
+        mastering_min_nits=h.mastering_min_nits,
+        mastering_max_nits=h.mastering_max_nits,
+        max_cll=h.max_cll, max_fall=h.max_fall,
+        display_max_nits=float(plan.settings.hdr_display_max_nits),
+    )
+    return tonemap_ops.local_tonemap_pq(
+        rgb, int(plan.settings.hdr_local_tone_mapping_type), params, axis=-3)
+
+
+def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
+    """ps_final_pass.hlsl: ordered dither + quantization."""
+    db = plan.dither_bits
+    if db is None or db == 0:
+        return rgb
+    if db < 0:
+        return dither_ops.quantize(jnp.clip(rgb, 0.0, 1.0), -db)
+    return dither_ops.ordered_dither(jnp.clip(rgb, 0.0, 1.0), db)
+
+
+def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32):
+    """Build the per-frame processing function (unjitted).
+
+    Input: tuple of plane arrays (uint8/uint16), each (..., Hp, Wp) with
+    matching leading batch dims.  Output: (..., 3, out_h, out_w) float32 in
+    [0,1] (SDR/PQ encoded), quantized per the plan.
+    """
+    s = plan.settings
+    dst = plan.dst
+
+    def fn(planes):
+        rgb = _convert_color(plan, planes, dtype)
+        if not s.vp_scaling:
+            # shader-path order: corrections at source resolution
+            rgb = _corrections(plan, rgb)
+        rgb = scale_ops.resize_plane(
+            rgb, dst.height, dst.width,
+            upscaling=s.upscaling, downscaling=s.downscaling,
+            interpolate_at_50pct=s.interpolate_at_50pct)
+        if s.vp_scaling:
+            rgb = _corrections(plan, rgb)
+        if plan.local_tonemap:
+            rgb = _local_tonemap(plan, rgb)
+        return _final_pass(plan, rgb)
+
+    return fn
+
+
+class VideoProcessor:
+    """High-level per-config processor: plan + jitted function.
+
+    The TPU analogue of CVideoProcessor/CDX11VideoProcessor: construct per
+    media type (InitMediaType), then call :meth:`process` per frame/batch
+    (ProcessSample -> Process).
+    """
+
+    def __init__(self, settings: Settings, src: SourceDescriptor,
+                 dst: OutputDescriptor, dtype=jnp.float32):
+        self.plan = plan_pipeline(settings, src, dst)
+        self.dtype = dtype
+        self._fn = jax.jit(make_frame_fn(self.plan, dtype))
+
+    def process(self, planes) -> jax.Array:
+        """planes: sequence of numpy/jax arrays in canonical plane order."""
+        return self._fn(tuple(jnp.asarray(p) for p in planes))
+
+    def process_frame(self, frame) -> jax.Array:
+        """Process an unpacked :class:`videorenderer_tpu.formats.PlanarFrame`."""
+        return self.process(frame.planes)
