@@ -1,10 +1,15 @@
-"""Test configuration: force an 8-device CPU mesh so sharding tests run
-without TPU hardware (the reference has no tests at all — SURVEY.md §4; we
-use jax's host-device simulation as the 'fake backend')."""
+"""Test configuration: force an 8-device CPU mesh so tests are deterministic
+and sharding tests run without TPU hardware (the reference has no tests at
+all — SURVEY.md §4; jax's host-device simulation is our 'fake backend').
+
+Note: the environment may preset JAX_PLATFORMS (e.g. to the TPU plugin), so
+this must overwrite, not setdefault — on TPU, float32 matmuls default to
+bfloat16 multiplies and golden-math tests would see 1e-3-level error.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,156 @@
+"""Tests for the control surface, runner, IO, OSD and stats."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                               SourceDescriptor)
+from videorenderer_tpu.api import VideoRenderer
+from videorenderer_tpu.csputils import CSP
+from videorenderer_tpu.io.raw import RawVideoSink, RawVideoSource
+from videorenderer_tpu.runner import PresentClock, run_clip, windowed_batches
+from videorenderer_tpu import osd, stats
+
+
+def _open_renderer(w=32, h=16, ow=None, oh=None, **st):
+    vr = VideoRenderer(Settings(**st))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=ow or w, height=oh or h, bits=8)
+    vr.open(src, dst)
+    return vr
+
+
+def _nv12_planes(w, h, batch=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = lambda *s: ((batch,) + s) if batch else s
+    return (rng.integers(0, 256, shape(h, w), np.uint8),
+            rng.integers(0, 256, shape(h // 2, w // 2), np.uint8),
+            rng.integers(0, 256, shape(h // 2, w // 2), np.uint8))
+
+
+def test_api_process_and_screenshots():
+    vr = _open_renderer(32, 16, 16, 8)
+    out = vr.process_frame(_nv12_planes(32, 16))
+    assert out.shape == (3, 8, 16)
+    disp = vr.get_displayed_image()
+    assert disp.shape == (8, 16, 3) and disp.dtype == np.uint8
+    cur = vr.get_current_image()
+    assert cur.shape == (16, 32, 3)
+    s = vr.get_stats()
+    assert s["frames_drawn"] == 1
+
+
+def test_api_rotation_flip():
+    vr = _open_renderer(32, 16)
+    vr.flt_set("rotation", 90)
+    out = vr.process_frame(_nv12_planes(32, 16))
+    assert out.shape == (3, 32, 16)
+    assert vr.flt_get("rotation") == 90
+    with pytest.raises(ValueError):
+        vr.flt_set("rotation", 45)
+
+
+def test_api_user_shader_hook():
+    vr = _open_renderer(16, 8, use_dither=False)
+    vr.flt_set("cmd_addPostScaleShader", lambda rgb: 1.0 - rgb)
+    inverted = np.asarray(vr.process_frame(_nv12_planes(16, 8)))
+    vr.flt_set("cmd_clearPostScaleShaders", None)
+    normal = np.asarray(vr.process_frame(_nv12_planes(16, 8)))
+    np.testing.assert_allclose(inverted, 1.0 - normal, atol=1e-6)
+
+
+def test_api_set_settings_rebuilds():
+    vr = _open_renderer(16, 8)
+    import dataclasses
+    vr.process_frame(_nv12_planes(16, 8))
+    vr.set_settings(dataclasses.replace(vr.settings, use_dither=False))
+    out = np.asarray(vr.process_frame(_nv12_planes(16, 8)))
+    codes = out * 255
+    np.testing.assert_allclose(codes, np.round(codes), atol=1e-4)
+
+
+def test_api_info_text():
+    vr = _open_renderer(16, 8)
+    info = vr.get_video_processor_info()
+    assert "NV12" in info and "16x8" in info
+
+
+def test_runner_clip_and_windows():
+    planes = _nv12_planes(16, 8, batch=10)
+    batches = list(windowed_batches(planes, 4))
+    assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+    batches_halo = list(windowed_batches(planes, 4, halo=1))
+    assert batches_halo[1][0].shape[0] == 6  # 4 + 1 both sides
+
+    vr = _open_renderer(16, 8)
+    res = run_clip(vr._fn, windowed_batches(planes, 4))
+    assert res.frames == 10
+    assert len(res.outputs) == 3
+
+
+def test_present_clock_drops_late():
+    clk = PresentClock(fps=1000.0)
+    assert not clk.should_drop(0)
+    import time
+    time.sleep(0.01)
+    assert clk.should_drop(1)  # 10ms late on a 1ms frame
+    off = clk.wait_for(50)
+    assert isinstance(off, float)
+
+
+def test_raw_io_roundtrip(tmp_path):
+    w, h = 16, 8
+    planes = _nv12_planes(w, h)
+    y, u, v = planes
+    uv = np.stack([u, v], -1).reshape(h // 2, w)
+    raw = np.concatenate([y.ravel(), uv.ravel()]).tobytes()
+    p = tmp_path / "clip.nv12"
+    p.write_bytes(raw * 3)
+    src = RawVideoSource(str(p), ColorFormat.NV12, w, h)
+    assert len(src) == 3
+    frames = list(src)
+    np.testing.assert_array_equal(frames[0].planes[0], y)
+    batch = src.read_batch(0, 2)
+    assert batch[0].shape == (2, h, w)
+
+    sink_path = tmp_path / "out.rgb"
+    with RawVideoSink(str(sink_path), bits=8) as sink:
+        sink.present(np.zeros((3, h, w), np.float32))
+    assert sink_path.stat().st_size == h * w * 3
+
+
+def test_osd_render():
+    rgb, alpha = osd.render_stats_overlay(
+        {"frames_drawn": 10, "input_fps": 23.98, "draw_fps": 24.0,
+         "copy_ms": 0.5, "paint_ms": 1.2, "present_ms": 0.1,
+         "sync_offset_ms": -0.3, "avg_sync_offset_ms": 0.1},
+        graph_values=[0.0, 0.5, -0.5, 0.2])
+    assert rgb.shape[0] == 3 and alpha.ndim == 2
+    assert alpha.max() <= 1.0 and alpha.min() >= 0.0
+    assert rgb.max() > 0  # something was drawn
+
+
+def test_stats_accounting():
+    m = stats.Metrics()
+    for i in range(20):
+        m.input_stats.add(i * (1 / 30))
+    assert m.input_stats.fps() == pytest.approx(30.0, rel=1e-6)
+    m.render_stats.copy_s = 0.001
+    snap = m.snapshot()
+    assert snap["copy_ms"] == pytest.approx(1.0)
+    ma = stats.MovingAverage(4)
+    for v in (1.0, 2.0, 3.0, 4.0, 5.0):
+        ma.add(v)
+    assert ma.average() == pytest.approx((2 + 3 + 4 + 5) / 4)
+
+
+def test_frame_stats_fast_change():
+    fs = stats.FrameStats()
+    for i in range(60):
+        fs.add(i * (1 / 24))
+    t0 = 60 * (1 / 24)
+    for i in range(15):
+        fs.add(t0 + i * (1 / 60))
+    assert fs.fps() == pytest.approx(60.0, rel=0.05)

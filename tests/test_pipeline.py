@@ -1,0 +1,220 @@
+"""End-to-end pipeline tests — golden-math verification of the BASELINE
+configs at reduced sizes, against an independent float64 numpy oracle."""
+
+import numpy as np
+import pytest
+
+from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                               SourceDescriptor, VideoProcessor)
+from videorenderer_tpu.config import ChromaScaling, Upscaling, Downscaling
+from videorenderer_tpu.csputils import (CSP, CSPParams, Colorspace, Levels,
+                                        Primaries, TRC, get_csp_matrix,
+                                        bt2020_to_bt709_matrix)
+from videorenderer_tpu.formats import unpack_frame
+from videorenderer_tpu.ops.dither import bayer_matrix
+
+import oracle
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def _make_nv12(w, h, rng):
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    u = rng.integers(16, 241, (h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(16, 241, (h // 2, w // 2), dtype=np.uint8)
+    uv = np.stack([u, v], -1).reshape(h // 2, w)
+    return np.concatenate([y.ravel(), uv.ravel()]).tobytes(), (y, u, v)
+
+
+def _oracle_config1(y, u, v, w, h):
+    """NV12 BT.709 TV -> full RGB8, bilinear chroma (MPEG-2), ordered dither."""
+    yf = y.astype(np.float64) / 255.0
+    uf = u.astype(np.float64) / 255.0
+    vf = v.astype(np.float64) / 255.0
+    uu = oracle.chroma_upsample_420(uf, "bilinear", "mpeg2", h, w)
+    vv = oracle.chroma_upsample_420(vf, "bilinear", "mpeg2", h, w)
+    cm = get_csp_matrix(CSPParams(color=Colorspace(CSP.BT_709, Levels.TV),
+                                  input_bits=8, texture_bits=8))
+    rgb = np.stack([cm.m[i, 0] * yf + cm.m[i, 1] * uu + cm.m[i, 2] * vv + cm.c[i]
+                    for i in range(3)])
+    rgb = np.clip(rgb, 0.0, 1.0)
+    d = np.tile(bayer_matrix(32).astype(np.float64), ((h + 31) // 32, (w + 31) // 32))[:h, :w]
+    return np.floor(rgb * 255.0 + d) / 255.0
+
+
+def test_config1_nv12_to_rgb8_exact():
+    """BASELINE config 1 at reduced size: must match the float64 oracle to
+    float32 precision (every quantized 8-bit code identical)."""
+    w, h = 96, 64
+    rng = np.random.default_rng(0)
+    buf, (y, u, v) = _make_nv12(w, h, rng)
+    frame = unpack_frame(ColorFormat.NV12, buf, w, h)
+
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709, levels=Levels.TV)
+    dst = OutputDescriptor(width=w, height=h, bits=8)
+    vp = VideoProcessor(Settings(chroma_scaling=ChromaScaling.BILINEAR), src, dst)
+    got = np.asarray(vp.process_frame(frame))
+
+    ref = _oracle_config1(y, u, v, w, h)
+    # identical 8-bit codes (float32 vs float64 may flip codes right at the
+    # dither threshold — allow a tiny fraction of 1-LSB flips)
+    diff = np.abs(got - ref) * 255.0
+    assert (diff > 0.5).mean() < 2e-3
+    assert psnr(got, ref) > 55.0
+
+
+def test_sd_defaults_to_bt601():
+    w, h = 64, 48  # "SD" (<=1024x576) => BT.601 default
+    rng = np.random.default_rng(1)
+    buf, _ = _make_nv12(w, h, rng)
+    frame = unpack_frame(ColorFormat.NV12, buf, w, h)
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h)
+    dst = OutputDescriptor(width=w, height=h, bits=8)
+    vp601 = VideoProcessor(Settings(), src, dst)
+    assert vp601.plan.src.matrix == CSP.BT_601
+    vp709 = VideoProcessor(Settings(),
+                           SourceDescriptor(format=ColorFormat.NV12, width=w,
+                                            height=h, matrix=CSP.BT_709),
+                           dst)
+    a = np.asarray(vp601.process_frame(frame))
+    b = np.asarray(vp709.process_frame(frame))
+    assert np.abs(a - b).max() > 1e-3  # different matrices actually applied
+
+
+def test_rgb_passthrough_identity():
+    w, h = 32, 16
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    buf = rgb[..., ::-1].tobytes()  # BGR byte order for RGB24
+    frame = unpack_frame(ColorFormat.RGB24, buf, w, h)
+    src = SourceDescriptor(format=ColorFormat.RGB24, width=w, height=h)
+    dst = OutputDescriptor(width=w, height=h, bits=8)
+    vp = VideoProcessor(Settings(use_dither=False), src, dst)
+    out = np.asarray(vp.process_frame(frame))
+    expected = np.moveaxis(rgb.astype(np.float64) / 255.0, -1, 0)
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_gray_format():
+    w, h = 32, 16
+    y = np.full((h, w), 128, np.uint8)
+    frame = unpack_frame(ColorFormat.Y8, y.tobytes(), w, h)
+    src = SourceDescriptor(format=ColorFormat.Y8, width=w, height=h)
+    dst = OutputDescriptor(width=w, height=h, bits=8)
+    vp = VideoProcessor(Settings(use_dither=False), src, dst)
+    out = np.asarray(vp.process_frame(frame))
+    # gray mid-level, TV range: (128-16)/219 expanded
+    expected = (128.0 - 16.0) / 219.0
+    np.testing.assert_allclose(out, expected, atol=1.5 / 255)
+    # R == G == B
+    np.testing.assert_allclose(out[0], out[1], atol=1e-7)
+    np.testing.assert_allclose(out[1], out[2], atol=1e-7)
+
+
+def test_hdr10_p010_to_sdr():
+    """Config 4 shape: P010 PQ BT.2020 -> SDR RGB8 via Hable + gamut map."""
+    w, h = 64, 32
+    rng = np.random.default_rng(3)
+    y10 = rng.integers(64, 940, (h, w), dtype=np.uint16) << 6
+    u10 = rng.integers(64, 960, (h // 2, w // 2), dtype=np.uint16) << 6
+    v10 = rng.integers(64, 960, (h // 2, w // 2), dtype=np.uint16) << 6
+
+    src = SourceDescriptor(format=ColorFormat.P010, width=w, height=h,
+                           matrix=CSP.BT_2020_NC, levels=Levels.TV,
+                           primaries=Primaries.BT_2020, transfer=TRC.PQ)
+    dst = OutputDescriptor(width=w, height=h, bits=8, hdr=False)
+    st = Settings(convert_to_sdr=True, use_dither=False)
+    vp = VideoProcessor(st, src, dst)
+    assert vp.plan.convert_to_sdr
+    out = np.asarray(vp.process((y10, u10, v10)))
+    assert out.shape == (3, h, w)
+    assert np.all(out >= 0) and np.all(out <= 1)
+
+    # independent oracle (float64)
+    def pq_to_lin(x, factor):
+        m1, m2 = 2610 / 16384, 2523 / 4096 * 128
+        c1, c2, c3 = 3424 / 4096, 2413 / 4096 * 32, 2392 / 4096 * 32
+        x = np.power(np.maximum(x, 0), 1 / m2)
+        x = np.maximum(x - c1, 0) / (c2 - c3 * x)
+        return np.power(x, 1 / m1) * factor
+
+    yf = (y10.astype(np.float64)) / 65535.0
+    uf = u10.astype(np.float64) / 65535.0
+    vf = v10.astype(np.float64) / 65535.0
+    uu = oracle.chroma_upsample_420(uf, "bilinear", "mpeg2", h, w)
+    vv = oracle.chroma_upsample_420(vf, "bilinear", "mpeg2", h, w)
+    cm = get_csp_matrix(CSPParams(color=Colorspace(CSP.BT_2020_NC, Levels.TV),
+                                  input_bits=16, texture_bits=16))
+    rgb = np.stack([cm.m[i, 0] * yf + cm.m[i, 1] * uu + cm.m[i, 2] * vv + cm.c[i]
+                    for i in range(3)])
+    x = np.clip(rgb, 0, 1)
+    x = pq_to_lin(x, 10000.0 / 125.0)
+
+    def hable(v):
+        A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+        return ((v * (A * v + C * B) + D * E) / (v * (A * v + B) + D * F)) - E / F
+
+    x = hable(x) / hable(np.float64(4.8))
+    gm = bt2020_to_bt709_matrix()
+    x = np.einsum("ij,jhw->ihw", gm, x)
+    x = np.clip(x, 0, 1) ** (1 / 2.2)
+    ref = np.round(np.clip(x, 0, 1) * 255) / 255
+    assert psnr(out, ref) > 55.0
+
+
+def test_hlg_passthrough_to_pq():
+    w, h = 32, 16
+    src = SourceDescriptor(format=ColorFormat.P010, width=w, height=h,
+                           matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
+                           transfer=TRC.HLG)
+    dst = OutputDescriptor(width=w, height=h, bits=10, hdr=True)
+    vp = VideoProcessor(Settings(hdr_passthrough=True), src, dst)
+    assert vp.plan.hlg_to_pq and not vp.plan.convert_to_sdr
+    y = np.full((h, w), 600 << 6, np.uint16)
+    u = np.full((h // 2, w // 2), 512 << 6, np.uint16)
+    v = np.full((h // 2, w // 2), 512 << 6, np.uint16)
+    out = np.asarray(vp.process((y, u, v)))
+    assert out.shape == (3, h, w)
+    assert np.all((out >= 0) & (out <= 1))
+
+
+def test_pipeline_with_resize():
+    """Convert + Lanczos3 upscale + dither, batched."""
+    w, h = 32, 24
+    rng = np.random.default_rng(4)
+    y = rng.integers(0, 256, (2, h, w), dtype=np.uint8)       # batch of 2
+    u = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=w * 2, height=h * 2, bits=8)
+    vp = VideoProcessor(Settings(upscaling=Upscaling.LANCZOS3), src, dst)
+    out = np.asarray(vp.process((y, u, v)))
+    assert out.shape == (2, 3, h * 2, w * 2)
+
+
+def test_local_tonemap_in_pipeline():
+    from videorenderer_tpu import HDR10Metadata
+    from videorenderer_tpu.config import ToneMapType
+    w, h = 32, 16
+    src = SourceDescriptor(format=ColorFormat.P010, width=w, height=h,
+                           matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
+                           transfer=TRC.PQ,
+                           hdr10=HDR10Metadata(max_cll=4000, max_fall=1000))
+    dst = OutputDescriptor(width=w, height=h, bits=10, hdr=True)
+    st = Settings(hdr_passthrough=True, hdr_local_tone_mapping=True,
+                  hdr_local_tone_mapping_type=ToneMapType.BT2390,
+                  hdr_display_max_nits=600)
+    vp = VideoProcessor(st, src, dst)
+    assert vp.plan.local_tonemap
+    y = np.full((h, w), 900 << 6, np.uint16)
+    u = np.full((h // 2, w // 2), 512 << 6, np.uint16)
+    v = np.full((h // 2, w // 2), 512 << 6, np.uint16)
+    out = np.asarray(vp.process((y, u, v)))
+    assert np.all((out >= 0) & (out <= 1))

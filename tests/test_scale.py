@@ -1,0 +1,123 @@
+"""Resizers vs the per-pixel HLSL oracle."""
+
+import numpy as np
+import pytest
+
+from videorenderer_tpu.config import Downscaling, Upscaling
+from videorenderer_tpu.ops import scale
+
+from oracle import conv_resize_axis, interp_resize_axis
+
+_UP = {
+    "mitchell": Upscaling.MITCHELL,
+    "catmullrom": Upscaling.CATMULL_ROM,
+    "lanczos2": Upscaling.LANCZOS2,
+    "lanczos3": Upscaling.LANCZOS3,
+}
+_DOWN = {
+    "box": Downscaling.BOX,
+    "bilinear": Downscaling.BILINEAR,
+    "hamming": Downscaling.HAMMING,
+    "bicubic": Downscaling.BICUBIC,
+    "bicubic_sharp": Downscaling.BICUBIC_SHARP,
+    "lanczos": Downscaling.LANCZOS,
+}
+
+
+@pytest.mark.parametrize("method", list(_UP))
+@pytest.mark.parametrize("sizes", [(8, 13), (8, 16), (10, 24), (12, 7)])
+def test_upscale_matrix_matches_oracle(method, sizes):
+    in_size, out_size = sizes
+    rng = np.random.default_rng(1)
+    img = rng.random((5, in_size))
+    ref = interp_resize_axis(img, out_size, method)
+    mat = scale.upscale_matrix(_UP[method], in_size, out_size)
+    got = img @ mat
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("filt", list(_DOWN))
+@pytest.mark.parametrize("sizes", [(16, 7), (24, 8), (17, 5)])
+def test_downscale_matrix_matches_oracle(filt, sizes):
+    in_size, out_size = sizes
+    rng = np.random.default_rng(2)
+    img = rng.random((4, in_size))
+    ref = conv_resize_axis(img, out_size, filt)
+    mat = scale.downscale_matrix(_DOWN[filt], in_size, out_size)
+    got = img @ mat
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_columns_sum_to_one():
+    for m in _UP.values():
+        mat = scale.upscale_matrix(m, 9, 20)
+        np.testing.assert_allclose(mat.sum(axis=0), 1.0, atol=1e-9)
+    for m in _DOWN.values():
+        mat = scale.downscale_matrix(m, 20, 9)
+        np.testing.assert_allclose(mat.sum(axis=0), 1.0, atol=1e-9)
+
+
+def test_catmullrom_reproduces_linear_ramp():
+    """Catmull-Rom interpolation is exact on linear functions (interior)."""
+    mat = scale.upscale_matrix(Upscaling.CATMULL_ROM, 8, 16)
+    x = np.arange(8.0)
+    y = x @ mat
+    expected = (np.arange(16) + 0.5) * 8 / 16 - 0.5
+    np.testing.assert_allclose(y[3:-3], expected[3:-3], atol=1e-12)
+
+
+def test_nearest_upscale():
+    mat = scale.upscale_matrix(Upscaling.NEAREST, 4, 8)
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_allclose(x @ mat, np.repeat(x, 2), atol=0)
+
+
+def test_box_downscale_is_average():
+    mat = scale.downscale_matrix(Downscaling.BOX, 8, 4)
+    x = np.arange(8.0)
+    np.testing.assert_allclose(x @ mat, x.reshape(4, 2).mean(1), atol=1e-12)
+
+
+def test_selection_rule():
+    # equal size: None
+    assert scale.select_scaler(100, 100, Upscaling.LANCZOS3, Downscaling.HAMMING, True) is None
+    # shrink by <2 with 50% rule: use the *upscale* filter
+    kind, m = scale.select_scaler(100, 60, Upscaling.LANCZOS3, Downscaling.HAMMING, True)
+    assert kind == "up" and m == Upscaling.LANCZOS3
+    # shrink by >2: downscale filter
+    kind, m = scale.select_scaler(100, 40, Upscaling.LANCZOS3, Downscaling.HAMMING, True)
+    assert kind == "down" and m == Downscaling.HAMMING
+    # 50% rule off: any shrink uses the downscale filter
+    kind, m = scale.select_scaler(100, 60, Upscaling.LANCZOS3, Downscaling.HAMMING, False)
+    assert kind == "down"
+
+
+def test_resize_plane_two_pass():
+    rng = np.random.default_rng(5)
+    img = rng.random((3, 12, 16)).astype(np.float32)
+    out = np.asarray(scale.resize_plane(img, 6, 40,
+                                        upscaling=Upscaling.CATMULL_ROM,
+                                        downscaling=Downscaling.HAMMING))
+    assert out.shape == (3, 6, 40)
+    # X pass first (upscale 16->40), then Y (12->6 uses upscale filter since <2x)
+    mx = scale.upscale_matrix(Upscaling.CATMULL_ROM, 16, 40)
+    my = scale.upscale_matrix(Upscaling.CATMULL_ROM, 12, 6)
+    ref = np.einsum("chw,wW,hH->cHW", img.astype(np.float64), mx, my)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_jinc2_constant_and_shape():
+    img = np.full((2, 8, 8), 0.6, np.float32)
+    out = np.asarray(scale.jinc2_resize(img, 20, 12))
+    assert out.shape == (2, 20, 12)
+    np.testing.assert_allclose(out, 0.6, atol=1e-5)
+
+
+def test_jinc2_identity_at_integer_positions():
+    """At 1:1 scale the sample point coincides with a texel center; the jinc
+    weight at d=0 dominates but neighbors contribute — verify reproduction of
+    a linear ramp (jinc2 reproduces constants and is near-exact on ramps
+    away from edges)."""
+    x = np.tile(np.arange(16, dtype=np.float64) / 15.0, (8, 1))
+    out = np.asarray(scale.jinc2_resize(x, 8, 16))
+    np.testing.assert_allclose(out[:, 2:-2], x[:, 2:-2], atol=5e-3)

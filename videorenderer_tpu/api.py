@@ -1,0 +1,224 @@
+"""Public control surface — the renderer facade.
+
+Mirrors the verbs of the reference's COM surface so a reference user finds
+everything:
+
+ * ``IVideoRenderer``: GetVideoProcessorInfo / GetActive / Get/SetSettings /
+   SaveSettings (Source/IVideoRenderer.h:188-197)
+ * ``IExFilterConfig`` string-keyed control plane: rotation / flip /
+   stereo3dTransform / statsEnable / displayedImage / cmd_redraw / user
+   pre/post-scale shader injection (Source/VideoRenderer.cpp:1335-1559)
+ * screenshot APIs GetCurrentImage (source-sized) and displayedImage
+   (output-sized) (Source/VideoRenderer.cpp:947-993,1397-1412)
+ * media-type negotiation: open() = SetMediaType/InitMediaType; process
+   frames; live reconfiguration Configure() diffing
+   (Source/DX11VideoProcessor.cpp:3812-4062)
+
+The "user shader" hook takes a Python callable ``fn(rgb_chw) -> rgb_chw``
+instead of HLSL text — the analogue of AddPre/PostScaleShader: it is traced
+into the jitted pipeline at the same point in the post-scale chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import __version__
+from .config import Settings
+from .formats import PlanarFrame, get_format_info, pack_rgb8, pack_rgb10
+from .ops import geometry as geo_ops
+from .pipeline import (OutputDescriptor, SourceDescriptor, make_frame_fn,
+                       plan_pipeline)
+from .stats import Metrics, precise_tick
+
+
+class VideoRenderer:
+    """Session object: owns Settings, the current media type, the compiled
+    pipeline, metrics, and the last displayed frame (for screenshots and
+    paused redraw, Source/VideoRenderer.cpp:555-560)."""
+
+    def __init__(self, settings: Settings | None = None):
+        self.settings = (settings or Settings()).validate()
+        self._src: SourceDescriptor | None = None
+        self._dst: OutputDescriptor | None = None
+        self._plan = None
+        self._fn = None
+        self._rotation = 0
+        self._flip = False
+        self._stereo3d_transform = 0
+        self._user_post_fns: list[Callable] = []
+        self._user_pre_fns: list[Callable] = []
+        self._last_input = None
+        self._last_output = None
+        self.metrics = Metrics()
+
+    # -- IVideoRenderer -------------------------------------------------------
+
+    def get_active(self) -> bool:
+        return self._fn is not None
+
+    def get_settings(self) -> Settings:
+        return self.settings
+
+    def set_settings(self, settings: Settings) -> None:
+        """Live reconfiguration: rebuilds only if the new settings change the
+        traced computation (Configure's diff-and-rebuild,
+        Source/DX11VideoProcessor.cpp:3812-4062 — here jit caching makes the
+        minimal-rebuild logic automatic: an unchanged plan hits the cache)."""
+        old = self.settings
+        self.settings = settings.validate()
+        if self._src is not None and self.settings != old:
+            self._rebuild()
+            if self._last_input is not None:
+                self._last_output = self._fn(self._last_input)
+
+    def save_settings(self, path: str) -> None:
+        self.settings.save(path)
+
+    def get_video_processor_info(self) -> str:
+        """GetVPInfo analogue (Source/DX11VideoProcessor.cpp:3698-3810)."""
+        lines = [f"videorenderer_tpu {__version__}"]
+        lines.append(f"Device: {jax.devices()[0]}")
+        lines.append(f"Backend: {jax.default_backend()} "
+                     f"({len(jax.devices())} device(s))")
+        if self._src:
+            info = get_format_info(self._src.format)
+            lines.append(f"Input: {info.name} {self._src.width}x{self._src.height}"
+                         f" matrix={self._src.matrix.name}"
+                         f" primaries={self._src.primaries.name}"
+                         f" transfer={self._src.transfer.name}")
+        if self._dst:
+            lines.append(f"Output: {self._dst.width}x{self._dst.height}"
+                         f" {self._dst.bits}-bit hdr={self._dst.hdr}")
+        if self._plan:
+            lines.append(f"ConvertToSDR: {self._plan.convert_to_sdr}; "
+                         f"HLG->PQ: {self._plan.hlg_to_pq}; "
+                         f"LocalToneMap: {self._plan.local_tonemap}")
+        return "\n".join(lines)
+
+    # -- IExFilterConfig ("Flt_Get*/Flt_Set*") ---------------------------------
+
+    def flt_get(self, key: str):
+        return {
+            "rotation": self._rotation,
+            "flip": self._flip,
+            "stereo3dTransform": self._stereo3d_transform,
+            "statsEnable": self.settings.show_stats,
+            "version": __version__,
+        }[key]
+
+    def flt_set(self, key: str, value) -> None:
+        if key == "rotation":
+            if value not in (0, 90, 180, 270):
+                raise ValueError("rotation must be 0/90/180/270")
+            self._rotation = value
+        elif key == "flip":
+            self._flip = bool(value)
+        elif key == "stereo3dTransform":
+            self._stereo3d_transform = int(value)
+        elif key == "statsEnable":
+            self.settings = dataclasses.replace(self.settings,
+                                                show_stats=bool(value))
+        elif key == "cmd_addPostScaleShader":
+            self._user_post_fns.append(value)
+        elif key == "cmd_addPreScaleShader":
+            self._user_pre_fns.append(value)
+        elif key == "cmd_clearPostScaleShaders":
+            self._user_post_fns.clear()
+        elif key == "cmd_clearPreScaleShaders":
+            self._user_pre_fns.clear()
+        elif key == "cmd_redraw":
+            if self._last_input is not None:
+                self._last_output = self._fn(self._last_input)
+            return
+        else:
+            raise KeyError(key)
+        if self._src is not None:
+            self._rebuild()
+
+    # -- media type / processing ----------------------------------------------
+
+    def open(self, src: SourceDescriptor, dst: OutputDescriptor) -> None:
+        """SetMediaType + InitMediaType + InitSwapChain analogue."""
+        self._src = src
+        self._dst = dst
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        self._plan = plan_pipeline(self.settings, self._src, self._dst)
+        base = make_frame_fn(self._plan)
+        rotation, flip = self._rotation, self._flip
+        stereo = self._stereo3d_transform
+        pre = tuple(self._user_pre_fns)
+        post = tuple(self._user_post_fns)
+        plan = self._plan
+
+        def fn(planes):
+            rgb = base(planes)
+            # the geometry + user-shader chain rides the post-scale ring
+            # (Source/DX11VideoProcessor.cpp:3337-3428)
+            if rotation or flip:
+                rgb = geo_ops.rotate_flip(rgb, rotation, flip)
+            for f in pre + post:
+                rgb = f(rgb)
+            if stereo == 1:
+                rgb = geo_ops.half_overunder_to_interlace(rgb)
+            return rgb
+
+        self._fn = jax.jit(fn)
+
+    def process_frame(self, frame_or_planes):
+        """ProcessSample analogue. Returns the processed (…,3,H,W) array."""
+        if self._fn is None:
+            raise RuntimeError("open() a media type first")
+        planes = (frame_or_planes.planes
+                  if isinstance(frame_or_planes, PlanarFrame)
+                  else tuple(frame_or_planes))
+        t0 = precise_tick()
+        planes = tuple(jnp.asarray(p) for p in planes)
+        self.metrics.render_stats.copy_s = precise_tick() - t0
+        self.metrics.input_stats.add(precise_tick())
+        t1 = precise_tick()
+        out = self._fn(planes)
+        out.block_until_ready()
+        self.metrics.render_stats.paint_s = precise_tick() - t1
+        self.metrics.draw_stats.frame_drawn()
+        self._last_input = planes
+        self._last_output = out
+        return out
+
+    # -- screenshots -----------------------------------------------------------
+
+    def get_displayed_image(self, as_uint: bool = True):
+        """displayedImage: the last output frame
+        (Source/DX11VideoProcessor.cpp:3622-3696)."""
+        if self._last_output is None:
+            return None
+        img = np.moveaxis(np.asarray(self._last_output), -3, -1)
+        if not as_uint:
+            return img
+        if self._dst.bits == 10:
+            return pack_rgb10(img)
+        return pack_rgb8(img)
+
+    def get_current_image(self):
+        """GetCurrentImage: the current frame converted to RGB at *source*
+        size, bypassing scaling (Source/DX11VideoProcessor.cpp:3505-3620)."""
+        if self._last_input is None:
+            return None
+        shot_dst = OutputDescriptor(width=self._src.width,
+                                    height=self._src.height, bits=8)
+        plan = plan_pipeline(self.settings, self._src, shot_dst)
+        out = jax.jit(make_frame_fn(plan))(self._last_input)
+        return pack_rgb8(np.moveaxis(np.asarray(out), -3, -1))
+
+    # -- stats -----------------------------------------------------------------
+
+    def get_stats(self) -> dict:
+        return self.metrics.snapshot()

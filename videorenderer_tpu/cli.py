@@ -1,0 +1,147 @@
+"""Command-line interface: file-in/file-out processing and info reporting —
+the standalone analogue of dropping the filter into a player graph.
+
+Examples:
+  python -m videorenderer_tpu.cli process in.yuv --format NV12 --size 1920x1080 \
+      --out out.rgb --out-size 3840x2160 --out-bits 8 --upscaling LANCZOS3
+  python -m videorenderer_tpu.cli info
+  python -m videorenderer_tpu.cli bench --frames 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .api import VideoRenderer
+from .config import (ChromaScaling, Downscaling, Settings, ToneMapType,
+                     Upscaling)
+from .csputils import CSP, Levels, Primaries, TRC
+from .formats import ColorFormat
+from .io.raw import RawVideoSink, RawVideoSource
+from .pipeline import OutputDescriptor, SourceDescriptor
+from .runner import run_clip, windowed_batches
+
+
+def _parse_size(s: str) -> tuple[int, int]:
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def _enum(cls, name: str):
+    key = name.upper().replace("-", "_")
+    try:
+        return cls[key]
+    except KeyError:
+        valid = ", ".join(m.name for m in cls)
+        raise SystemExit(f"error: unknown {cls.__name__} '{name}' "
+                         f"(valid: {valid})")
+
+
+def cmd_process(args) -> int:
+    src_fmt = _enum(ColorFormat, args.format)
+    w, h = _parse_size(args.size)
+    ow, oh = _parse_size(args.out_size) if args.out_size else (w, h)
+
+    settings = Settings(
+        chroma_scaling=_enum(ChromaScaling, args.chroma),
+        upscaling=_enum(Upscaling, args.upscaling),
+        downscaling=_enum(Downscaling, args.downscaling),
+        use_dither=not args.no_dither,
+        convert_to_sdr=not args.hdr_passthrough,
+        hdr_passthrough=args.hdr_passthrough,
+        sdr_display_nits=args.sdr_nits,
+    )
+    src = SourceDescriptor(
+        format=src_fmt, width=w, height=h,
+        matrix=_enum(CSP, args.matrix) if args.matrix else CSP.AUTO,
+        levels=_enum(Levels, args.levels) if args.levels else Levels.AUTO,
+        primaries=_enum(Primaries, args.primaries) if args.primaries else Primaries.AUTO,
+        transfer=_enum(TRC, args.transfer) if args.transfer else TRC.AUTO,
+    )
+    dst = OutputDescriptor(width=ow, height=oh, bits=args.out_bits,
+                           hdr=args.hdr_passthrough)
+
+    vr = VideoRenderer(settings)
+    if args.rotation:
+        vr.flt_set("rotation", args.rotation)
+    if args.flip:
+        vr.flt_set("flip", True)
+    vr.open(src, dst)
+
+    source = RawVideoSource(args.input, src_fmt, w, h)
+    n = len(source)
+    if n == 0:
+        print("no frames in input", file=sys.stderr)
+        return 1
+    planes = source.read_batch(0, n)
+    with RawVideoSink(args.out, bits=args.out_bits) as sink:
+        result = run_clip(vr._fn, windowed_batches(planes, args.batch))
+        for out in result.outputs:
+            sink.present(np.asarray(out))
+    print(f"{sink.frames} frames -> {args.out} "
+          f"({result.fps:.1f} fps)", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    vr = VideoRenderer()
+    print(vr.get_video_processor_info())
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root bench
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="videorenderer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("process", help="process a raw video file")
+    pp.add_argument("input")
+    pp.add_argument("--format", required=True, help="e.g. NV12, P010, YUY2")
+    pp.add_argument("--size", required=True, help="WxH")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--out-size", default=None)
+    pp.add_argument("--out-bits", type=int, default=8, choices=(8, 10, 16))
+    pp.add_argument("--batch", type=int, default=8)
+    pp.add_argument("--matrix", default=None, help="BT_709/BT_601/BT_2020_NC/...")
+    pp.add_argument("--levels", default=None, help="TV/PC")
+    pp.add_argument("--primaries", default=None)
+    pp.add_argument("--transfer", default=None, help="BT_1886/PQ/HLG/...")
+    pp.add_argument("--chroma", default="BILINEAR")
+    pp.add_argument("--upscaling", default="CATMULL_ROM")
+    pp.add_argument("--downscaling", default="HAMMING")
+    pp.add_argument("--no-dither", action="store_true")
+    pp.add_argument("--hdr-passthrough", action="store_true")
+    pp.add_argument("--sdr-nits", type=int, default=125)
+    pp.add_argument("--rotation", type=int, default=0)
+    pp.add_argument("--flip", action="store_true")
+    pp.set_defaults(fn=cmd_process)
+
+    pi = sub.add_parser("info", help="device / processor info")
+    pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.add_argument("--frames", type=int, default=32)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except (ValueError, EOFError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

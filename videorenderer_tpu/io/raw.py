@@ -1,0 +1,95 @@
+"""Raw frame IO: file sources and sinks.
+
+The reference receives decoded frames from a DirectShow graph and presents
+to a swap chain; the standalone framework's equivalents are raw-file
+sources (any of the 38 registry formats, fixed frame size) and file/NPY
+sinks with the same buffering semantics as the swap-chain modes
+(SWAPEFFECT_Discard = depth 1, Flip = queued).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..formats import (ColorFormat, PlanarFrame, get_format_info, pack_rgb8,
+                       pack_rgb10, pack_rgb16, unpack_frame)
+
+
+@dataclass
+class RawVideoSource:
+    """Iterate PlanarFrames from a raw (headerless) video file —
+    the analogue of the upstream decoder connection."""
+
+    path: str
+    format: ColorFormat
+    width: int
+    height: int
+
+    def __post_init__(self):
+        self.info = get_format_info(self.format)
+        self.frame_bytes = self.info.buffer_size(self.width, self.height)
+        self.num_frames = os.path.getsize(self.path) // self.frame_bytes
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def __iter__(self) -> Iterator[PlanarFrame]:
+        with open(self.path, "rb") as f:
+            while True:
+                buf = f.read(self.frame_bytes)
+                if len(buf) < self.frame_bytes:
+                    return
+                yield unpack_frame(self.format, buf, self.width, self.height)
+
+    def read_batch(self, start: int, count: int) -> tuple[np.ndarray, ...]:
+        """Stacked plane arrays (count, ...) for batched processing."""
+        frames = []
+        with open(self.path, "rb") as f:
+            f.seek(start * self.frame_bytes)
+            for _ in range(count):
+                buf = f.read(self.frame_bytes)
+                if len(buf) < self.frame_bytes:
+                    break
+                frames.append(unpack_frame(self.format, buf, self.width,
+                                           self.height))
+        if not frames:
+            raise EOFError("no frames")
+        return tuple(np.stack([fr.planes[i] for fr in frames])
+                     for i in range(len(frames[0].planes)))
+
+
+class RawVideoSink:
+    """Write processed (…,3,H,W) float frames to a raw file in RGB8 /
+    RGB10 (A2R10G10B10 dwords) / RGB16 — the Present analogue."""
+
+    def __init__(self, path: str, bits: int = 8):
+        self.path = path
+        self.bits = bits
+        self._f = open(path, "wb")
+        self.frames = 0
+
+    def present(self, rgb_chw: np.ndarray) -> None:
+        img = np.moveaxis(np.asarray(rgb_chw), -3, -1)
+        if img.ndim == 3:
+            img = img[None]
+        for fr in img:
+            if self.bits == 8:
+                self._f.write(pack_rgb8(fr).tobytes())
+            elif self.bits == 10:
+                self._f.write(pack_rgb10(fr).tobytes())
+            else:
+                self._f.write(pack_rgb16(fr).tobytes())
+            self.frames += 1
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

@@ -1,0 +1,153 @@
+"""Learned super-resolution — the "SuperRes" slot of the fixed-function VP.
+
+The reference enables vendor super-resolution blocks (NVIDIA SuperRes GUID /
+Intel VPE, Source/D3D11VP.cpp:712-844) gated by source size per the
+``SUPERRES_*`` setting.  Those are opaque driver NNs; the TPU-native
+equivalent is an explicit model: an ESPCN-style residual conv net with
+pixel-shuffle upsampling, run in bfloat16 on the MXU.
+
+Pure-functional JAX (init/apply/train_step); parameters are a pytree, so the
+model composes with jax.sharding for data-parallel training and with the
+frame pipeline as a post-resize enhancement hook (the reference applies
+SuperRes *instead of* VP scaling; here the model consumes the bicubic
+2x-upscaled frame and predicts a residual detail layer, which is the robust
+formulation for arbitrary content).
+
+Size gating mirrors SetSuperRes (Source/D3D11VP.cpp:804-844): a level only
+engages when the source is at most the level's resolution class and the
+target is larger.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SuperResolution
+
+# max source size per gating level (Source/D3D11VP.cpp:806-836 classes)
+_GATE_LIMITS = {
+    SuperResolution.SD: (1024, 576),
+    SuperResolution.P720: (1280, 720),
+    SuperResolution.P1080: (1920, 1080),
+    SuperResolution.P1440: (2560, 1440),
+}
+
+
+def superres_engages(level: SuperResolution, src_w: int, src_h: int,
+                     dst_w: int, dst_h: int) -> bool:
+    """Size gate: level covers the source size AND we are upscaling."""
+    if level == SuperResolution.DISABLE:
+        return False
+    lw, lh = _GATE_LIMITS[level]
+    return src_w <= lw and src_h <= lh and (dst_w > src_w or dst_h > src_h)
+
+
+@dataclass(frozen=True)
+class SuperResConfig:
+    channels: int = 32
+    num_blocks: int = 4
+    scale: int = 2           # pixel-shuffle factor
+    dtype: object = jnp.bfloat16
+
+
+def _conv(x, w, b):
+    # compute in float32 with DEFAULT precision: on TPU this lowers to
+    # bfloat16 MXU passes (fast) while keeping dtypes uniform for autodiff
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(jnp.float32)
+
+
+def init_params(key: jax.Array, cfg: SuperResConfig = SuperResConfig()):
+    """He-init conv stack: head, residual body, pixel-shuffle tail."""
+    def conv_init(k, kh, kw, cin, cout):
+        std = float(np.sqrt(2.0 / (kh * kw * cin)))
+        w = jax.random.normal(k, (kh, kw, cin, cout), dtype=jnp.float32) * std
+        return {"w": w.astype(cfg.dtype), "b": jnp.zeros((cout,), cfg.dtype)}
+
+    keys = jax.random.split(key, cfg.num_blocks * 2 + 3)
+    params = {
+        "head": conv_init(keys[0], 3, 3, 3, cfg.channels),
+        "body": [
+            {"c1": conv_init(keys[1 + 2 * i], 3, 3, cfg.channels, cfg.channels),
+             "c2": conv_init(keys[2 + 2 * i], 3, 3, cfg.channels, cfg.channels)}
+            for i in range(cfg.num_blocks)
+        ],
+        "tail": conv_init(keys[-2], 3, 3, cfg.channels,
+                          3 * cfg.scale * cfg.scale),
+    }
+    return params
+
+
+def apply_fn(params, lr_rgb: jnp.ndarray, cfg: SuperResConfig = SuperResConfig()):
+    """lr_rgb: (N, H, W, 3) in [0,1] -> (N, H*scale, W*scale, 3).
+
+    Predicts a residual over nearest-upsampled input (stable identity init
+    behavior), pixel-shuffle tail for the spatial expansion.
+    """
+    x = lr_rgb.astype(cfg.dtype)
+    h = jax.nn.relu(_conv(x, params["head"]["w"], params["head"]["b"]))
+    for blk in params["body"]:
+        r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
+        r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
+        h = h + r
+    res = _conv(h, params["tail"]["w"], params["tail"]["b"])
+    n, hh, ww, _ = res.shape
+    s = cfg.scale
+    res = res.reshape(n, hh, ww, s, s, 3)
+    res = res.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh * s, ww * s, 3)
+    base = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+    return (base + res).astype(jnp.float32)
+
+
+def loss_fn(params, lr, hr, cfg: SuperResConfig = SuperResConfig()):
+    """Charbonnier loss (smooth L1) — standard for SR training."""
+    pred = apply_fn(params, lr, cfg)
+    eps = 1e-3
+    return jnp.mean(jnp.sqrt((pred - hr) ** 2 + eps * eps))
+
+
+def sgd_train_step(params, opt_state, lr_batch, hr_batch,
+                   cfg: SuperResConfig = SuperResConfig(),
+                   learning_rate: float = 1e-3):
+    """One momentum-SGD step; pure function of (params, opt_state, batch).
+    ``opt_state`` is a momentum pytree mirroring params."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, lr_batch, hr_batch, cfg)
+
+    def upd(p, m, g):
+        m_new = 0.9 * m + g.astype(jnp.float32)
+        return (p.astype(jnp.float32) - learning_rate * m_new).astype(p.dtype), m_new
+
+    flat_p, tree = jax.tree_util.tree_flatten(params)
+    flat_m = jax.tree_util.tree_leaves(opt_state)
+    flat_g = jax.tree_util.tree_leaves(grads)
+    new_p, new_m = [], []
+    for p, m, g in zip(flat_p, flat_m, flat_g):
+        pn, mn = upd(p, m, g)
+        new_p.append(pn)
+        new_m.append(mn)
+    return (jax.tree_util.tree_unflatten(tree, new_p),
+            jax.tree_util.tree_unflatten(tree, new_m), loss)
+
+
+def init_opt_state(params):
+    return jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params)
+
+
+def enhance_plane_chw(params, rgb_chw: jnp.ndarray,
+                      cfg: SuperResConfig = SuperResConfig()) -> jnp.ndarray:
+    """Pipeline hook: (..., 3, H, W) float -> (..., 3, H*s, W*s)."""
+    lead = rgb_chw.shape[:-3]
+    x = rgb_chw.reshape((-1,) + rgb_chw.shape[-3:])
+    x = jnp.moveaxis(x, -3, -1)  # NHWC
+    y = apply_fn(params, x, cfg)
+    y = jnp.moveaxis(y, -1, -3)
+    return y.reshape(lead + y.shape[-3:])

@@ -1,0 +1,204 @@
+"""Dolby Vision reshaping (poly + MMR) and the LMS color pipeline.
+
+Reference equivalents:
+ * RPU metadata model: ``MediaSideDataDOVIMetadata``
+   (Include/IMediaSideData.h:146-230)
+ * curve upload & fixed-point scaling: SetShaderDoviCurves(Poly)
+   (Source/DX11VideoProcessor.cpp:990-1130) — coefficients are scaled by
+   2^-coef_log2_denom, pivots normalized by the base-layer bit depth, and
+   unused pivot slots padded with +inf
+ * the generated reshape HLSL: ShaderDoviReshape(Poly)
+   (Source/Shaders.cpp:531-589) and reshape_mmr (Source/Shaders.cpp:733-763)
+ * the LMS->RGB post-matrix chain with PQ round-trip
+   (Source/Shaders.cpp:824-859)
+
+TPU form: the per-pixel pivot binary tree + data-dependent branch becomes a
+**branch-free masked evaluation**: piece index = sum of (s >= pivot_k)
+comparisons; every piece's polynomial/MMR value is selected by an equality
+mask.  Since the piece *type* (poly vs MMR) and MMR order are static
+metadata, only the pieces that exist are evaluated — the jit trace
+specializes exactly like the reference's runtime-generated HLSL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ReshapeCurve:
+    """One component's piecewise reshape curve, already normalized (the
+    analogue of PS_DOVI_CURVE after SetShaderDoviCurves scaling).
+
+    pivots: (num_pieces - 1,) interior pivots in [0,1], ascending.
+    method: per piece, 0 = polynomial, 1 = MMR.
+    poly:   (num_pieces, 3) coefficients c0 + c1*s + c2*s^2.
+    mmr_order/mmr_constant/mmr_coef: per-piece MMR data; mmr_coef is
+    (num_pieces, 3, 7): [order-1][3 linear + 4 cross terms].
+    """
+
+    pivots: tuple[float, ...]
+    method: tuple[int, ...]
+    poly: np.ndarray
+    mmr_order: tuple[int, ...] = ()
+    mmr_constant: tuple[float, ...] = ()
+    mmr_coef: np.ndarray | None = None
+
+    @property
+    def num_pieces(self) -> int:
+        return len(self.method)
+
+    @property
+    def has_mmr(self) -> bool:
+        return any(m == 1 for m in self.method)
+
+
+@dataclass(frozen=True)
+class DoviMetadata:
+    """Normalized Dolby Vision mapping + color metadata
+    (MediaSideDataDOVIMetadata, Include/IMediaSideData.h:146-230)."""
+
+    curves: tuple[ReshapeCurve, ReshapeCurve, ReshapeCurve]
+    ycc_to_rgb_matrix: np.ndarray    # (3,3)
+    ycc_to_rgb_offset: np.ndarray    # (3,)
+    rgb_to_lms_matrix: np.ndarray    # (3,3)
+    # ST 2094-10 L1 (min/max/avg PQ) and L2 trims are carried separately by
+    # the pipeline (tonemap.DoviTrims / HDR10Metadata).
+
+
+def identity_curve() -> ReshapeCurve:
+    return ReshapeCurve(pivots=(), method=(0,),
+                        poly=np.array([[0.0, 1.0, 0.0]]))
+
+
+# The BT.2020 LMS->RGB (Hunt-Pointer-Estevez, no crosstalk) constant used by
+# the codegen (Source/Shaders.cpp:825-829).
+DOVI_LMS2RGB = np.array([
+    [3.06441879, -2.16597676, 0.10155818],
+    [-0.65612108, 1.78554118, -0.12943749],
+    [0.01736321, -0.04725154, 1.03004253],
+])
+
+
+def from_rpu_mapping(num_pivots, pivots, mapping_idc, poly_order, poly_coef,
+                     mmr_order, mmr_constant, mmr_coef,
+                     bl_bit_depth: int, coef_log2_denom: int) -> ReshapeCurve:
+    """Build a normalized curve from raw RPU fixed-point fields, applying the
+    same scaling as SetShaderDoviCurves (Source/DX11VideoProcessor.cpp:996-997):
+    coefficients * 2^-coef_log2_denom, pivots / (2^bl_bit_depth - 1)."""
+    scale = 1.0 / ((1 << bl_bit_depth) - 1)
+    scale_coef = 1.0 / (1 << coef_log2_denom)
+    n = int(num_pivots) - 1
+    piv = tuple(float(pivots[i + 1]) * scale for i in range(n - 1))
+    method = tuple(int(mapping_idc[i]) for i in range(n))
+    poly = np.zeros((n, 3))
+    morder, mconst = [], []
+    mcoef = np.zeros((n, 3, 7))
+    for i in range(n):
+        if method[i] == 0:
+            poly[i, 0] = scale_coef * poly_coef[i][0]
+            poly[i, 1] = scale_coef * poly_coef[i][1] if poly_order[i] >= 1 else 0.0
+            poly[i, 2] = scale_coef * poly_coef[i][2] if poly_order[i] >= 2 else 0.0
+            morder.append(0)
+            mconst.append(0.0)
+        else:
+            morder.append(int(mmr_order[i]))
+            mconst.append(scale_coef * float(mmr_constant[i]))
+            for j in range(int(mmr_order[i])):
+                for k in range(7):
+                    mcoef[i, j, k] = scale_coef * float(mmr_coef[i][j][k])
+    return ReshapeCurve(pivots=piv, method=method, poly=poly,
+                        mmr_order=tuple(morder), mmr_constant=tuple(mconst),
+                        mmr_coef=mcoef)
+
+
+def _piece_index(s: jnp.ndarray, pivots: tuple[float, ...]) -> jnp.ndarray:
+    """Branch-free piece selection: idx = sum(s >= pivot_k)."""
+    idx = jnp.zeros(s.shape, dtype=jnp.int32)
+    for p in pivots:
+        idx = idx + (s >= jnp.asarray(p, s.dtype)).astype(jnp.int32)
+    return idx
+
+
+def _eval_mmr(curve: ReshapeCurve, piece: int, sig: list[jnp.ndarray]) -> jnp.ndarray:
+    """reshape_mmr (Source/Shaders.cpp:733-763): s = c + sum over orders j of
+    dot(w_lin_j, sig^j) + dot(w_cross_j, sigX^j), sigX = (s0s1, s0s2, s1s2,
+    s0s1s2)."""
+    s0, s1, s2 = sig
+    lin = [s0, s1, s2]
+    cross = [s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2]
+    acc = jnp.asarray(curve.mmr_constant[piece], s0.dtype)
+    order = curve.mmr_order[piece]
+    lin_j = lin
+    cross_j = cross
+    out = acc
+    for j in range(order):
+        if j > 0:
+            lin_j = [a * b for a, b in zip(lin_j, lin)]
+            cross_j = [a * b for a, b in zip(cross_j, cross)]
+        w = curve.mmr_coef[piece, j]
+        out = out + sum(float(w[k]) * lin_j[k] for k in range(3))
+        out = out + sum(float(w[3 + k]) * cross_j[k] for k in range(4))
+    return out
+
+
+def reshape(ycc: jnp.ndarray, meta: DoviMetadata, axis: int = -3) -> jnp.ndarray:
+    """Apply the per-component piecewise reshape to the (Y, Cb, Cr) signal
+    (ShaderDoviReshape, Source/Shaders.cpp:554-589). ``ycc`` stacked on
+    ``axis``; returns the reshaped signal clamped to [0,1]."""
+    comps = [jnp.take(ycc, i, axis=axis) for i in range(3)]
+    sig = [jnp.clip(c, 0.0, 1.0) for c in comps]
+    out = []
+    for c in range(3):
+        curve = meta.curves[c]
+        s = sig[c]
+        if curve.num_pieces == 1:
+            if curve.method[0] == 0:
+                c0, c1, c2 = (float(v) for v in curve.poly[0])
+                val = (c2 * s + c1) * s + c0
+            else:
+                val = _eval_mmr(curve, 0, sig)
+        else:
+            idx = _piece_index(s, curve.pivots)
+            val = jnp.zeros_like(s)
+            for i in range(curve.num_pieces):
+                if curve.method[i] == 0:
+                    c0, c1, c2 = (float(v) for v in curve.poly[i])
+                    piece_val = (c2 * s + c1) * s + c0
+                else:
+                    piece_val = _eval_mmr(curve, i, sig)
+                val = jnp.where(idx == i, piece_val, val)
+        out.append(jnp.clip(val, 0.0, 1.0))
+    return jnp.stack(out, axis=axis)
+
+
+def build_ycc_to_rgb_cmat(meta: DoviMetadata, brightness: float = 0.0,
+                          contrast: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+    """DoVi replaces the standard YUV->RGB matrix with the RPU's ycc_to_rgb
+    matrix/offset (SetShaderConvertColorParams DoVi branch,
+    Source/DX11VideoProcessor.cpp:817-836)."""
+    m = meta.ycc_to_rgb_matrix * contrast
+    c = np.full(3, brightness) - m @ meta.ycc_to_rgb_offset
+    return m, c
+
+
+def lms_pipeline_matrix(meta: DoviMetadata) -> np.ndarray:
+    """mat = DOVI_LMS2RGB @ rgb_to_lms (Source/Shaders.cpp:830-837)."""
+    return DOVI_LMS2RGB @ meta.rgb_to_lms_matrix
+
+
+def apply_lms_matrix(rgb_pq: jnp.ndarray, meta: DoviMetadata,
+                     axis: int = -3) -> jnp.ndarray:
+    """PQ EOTF -> LMS-combined matrix -> PQ OETF
+    (Source/Shaders.cpp:845-859), all at the 1.0 = 10000-nit PQ scale."""
+    from .transfer import linear_to_st2084, st2084_to_linear
+
+    mat = lms_pipeline_matrix(meta)
+    x = st2084_to_linear(jnp.maximum(rgb_pq, 0.0), 1.0)
+    r, g, b = (jnp.take(x, i, axis=axis) for i in range(3))
+    y = jnp.stack([mat[i, 0] * r + mat[i, 1] * g + mat[i, 2] * b
+                   for i in range(3)], axis=axis)
+    return linear_to_st2084(jnp.maximum(y, 0.0), 1.0)

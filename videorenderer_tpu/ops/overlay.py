@@ -1,0 +1,66 @@
+"""Subtitle / OSD composition: premultiplied alpha blending with dirty
+rects, and the SDR-overlay-on-PQ brightness compensation.
+
+Reference equivalents:
+ * subtitle alpha-blt quads (CDX11SubPic AlphaBlt, Source/SubPic/DX11SubPic.cpp)
+   and the player-callback path DrawSubtitles
+   (Source/DX11VideoProcessor.cpp:3247-3295)
+ * IMFVideoMixerBitmap alpha-bitmap OSD (Source/DX11VideoProcessor.cpp:4553-4623)
+ * ps_convert_bitmap_to_pq.hlsl — SDR OSD pre-compensated to PQ at
+   100/50/30 nits (iHdrOsdBrightness), constants in TransferPQ
+   (Source/DX11Helper.h:267-272)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .transfer import linear_to_st2084, srgb_like_to_linear
+
+# OSD nits per iHdrOsdBrightness setting (PropPage choices 100/50/30 nits)
+OSD_NITS = (100.0, 50.0, 30.0)
+
+
+def alpha_blend(base: jnp.ndarray, overlay_rgb: jnp.ndarray,
+                overlay_alpha: jnp.ndarray) -> jnp.ndarray:
+    """Straight (non-premultiplied) alpha blend: out = ov*a + base*(1-a).
+
+    base: (..., 3, H, W); overlay_rgb: (3, H, W) or broadcastable;
+    overlay_alpha: (H, W) or (1, H, W), in [0,1].
+    """
+    a = overlay_alpha
+    if a.ndim == base.ndim - 1:
+        a = a[..., None, :, :]
+    return overlay_rgb * a + base * (1.0 - a)
+
+
+def alpha_blend_premultiplied(base: jnp.ndarray, overlay_rgb_premul: jnp.ndarray,
+                              overlay_alpha: jnp.ndarray) -> jnp.ndarray:
+    """Premultiplied blend (D3D SRC_ONE/INV_SRC_ALPHA, the subpic path):
+    out = ov + base*(1-a)."""
+    a = overlay_alpha
+    if a.ndim == base.ndim - 1:
+        a = a[..., None, :, :]
+    return overlay_rgb_premul + base * (1.0 - a)
+
+
+def blend_in_rect(base: jnp.ndarray, overlay_rgb: jnp.ndarray,
+                  overlay_alpha: jnp.ndarray, x: int, y: int,
+                  premultiplied: bool = False) -> jnp.ndarray:
+    """Composite a small overlay at (x, y) — the dirty-rect path (ISubPic
+    GetDirtyRect/AlphaBlt): only the overlay-sized region is touched, via a
+    static dynamic-update-slice."""
+    h, w = overlay_alpha.shape[-2], overlay_alpha.shape[-1]
+    region = base[..., :, y:y + h, x:x + w]
+    blend = alpha_blend_premultiplied if premultiplied else alpha_blend
+    blended = blend(region, overlay_rgb, overlay_alpha)
+    return base.at[..., :, y:y + h, x:x + w].set(blended)
+
+
+def sdr_bitmap_to_pq(rgb: jnp.ndarray, osd_brightness: int = 0) -> jnp.ndarray:
+    """ps_convert_bitmap_to_pq.hlsl: sRGB-encoded OSD -> PQ signal at the
+    selected OSD luminance so overlays read correctly on an HDR pass-through
+    output. linear = srgb^2.2 * (nits/10000) in PQ."""
+    nits = OSD_NITS[max(0, min(2, osd_brightness))]
+    lin = srgb_like_to_linear(rgb) * (nits / 10000.0)
+    return linear_to_st2084(lin, 1.0)

@@ -39,6 +39,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -196,7 +197,9 @@ def downscale_matrix(method: Downscaling, in_size: int, out_size: int) -> np.nda
     ss = 1.0 / scale
     mat = np.zeros((in_size, out_size), dtype=np.float64)
     for j in range(out_size):
-        pos = (j + 0.5) * scale + 0.5
+        # evaluation order matches the HLSL (Tex*wh + 0.5) so boundary taps of
+        # discontinuous filters (box) fall on the same side
+        pos = (j + 0.5) / out_size * in_size + 0.5
         low = int(math.floor(pos - support))
         high = int(math.ceil(pos + support))
         n = np.arange(low, high)
@@ -216,12 +219,20 @@ def downscale_matrix(method: Downscaling, in_size: int, out_size: int) -> np.nda
 # ---------------------------------------------------------------------------
 
 
+# Matmul precision for the resize contractions.  On TPU, float32 matmuls
+# default to a single bfloat16 MXU pass (~2e-3 relative error — fails the
+# >=55 dB PSNR bar); HIGHEST uses enough bf16 passes for ~float32 accuracy.
+# Swap to jax.lax.Precision.DEFAULT to trade PSNR for ~3-6x matmul speed.
+RESIZE_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def resize_axis(x: jnp.ndarray, mat: np.ndarray, axis: int,
-                dtype=jnp.float32) -> jnp.ndarray:
+                dtype=jnp.float32, precision=None) -> jnp.ndarray:
     """Apply a (in,out) weight matrix along ``axis`` via MXU matmul."""
     m = jnp.asarray(mat, dtype=dtype)
     moved = jnp.moveaxis(x, axis, -1)
-    out = jnp.matmul(moved, m, preferred_element_type=jnp.float32)
+    out = jnp.matmul(moved, m, preferred_element_type=jnp.float32,
+                     precision=precision or RESIZE_PRECISION)
     return jnp.moveaxis(out.astype(x.dtype), -1, axis)
 
 

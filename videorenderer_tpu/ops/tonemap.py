@@ -20,9 +20,25 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from .transfer import linear_to_st2084, st2084_to_linear
+import numpy as np
+
+from .transfer import (ST2084_C1, ST2084_C2, ST2084_C3, ST2084_M1, ST2084_M2,
+                       linear_to_st2084, st2084_to_linear)
 
 _BT2020_LUMA = (0.2627, 0.6780, 0.0593)
+
+
+def _pq_encode_scalar(nits: float) -> float:
+    """Host-side (numpy float64) LinearToST2084 for scalar plan constants —
+    keeps traced code free of jnp scalar round-trips."""
+    x = (max(nits, 0.0) / 10000.0) ** ST2084_M1
+    return float(((ST2084_C1 + ST2084_C2 * x) / (1.0 + ST2084_C3 * x)) ** ST2084_M2)
+
+
+def _pq_decode_scalar(pq: float) -> float:
+    x = max(pq, 0.0) ** (1.0 / ST2084_M2)
+    x = max(x - ST2084_C1, 0.0) / (ST2084_C2 - ST2084_C3 * x)
+    return float(x ** (1.0 / ST2084_M1) * 10000.0)
 
 
 def _luma(rgb: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -93,8 +109,8 @@ def bt2390(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
         return rgb
 
     avg = _luma(rgb, axis)
-    max_cll_pq = float(linear_to_st2084(jnp.float32(safe_max_cll), 10000.0))
-    target_pq = float(linear_to_st2084(jnp.float32(p.display_max_nits), 10000.0))
+    max_cll_pq = _pq_encode_scalar(safe_max_cll)
+    target_pq = _pq_encode_scalar(p.display_max_nits)
     e1 = linear_to_st2084(avg, 10000.0)
 
     ks = max(0.0, 1.5 * target_pq - 0.5 * max_cll_pq)
@@ -121,8 +137,7 @@ def st2094_10(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
     if p.display_max_nits >= p.max_cll:
         return rgb
 
-    def pq1(v: float) -> float:
-        return float(linear_to_st2084(jnp.float64(v), 10000.0))
+    pq1 = _pq_encode_scalar
 
     src_min = pq1(p.mastering_min_nits)
     src_max = pq1(p.max_cll)
@@ -150,11 +165,8 @@ def st2094_10(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
     dst_knee = lerp(src_knee, adapted, adaptation)
     dst_knee = min(max(dst_knee, dst_knee_min), dst_knee_max)
 
-    def pq_inv1(v: float) -> float:
-        return float(st2084_to_linear(jnp.float64(v), 10000.0))
-
-    x1, x2, x3 = p.mastering_min_nits, pq_inv1(src_knee), p.max_cll
-    y1, y2, y3 = 0.0, pq_inv1(dst_knee), p.display_max_nits
+    x1, x2, x3 = p.mastering_min_nits, _pq_decode_scalar(src_knee), p.max_cll
+    y1, y2, y3 = 0.0, _pq_decode_scalar(dst_knee), p.display_max_nits
 
     m00 = x2 * x3 * (y2 - y3)
     m01 = x1 * x3 * (y3 - y1)

@@ -1,0 +1,126 @@
+"""Clip runner: batched, double-buffered frame streaming with temporal state.
+
+The reference's streaming loop (Receive -> CopySample -> Render -> Present,
+Source/DX11VideoProcessor.cpp:2143-2200) overlaps CPU upload with GPU work
+through the swap-chain queue.  The TPU analogue:
+
+ * frames are processed in **batches** (clips) — throughput over latency;
+ * host->device transfer of batch k+1 is issued (``jax.device_put`` is
+   async) while batch k computes — the copy/paint overlap;
+ * deinterlacing keeps a past/future frame window across batch boundaries
+   (the reference's reference-frame ring, Source/D3D11VP.h:26-193) by
+   overlapping consecutive batches with 1-frame halos;
+ * A/V-sync accounting (drop-late-frame logic, renbase2.h:46-68 /
+   SyncFrameToStreamTime, Source/VideoProcessor.cpp:258-271) is reproduced
+   for real-time mode in :class:`PresentClock`.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stats import Metrics, precise_tick
+
+
+@dataclass
+class ClipResult:
+    outputs: list           # list of device arrays (one per batch)
+    frames: int
+    seconds: float
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.seconds if self.seconds > 0 else 0.0
+
+
+def run_clip(frame_fn: Callable, batches: Iterable[tuple], device=None,
+             metrics: Metrics | None = None) -> ClipResult:
+    """Stream plane-batches through a jitted frame function with transfer/
+    compute overlap.
+
+    ``batches``: iterable of plane tuples (numpy arrays, leading batch dim).
+    """
+    device = device or jax.devices()[0]
+    fn = frame_fn
+    outputs = []
+    n_frames = 0
+    it = iter(batches)
+
+    def put(b):
+        return tuple(jax.device_put(p, device) for p in b)
+
+    t0 = precise_tick()
+    try:
+        current = put(next(it))
+    except StopIteration:
+        return ClipResult([], 0, 0.0)
+
+    while True:
+        # issue next transfer before waiting on compute (async dispatch)
+        nxt = next(it, None)
+        pending = put(nxt) if nxt is not None else None
+        out = fn(current)
+        outputs.append(out)
+        n_frames += current[0].shape[0] if current[0].ndim > 2 else 1
+        if metrics is not None:
+            metrics.draw_stats.frame_drawn()
+        if pending is None:
+            break
+        current = pending
+    jax.block_until_ready(outputs[-1])
+    return ClipResult(outputs, n_frames, precise_tick() - t0)
+
+
+def windowed_batches(planes: tuple[np.ndarray, ...], batch: int,
+                     halo: int = 0) -> Iterator[tuple]:
+    """Split (N, ...) plane arrays into batches with ``halo`` overlap frames
+    on each side (temporal window for motion-adaptive deinterlacing)."""
+    n = planes[0].shape[0]
+    for start in range(0, n, batch):
+        lo = max(0, start - halo)
+        hi = min(n, start + batch + halo)
+        yield tuple(p[lo:hi] for p in planes)
+
+
+class PresentClock:
+    """Real-time presentation pacing: decides drop/render per frame like the
+    base renderer's quality management (renbase2.h:46-148) and sleeps to the
+    stream time (SyncFrameToStreamTime, Source/VideoProcessor.cpp:258-271)."""
+
+    def __init__(self, fps: float, adjust_present_time: bool = True):
+        self.frame_duration = 1.0 / fps
+        self.adjust = adjust_present_time
+        self.start: float | None = None
+        self.dropped = 0
+        self.rendered = 0
+
+    def should_drop(self, frame_index: int) -> bool:
+        """True if the frame's presentation time has already passed by more
+        than one frame duration (drop-if-late,
+        Source/DX11VideoProcessor.cpp:2176-2197)."""
+        if self.start is None:
+            self.start = precise_tick()
+            return False
+        due = self.start + frame_index * self.frame_duration
+        late = precise_tick() - due
+        if late > self.frame_duration:
+            self.dropped += 1
+            return True
+        return False
+
+    def wait_for(self, frame_index: int) -> float:
+        """Sleep until the frame is due; returns the sync offset (s)."""
+        if self.start is None:
+            self.start = precise_tick()
+        due = self.start + frame_index * self.frame_duration
+        now = precise_tick()
+        if self.adjust and due > now:
+            time.sleep(due - now)
+        self.rendered += 1
+        return precise_tick() - due
