@@ -1,0 +1,63 @@
+"""Native C++ repack library vs the numpy reference unpackers."""
+
+import numpy as np
+import pytest
+
+from videorenderer_tpu import formats
+from videorenderer_tpu.formats import ColorFormat, unpack_frame
+from videorenderer_tpu.io import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+@pytest.mark.parametrize("fmt,packsize,dtype", [
+    (ColorFormat.NV12, 1.5, np.uint8),
+    (ColorFormat.P010, 3, np.uint16),
+    (ColorFormat.P210, 4, np.uint16),
+    (ColorFormat.YUY2, 2, np.uint8),
+    (ColorFormat.UYVY, 2, np.uint8),
+    (ColorFormat.Y210, 8, np.uint16),
+    (ColorFormat.RGB24, 3, np.uint8),
+    (ColorFormat.ARGB32, 4, np.uint8),
+    (ColorFormat.R210, 4, np.uint8),
+])
+def test_native_matches_numpy(fmt, packsize, dtype):
+    w, h = 48, 16
+    info = formats.get_format_info(fmt)
+    nbytes = info.buffer_size(w, h)
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+
+    formats.USE_NATIVE = False
+    ref = unpack_frame(fmt, buf, w, h)
+    formats.USE_NATIVE = True
+    got = unpack_frame(fmt, buf, w, h)
+    assert len(got.planes) == len(ref.planes)
+    for a, b in zip(got.planes, ref.planes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_v210():
+    w, h = 48, 4
+    row_bytes = ((w + 47) // 48) * 128
+    rng = np.random.default_rng(1)
+    buf = rng.integers(0, 256, row_bytes * h, dtype=np.uint8).tobytes()
+    formats.USE_NATIVE = False
+    ref = unpack_frame(ColorFormat.V210, buf, w, h)
+    formats.USE_NATIVE = True
+    got = unpack_frame(ColorFormat.V210, buf, w, h)
+    for a, b in zip(got.planes, ref.planes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_pack():
+    rng = np.random.default_rng(2)
+    rgb = rng.random((3, 8, 8)).astype(np.float32)
+    out8 = native.pack_rgb8(rgb)
+    ref8 = formats.pack_rgb8(np.moveaxis(rgb, 0, -1))
+    np.testing.assert_array_equal(out8, ref8)
+    out10 = native.pack_rgb10(rgb)
+    ref10 = formats.pack_rgb10(np.moveaxis(rgb, 0, -1).astype(np.float64))
+    np.testing.assert_array_equal(out10, ref10)

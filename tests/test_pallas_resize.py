@@ -1,0 +1,55 @@
+"""Banded Pallas resize kernel vs the dense matmul (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from videorenderer_tpu.config import Downscaling, Upscaling
+from videorenderer_tpu.kernels import resize_pallas as rp
+from videorenderer_tpu.ops import scale
+
+
+def test_pack_band_covers_all_nonzeros():
+    mat = scale.upscale_matrix(Upscaling.LANCZOS3, 512, 256)
+    starts, bands, kb = rp.pack_band_for(np.asarray(mat))
+    w_in, w_out = mat.shape
+    # reconstruct dense from bands and compare
+    dense = np.zeros_like(mat)
+    for j in range(bands.shape[0]):
+        s = int(starts[j])
+        block = bands[j][: min(kb, w_in - s)]
+        dense[s:s + block.shape[0], j * rp.TILE_N:(j + 1) * rp.TILE_N] += \
+            block[:, : min(rp.TILE_N, w_out - j * rp.TILE_N)]
+    np.testing.assert_allclose(dense, mat, atol=1e-7)
+
+
+@pytest.mark.parametrize("sizes,method", [
+    ((512, 256), Upscaling.LANCZOS3),
+    ((256, 512), Upscaling.CATMULL_ROM),
+    ((512, 128), None),  # downscale hamming
+])
+def test_banded_matches_dense_interpret(sizes, method):
+    w_in, w_out = sizes
+    if method is None:
+        mat = scale.downscale_matrix(Downscaling.HAMMING, w_in, w_out)
+    else:
+        mat = scale.upscale_matrix(method, w_in, w_out)
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 300, w_in), dtype=np.float32)
+    ref = x.astype(np.float64) @ mat
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.banded_resize_last_axis(jnp.asarray(x), np.asarray(mat)))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert got.shape == (3, 300, w_out)
+
+
+def test_banded_axis_h():
+    mat = scale.upscale_matrix(Upscaling.CATMULL_ROM, 128, 256)
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 128, 140), dtype=np.float32)
+    ref = np.einsum("chw,hH->cHw", x.astype(np.float64), mat)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.banded_resize_axis(jnp.asarray(x), np.asarray(mat), axis=-2))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -238,16 +238,62 @@ def _unpack_planar(buf, w, h, dtype, div_w, div_h, order=(0, 1, 2)):
     return tuple(planes[i] for i in order)
 
 
+# Native (C++) repack acceleration — the SIMD-copier dispatch analogue.
+# Set False to force the pure-numpy path.
+USE_NATIVE = True
+
+
+def _try_native(fmt: ColorFormat, buf, w: int, h: int):
+    if not USE_NATIVE:
+        return None
+    try:
+        from .io import native
+    except Exception:
+        return None
+    if not native.available():
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8) if isinstance(
+        buf, (bytes, bytearray, memoryview)) else np.asarray(buf)
+    F = ColorFormat
+    if fmt == F.NV12:
+        return native.nv12_split(a, w, h)
+    if fmt in (F.P010, F.P016):
+        return native.p010_split(a, w, h, 2)
+    if fmt in (F.P210, F.P216):
+        return native.p010_split(a, w, h, 1)
+    if fmt == F.YUY2:
+        return native.packed422_to_planar(a, w, h, "yuy2")
+    if fmt == F.UYVY:
+        return native.packed422_to_planar(a, w, h, "uyvy")
+    if fmt in (F.Y210, F.Y216):
+        return native.packed422_to_planar(a, w, h, "y210")
+    if fmt == F.V210:
+        return native.packed422_to_planar(a, w, h, "v210")
+    if fmt == F.RGB24:
+        return native.rgb_to_planar(a, w, h, "rgb24")
+    if fmt in (F.XRGB32, F.ARGB32):
+        return native.rgb_to_planar(a, w, h, "bgra32")
+    if fmt == F.R210:
+        return native.rgb_to_planar(a, w, h, "r210")
+    return None
+
+
 def unpack_frame(fmt: ColorFormat, buf: bytes | np.ndarray, width: int, height: int) -> PlanarFrame:
     """Unpack raw frame bytes into canonical planes.
 
-    Numpy replacement for the copy-function dispatch ``GetCopyPlaneFunction``
+    Replacement for the copy-function dispatch ``GetCopyPlaneFunction``
     (Source/Helper.cpp:377-412) plus the per-format ``MemCopyToTexSrcVideo``
-    plane split (Source/DX11VideoProcessor.cpp:1213-1252).
+    plane split (Source/DX11VideoProcessor.cpp:1213-1252).  Hot formats
+    dispatch to the native C++ library when built; numpy otherwise.
     """
     info = FORMATS[fmt]
     w, h = width, height
     F = ColorFormat
+
+    native_planes = _try_native(fmt, buf, w, h)
+    if native_planes is not None:
+        return PlanarFrame(info=info, width=w, height=h,
+                           planes=tuple(native_planes))
 
     if fmt in (F.NV12,):
         y, u, v = _unpack_biplanar(buf, w, h, np.uint8, 2)

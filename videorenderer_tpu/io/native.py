@@ -1,0 +1,191 @@
+"""ctypes bindings for the native frame-repack library (native/frame_copy.cpp)
+— the runtime analogue of the reference's SIMD copier dispatch
+(GetCopyPlaneFunction, Source/Helper.cpp:377-412).
+
+The library is built on demand with ``make -C native`` (g++ -O3
+-march=native) and loaded lazily; all entry points gracefully return None
+when the toolchain or library is unavailable, and
+:func:`videorenderer_tpu.formats.unpack_frame` falls back to numpy.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libvrt_native.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except Exception:
+        _lib = None
+        return None
+
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    u16 = ctypes.POINTER(ctypes.c_uint16)
+    u32 = ctypes.POINTER(ctypes.c_uint32)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    i = ctypes.c_int
+    sz = ctypes.c_size_t
+    sigs = {
+        "vrt_nv12_split": (u8, i, i, u8, u8, u8),
+        "vrt_p010_split": (u16, i, i, u16, u16, u16),
+        "vrt_p210_split": (u16, i, i, u16, u16, u16),
+        "vrt_yuy2_to_planar": (u8, i, i, u8, u8, u8),
+        "vrt_uyvy_to_planar": (u8, i, i, u8, u8, u8),
+        "vrt_y210_to_planar": (u16, i, i, u16, u16, u16),
+        "vrt_v210_to_planar": (u32, i, i, u16, u16, u16),
+        "vrt_shift10to16": (u16, u16, sz),
+        "vrt_rgb24_to_planar": (u8, i, i, u8, u8, u8),
+        "vrt_bgra32_to_planar": (u8, i, i, u8, u8, u8),
+        "vrt_r210_to_planar": (u32, i, i, u16, u16, u16),
+        "vrt_pack_rgb8": (f32, f32, f32, u8, sz),
+        "vrt_pack_rgb10": (f32, f32, f32, u32, sz),
+    }
+    for name, argtypes in sigs.items():
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+        fn.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def nv12_split(buf: np.ndarray, w: int, h: int):
+    lib = _load()
+    if lib is None:
+        return None
+    y = np.empty((h, w), np.uint8)
+    u = np.empty((h // 2, w // 2), np.uint8)
+    v = np.empty((h // 2, w // 2), np.uint8)
+    src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1))
+    lib.vrt_nv12_split(_ptr(src, ctypes.c_uint8), w, h,
+                       _ptr(y, ctypes.c_uint8), _ptr(u, ctypes.c_uint8),
+                       _ptr(v, ctypes.c_uint8))
+    return y, u, v
+
+
+def p010_split(buf: np.ndarray, w: int, h: int, subsampling_h: int = 2):
+    lib = _load()
+    if lib is None:
+        return None
+    ch = h // subsampling_h
+    y = np.empty((h, w), np.uint16)
+    u = np.empty((ch, w // 2), np.uint16)
+    v = np.empty((ch, w // 2), np.uint16)
+    src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint16)
+    fn = lib.vrt_p010_split if subsampling_h == 2 else lib.vrt_p210_split
+    fn(_ptr(src, ctypes.c_uint16), w, h, _ptr(y, ctypes.c_uint16),
+       _ptr(u, ctypes.c_uint16), _ptr(v, ctypes.c_uint16))
+    return y, u, v
+
+
+def packed422_to_planar(buf: np.ndarray, w: int, h: int, kind: str):
+    lib = _load()
+    if lib is None:
+        return None
+    if kind in ("yuy2", "uyvy"):
+        y = np.empty((h, w), np.uint8)
+        u = np.empty((h, w // 2), np.uint8)
+        v = np.empty((h, w // 2), np.uint8)
+        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1))
+        fn = lib.vrt_yuy2_to_planar if kind == "yuy2" else lib.vrt_uyvy_to_planar
+        fn(_ptr(src, ctypes.c_uint8), w, h, _ptr(y, ctypes.c_uint8),
+           _ptr(u, ctypes.c_uint8), _ptr(v, ctypes.c_uint8))
+        return y, u, v
+    if kind == "y210":
+        y = np.empty((h, w), np.uint16)
+        u = np.empty((h, w // 2), np.uint16)
+        v = np.empty((h, w // 2), np.uint16)
+        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint16)
+        lib.vrt_y210_to_planar(_ptr(src, ctypes.c_uint16), w, h,
+                               _ptr(y, ctypes.c_uint16), _ptr(u, ctypes.c_uint16),
+                               _ptr(v, ctypes.c_uint16))
+        return y, u, v
+    if kind == "v210":
+        y = np.empty((h, w), np.uint16)
+        u = np.empty((h, w // 2), np.uint16)
+        v = np.empty((h, w // 2), np.uint16)
+        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint32)
+        lib.vrt_v210_to_planar(_ptr(src, ctypes.c_uint32), w, h,
+                               _ptr(y, ctypes.c_uint16), _ptr(u, ctypes.c_uint16),
+                               _ptr(v, ctypes.c_uint16))
+        return y, u, v
+    return None
+
+
+def rgb_to_planar(buf: np.ndarray, w: int, h: int, kind: str):
+    lib = _load()
+    if lib is None:
+        return None
+    if kind in ("rgb24", "bgra32"):
+        r = np.empty((h, w), np.uint8)
+        g = np.empty((h, w), np.uint8)
+        b = np.empty((h, w), np.uint8)
+        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1))
+        fn = lib.vrt_rgb24_to_planar if kind == "rgb24" else lib.vrt_bgra32_to_planar
+        fn(_ptr(src, ctypes.c_uint8), w, h, _ptr(r, ctypes.c_uint8),
+           _ptr(g, ctypes.c_uint8), _ptr(b, ctypes.c_uint8))
+        return r, g, b
+    if kind == "r210":
+        r = np.empty((h, w), np.uint16)
+        g = np.empty((h, w), np.uint16)
+        b = np.empty((h, w), np.uint16)
+        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint32)
+        lib.vrt_r210_to_planar(_ptr(src, ctypes.c_uint32), w, h,
+                               _ptr(r, ctypes.c_uint16), _ptr(g, ctypes.c_uint16),
+                               _ptr(b, ctypes.c_uint16))
+        return r, g, b
+    return None
+
+
+def pack_rgb8(rgb_hwc_or_chw: np.ndarray, chw: bool = True) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(rgb_hwc_or_chw, dtype=np.float32)
+    if not chw:
+        x = np.moveaxis(x, -1, 0)
+        x = np.ascontiguousarray(x)
+    c, h, w = x.shape
+    out = np.empty((h, w, 3), np.uint8)
+    lib.vrt_pack_rgb8(_ptr(x[0], ctypes.c_float), _ptr(x[1], ctypes.c_float),
+                      _ptr(x[2], ctypes.c_float),
+                      _ptr(out, ctypes.c_uint8), h * w)
+    return out
+
+
+def pack_rgb10(rgb_chw: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(rgb_chw, dtype=np.float32)
+    c, h, w = x.shape
+    out = np.empty((h, w), np.uint32)
+    lib.vrt_pack_rgb10(_ptr(x[0], ctypes.c_float), _ptr(x[1], ctypes.c_float),
+                       _ptr(x[2], ctypes.c_float),
+                       _ptr(out, ctypes.c_uint32), h * w)
+    return out
