@@ -23,6 +23,10 @@ import numpy as np
 sys.path.insert(0, ".")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import jax.numpy as jnp
 
 from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
@@ -117,18 +121,28 @@ def main() -> None:
     vp = VideoProcessor(st, src, dst)
 
     y, u, v = make_frames(BATCH)
-    planes = tuple(jax.device_put(p, dev) for p in (y, u, v))
+    # distinct input batches so nothing can be cached/deduped
+    all_batches = []
+    for k in range(2):
+        yy, uu, vv = make_frames(BATCH, seed=k)
+        all_batches.append(tuple(jax.device_put(p, dev) for p in (yy, uu, vv)))
+    planes = all_batches[0]
+
+    def sync(o):
+        # block_until_ready is unreliable through the remote PJRT tunnel —
+        # a tiny host fetch is the only true synchronization point
+        np.asarray(o[0, 0, :1, :1])
 
     # compile + warm up
     out = vp.process(planes)
-    out.block_until_ready()
+    sync(out)
     for _ in range(WARMUP):
-        vp.process(planes).block_until_ready()
+        sync(vp.process(planes))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = vp.process(planes)
-    out.block_until_ready()
+    for i in range(ITERS):
+        out = vp.process(all_batches[i % 2])
+    sync(out)
     dt = time.perf_counter() - t0
     fps = BATCH * ITERS / dt
 

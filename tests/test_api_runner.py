@@ -154,3 +154,49 @@ def test_frame_stats_fast_change():
     for i in range(15):
         fs.add(t0 + i * (1 / 60))
     assert fs.fps() == pytest.approx(60.0, rel=0.05)
+
+
+def test_deinterlace_session():
+    from videorenderer_tpu.pipeline import plan_pipeline
+    from videorenderer_tpu.runner import DeinterlaceSession
+    from videorenderer_tpu import OutputDescriptor, SourceDescriptor, Settings, ColorFormat
+    from videorenderer_tpu.csputils import CSP
+
+    src = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                           matrix=CSP.BT_709, interlaced=True)
+    dst = OutputDescriptor(width=32, height=16, bits=8)
+    plan = plan_pipeline(Settings(use_dither=False), src, dst)
+    sess = DeinterlaceSession(plan, double_rate=True)
+
+    outs = []
+    for i in range(4):
+        outs += sess.push(_nv12_planes(32, 16, seed=i))
+    outs += sess.flush()
+    # 4 frames double-rate, 1-frame lookahead: frame k emitted when k+1 pushed
+    assert len(outs) == 8
+    for o in outs:
+        assert o.shape == (3, 16, 32)
+        a = np.asarray(o)
+        assert np.all((a >= 0) & (a <= 1))
+
+
+def test_deinterlace_static_content_matches_progressive():
+    """On static (field-identical, no-motion) input, motion-adaptive output
+    equals straight progressive processing (weave)."""
+    from videorenderer_tpu.pipeline import plan_pipeline, make_frame_fn
+    from videorenderer_tpu.runner import DeinterlaceSession
+    from videorenderer_tpu import OutputDescriptor, SourceDescriptor, Settings, ColorFormat
+    from videorenderer_tpu.csputils import CSP
+    import jax
+
+    src = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                           matrix=CSP.BT_709, interlaced=True)
+    dst = OutputDescriptor(width=32, height=16, bits=8)
+    plan = plan_pipeline(Settings(use_dither=False), src, dst)
+    planes = _nv12_planes(32, 16, seed=7)
+
+    sess = DeinterlaceSession(plan, double_rate=False)
+    outs = sess.push(planes)
+    outs += sess.push(planes)
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    np.testing.assert_allclose(np.asarray(outs[0]), ref, atol=2e-6)

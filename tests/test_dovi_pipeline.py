@@ -1,0 +1,78 @@
+"""Dolby Vision end-to-end pipeline tests."""
+
+import numpy as np
+import pytest
+
+from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                               SourceDescriptor)
+from videorenderer_tpu.csputils import CSP, Levels, Primaries, TRC
+from videorenderer_tpu.ops import dovi as dovi_ops
+from videorenderer_tpu.ops.tonemap import DoviTrims
+from videorenderer_tpu.pipeline import VideoProcessor, plan_pipeline, _can_fuse
+
+
+def _identity_meta():
+    return dovi_ops.DoviMetadata(
+        curves=(dovi_ops.identity_curve(),) * 3,
+        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
+                                    [1, -0.164553, -0.571353],
+                                    [1, 1.8814, 0]]),
+        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+
+
+def test_dovi_plan_uses_rpu_matrix():
+    meta = _identity_meta()
+    src = SourceDescriptor(format=ColorFormat.P010, width=32, height=16,
+                           transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                           matrix=CSP.BT_2020_NC, dovi=meta)
+    dst = OutputDescriptor(width=32, height=16, bits=8)
+    plan = plan_pipeline(Settings(), src, dst)
+    assert plan.dovi is meta
+    assert plan.convert_to_sdr
+    assert not _can_fuse(plan)
+    # matrix = rpu ycc matrix with offset folded into c
+    np.testing.assert_allclose(plan.cmat_m, meta.ycc_to_rgb_matrix, atol=1e-9)
+    np.testing.assert_allclose(
+        plan.cmat_c, -meta.ycc_to_rgb_matrix @ meta.ycc_to_rgb_offset,
+        atol=1e-9)
+
+
+def test_dovi_process_runs():
+    meta = _identity_meta()
+    src = SourceDescriptor(format=ColorFormat.P010, width=32, height=16,
+                           transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                           matrix=CSP.BT_2020_NC, dovi=meta,
+                           dovi_trims=DoviTrims(l2_enabled=True,
+                                                trim_slope=1.1,
+                                                trim_power=1.05))
+    dst = OutputDescriptor(width=64, height=32, bits=8)
+    vp = VideoProcessor(Settings(), src, dst)
+    y = np.full((16, 32), 600 << 6, np.uint16)
+    u = np.full((8, 16), 512 << 6, np.uint16)
+    v = np.full((8, 16), 512 << 6, np.uint16)
+    out = np.asarray(vp.process((y, u, v)))
+    assert out.shape == (3, 32, 64)
+    assert np.all((out >= 0) & (out <= 1))
+    # gray input through an identity-ish chain stays roughly neutral
+    assert np.abs(out[0] - out[1]).max() < 0.1
+
+
+def test_src_rect_crop():
+    src = SourceDescriptor(format=ColorFormat.NV12, width=64, height=32,
+                           matrix=CSP.BT_709, src_rect=(16, 8, 48, 24))
+    dst = OutputDescriptor(width=32, height=16, bits=8)
+    vp = VideoProcessor(Settings(use_dither=False), src, dst)
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (32, 64), np.uint8)
+    u = rng.integers(0, 256, (16, 32), np.uint8)
+    v = rng.integers(0, 256, (16, 32), np.uint8)
+    out = np.asarray(vp.process((y, u, v)))
+    assert out.shape == (3, 16, 32)
+    # compare against processing the pre-cropped planes directly
+    src2 = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                            matrix=CSP.BT_709)
+    vp2 = VideoProcessor(Settings(use_dither=False), src2, dst)
+    out2 = np.asarray(vp2.process((y[8:24, 16:48], u[4:12, 8:24],
+                                   v[4:12, 8:24])))
+    np.testing.assert_allclose(out, out2, atol=1e-6)

@@ -1,0 +1,62 @@
+"""SuperRes + VideoHDR model tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from videorenderer_tpu.config import SuperResolution
+from videorenderer_tpu.models import superres, videohdr
+
+
+def test_superres_shapes_and_train_step():
+    cfg = superres.SuperResConfig(channels=8, num_blocks=1, scale=2)
+    params = superres.init_params(jax.random.PRNGKey(0), cfg)
+    lr = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 3), np.float32))
+    hr = jnp.asarray(np.random.default_rng(1).random((2, 16, 16, 3), np.float32))
+    out = superres.apply_fn(params, lr, cfg)
+    assert out.shape == (2, 16, 16, 3)
+    opt = superres.init_opt_state(params)
+    l0 = float(superres.loss_fn(params, lr, hr, cfg))
+    p, o, loss = superres.sgd_train_step(params, opt, lr, hr, cfg,
+                                         learning_rate=0.05)
+    for _ in range(5):
+        p, o, loss = superres.sgd_train_step(p, o, lr, hr, cfg,
+                                             learning_rate=0.05)
+    assert float(loss) < l0  # optimizing
+
+
+def test_superres_gate():
+    assert superres.superres_engages(SuperResolution.P1080, 1920, 1080, 3840, 2160)
+    assert not superres.superres_engages(SuperResolution.SD, 1920, 1080, 3840, 2160)
+    assert not superres.superres_engages(SuperResolution.P1080, 1920, 1080, 1920, 1080)
+    assert not superres.superres_engages(SuperResolution.DISABLE, 640, 480, 1280, 960)
+
+
+def test_superres_chw_hook():
+    cfg = superres.SuperResConfig(channels=8, num_blocks=1, scale=2)
+    params = superres.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(2).random((3, 8, 8), np.float32))
+    y = superres.enhance_plane_chw(params, x, cfg)
+    assert y.shape == (3, 16, 16)
+
+
+def test_videohdr_zero_init_is_base():
+    cfg = videohdr.VideoHDRConfig(channels=8)
+    params = videohdr.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 3), np.float32))
+    out = np.asarray(videohdr.apply_fn(params, x, cfg))
+    base = np.asarray(videohdr.inverse_tonemap_base(
+        jnp.moveaxis(x, -1, -3), cfg, axis=-3))
+    np.testing.assert_allclose(out, np.moveaxis(base, -3, -1), atol=1e-5)
+    assert np.all((out >= 0) & (out <= 1))
+
+
+def test_videohdr_base_monotone_and_peak():
+    cfg = videohdr.VideoHDRConfig(peak_nits=1000.0)
+    ramp = jnp.asarray(np.linspace(0, 1, 16, dtype=np.float32).reshape(1, 1, 16)
+                       .repeat(3, axis=0).reshape(3, 1, 16))
+    pq = np.asarray(videohdr.inverse_tonemap_base(ramp, cfg, axis=-3))
+    assert np.all(np.diff(pq[0, 0]) >= -1e-6)   # monotone
+    # white maps near the display peak (1000 nits -> PQ ~0.751)
+    assert pq[0, 0, -1] == pytest.approx(0.751, abs=0.03)

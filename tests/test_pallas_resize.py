@@ -13,7 +13,7 @@ from videorenderer_tpu.ops import scale
 
 def test_pack_band_covers_all_nonzeros():
     mat = scale.upscale_matrix(Upscaling.LANCZOS3, 512, 256)
-    starts, bands, kb = rp.pack_band_for(np.asarray(mat))
+    starts, bands, kb, w_in_pad = rp.pack_band_for(np.asarray(mat))
     w_in, w_out = mat.shape
     # reconstruct dense from bands and compare
     dense = np.zeros_like(mat)

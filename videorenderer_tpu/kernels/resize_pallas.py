@@ -42,11 +42,15 @@ _band_cache: dict = {}
 
 
 def pack_band_for(mat: np.ndarray, kb_align: int = 128):
+    """Per-output-tile input windows; window starts are 128-aligned because
+    Mosaic requires HBM slice offsets in the lane dimension to be multiples
+    of the tiling."""
     key = (id(mat), mat.shape)
     cached = _band_cache.get(key)
     if cached is not None:
         return cached
     w_in, w_out = mat.shape
+    w_in_pad = _round_up(w_in, kb_align)
     j_tiles = _round_up(w_out, TILE_N) // TILE_N
     nz_lo = np.full(j_tiles, w_in, np.int64)
     nz_hi = np.zeros(j_tiles, np.int64)
@@ -55,16 +59,17 @@ def pack_band_for(mat: np.ndarray, kb_align: int = 128):
         j = c // TILE_N
         nz_lo[j] = min(nz_lo[j], r)
         nz_hi[j] = max(nz_hi[j], r + 1)
-    widths = np.maximum(nz_hi - nz_lo, 1)
+    starts = (np.maximum(nz_lo, 0) // kb_align) * kb_align  # align down
+    widths = np.maximum(nz_hi - starts, 1)
     kb = _round_up(int(widths.max()), kb_align)
-    kb = min(kb, _round_up(w_in, kb_align))
-    starts = np.minimum(np.maximum(nz_lo, 0), max(w_in - kb, 0)).astype(np.int32)
+    kb = min(kb, w_in_pad)
+    starts = np.minimum(starts, max(w_in_pad - kb, 0)).astype(np.int32)
     bands = np.zeros((j_tiles, kb, TILE_N), np.float32)
     for j in range(j_tiles):
         s = int(starts[j])
         cols = mat[s:s + kb, j * TILE_N:(j + 1) * TILE_N]
         bands[j, :cols.shape[0], :cols.shape[1]] = cols
-    out = (starts, bands, kb)
+    out = (starts, bands, kb, w_in_pad)
     _band_cache[key] = out
     return out
 
@@ -72,14 +77,17 @@ def pack_band_for(mat: np.ndarray, kb_align: int = 128):
 def _kernel(starts_ref, x_hbm, w_ref, o_ref, scratch, sem):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    start = starts_ref[j]
+    start = pl.multiple_of(starts_ref[j], 128)
     cp = pltpu.make_async_copy(
         x_hbm.at[pl.ds(i * TILE_R, TILE_R), pl.ds(start, scratch.shape[1])],
         scratch, sem)
     cp.start()
     cp.wait()
+    # HIGHEST: full-f32 accuracy via multiple bf16 MXU passes — affordable
+    # because the contraction is only band-wide (the PSNR bar needs it)
     o_ref[:] = jnp.dot(scratch[:], w_ref[0],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
 
 def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
@@ -92,15 +100,15 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
     """
     w_in, w_out = mat.shape
     assert x.shape[-1] == w_in
-    starts, bands, kb = pack_band_for(mat)
+    starts, bands, kb, w_in_pad = pack_band_for(mat)
     j_tiles = bands.shape[0]
 
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
     rows_pad = _round_up(rows, TILE_R)
     x2 = x.reshape(rows, w_in).astype(jnp.float32)
-    if rows_pad != rows:
-        x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, 0)))
+    if rows_pad != rows or w_in_pad != w_in:
+        x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, w_in_pad - w_in)))
 
     grid = (rows_pad // TILE_R, j_tiles)
     out = pl.pallas_call(

@@ -142,6 +142,49 @@ def _upsample2x_axis(p: jnp.ndarray, taps: PhaseTaps, axis: int) -> jnp.ndarray:
     return stacked.reshape(new_shape)
 
 
+def upsample2x_matrix(n_in: int, taps: PhaseTaps) -> np.ndarray:
+    """The 1D 2x upsample expressed as an (n_in, 2*n_in) weight matrix —
+    used to *compose* chroma upsampling with the resize matrices so both run
+    as one banded MXU contraction (see pipeline._make_fused_fn).  Rows are
+    edge-clamped exactly like :func:`_shift`."""
+    m = np.zeros((n_in, 2 * n_in), dtype=np.float64)
+    for phase in (0, 1):
+        offs, ws = taps[phase]
+        for k in range(n_in):
+            out_col = 2 * k + phase
+            for off, w in zip(offs, ws):
+                src = min(max(k + off, 0), n_in - 1)
+                m[src, out_col] += w
+    return m
+
+
+def chroma_upsample_matrices(n_w: int, n_h: int, subsampling: int,
+                             method: ChromaScaling, loc: ChromaLocation
+                             ) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """(Ux, Uy) upsample matrices for a chroma plane of size (n_h, n_w);
+    None where no upsampling happens on that axis."""
+    if subsampling in (444, 400):
+        return None, None
+    if subsampling == 422:
+        return upsample2x_matrix(n_w, _phase_taps_422(method)), None
+    if subsampling == 420:
+        ux = upsample2x_matrix(n_w, _phase_taps_420(method, loc, "x"))
+        uy = upsample2x_matrix(n_h, _phase_taps_420(method, loc, "y"))
+        return ux, uy
+    raise ValueError(subsampling)
+
+
+def blend_deinterlace_matrix(n: int) -> np.ndarray:
+    """Blend deinterlace as an (n, n) row-filter matrix (for folding into
+    the luma Y-axis resize): out[r] = (2*y[r] + y[r-1] + y[r+1]) / 4."""
+    m = np.zeros((n, n), dtype=np.float64)
+    for r in range(n):
+        m[r, r] += 0.5
+        m[min(max(r - 1, 0), n - 1), r] += 0.25
+        m[min(max(r + 1, 0), n - 1), r] += 0.25
+    return m
+
+
 def upsample_chroma(c: jnp.ndarray, subsampling: int,
                     method: ChromaScaling = ChromaScaling.BILINEAR,
                     loc: ChromaLocation = ChromaLocation.MPEG2) -> jnp.ndarray:

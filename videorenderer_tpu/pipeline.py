@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import csputils
-from .config import ChromaScaling, Settings, TexFormat, ToneMapType
+from .config import ChromaScaling, Settings, TexFormat, ToneMapType, Upscaling
 from .csputils import (CSP, ChromaLocation, Colorspace, CSPParams, Levels,
                        Primaries, TRC)
 from .formats import ColorFormat, ColorSystem, FormatInfo, get_format_info
@@ -77,6 +77,15 @@ class SourceDescriptor:
     chroma_location: ChromaLocation = ChromaLocation.UNKNOWN
     interlaced: bool = False
     hdr10: HDR10Metadata | None = None
+    # Dolby Vision mapping + color metadata (MediaSideDataDOVIMetadata) and
+    # the L2 trim block; presence switches the convert stage to the DoVi
+    # chain (reshape -> RPU ycc matrix -> PQ/LMS round trip,
+    # Source/DX11VideoProcessor.cpp:2276-2537, Source/Shaders.cpp:531-859).
+    dovi: "object | None" = None            # ops.dovi.DoviMetadata
+    dovi_trims: "object | None" = None      # ops.tonemap.DoviTrims
+    # source crop rectangle (left, top, right, bottom) — the IBasicVideo
+    # SetSourcePosition analogue; None = full frame
+    src_rect: tuple[int, int, int, int] | None = None
     # ProcAmp (IMFVideoProcessor, Source/VideoProcessor.cpp:334-403)
     brightness: float = 0.0   # -1..1 (reference: -100..100 /255... see below)
     contrast: float = 1.0
@@ -143,6 +152,9 @@ class PipelinePlan:
     sdr_gamma: float           # source power gamma for fix_bt2020_sdr
     local_tonemap: bool
     dither_bits: int | None
+    dovi: "object | None" = None        # ops.dovi.DoviMetadata
+    dovi_trims: "object | None" = None  # ops.tonemap.DoviTrims
+    src_rect: tuple[int, int, int, int] | None = None
 
 
 def _build_cmat(src: SourceDescriptor, info: FormatInfo) -> tuple[np.ndarray, np.ndarray, bool]:
@@ -175,13 +187,27 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
     """Static planning — the InitMediaType analogue."""
     src = src.specified()
     info = get_format_info(src.format)
-    m, c, apply_matrix = _build_cmat(src, info)
+    # DoVi engages whenever RPU metadata is present (the reference validates
+    # it in CVideoProcessor::CheckDoviMetadata and then always prefers the
+    # RPU pipeline; bHdrPreferDoVi only orders DoVi vs HDR10 profile 7/8
+    # negotiation, which the caller resolves before handing us metadata).
+    dovi = src.dovi
+    if dovi is not None:
+        # DoVi replaces the standard matrix with the RPU's ycc_to_rgb
+        # (Source/DX11VideoProcessor.cpp:817-836)
+        from .ops.dovi import build_ycc_to_rgb_cmat
+        m, c = build_ycc_to_rgb_cmat(dovi, brightness=src.brightness,
+                                     contrast=src.contrast)
+        apply_matrix = True
+    else:
+        m, c, apply_matrix = _build_cmat(src, info)
 
     is_pq = src.transfer == TRC.PQ
-    is_hlg = src.transfer == TRC.HLG
+    is_hlg = src.transfer == TRC.HLG and dovi is None
     bt2020 = src.primaries == Primaries.BT_2020
 
-    convert_to_sdr = (not dst.hdr) and settings.convert_to_sdr and (is_pq or is_hlg)
+    convert_to_sdr = (not dst.hdr) and settings.convert_to_sdr and (
+        is_pq or is_hlg or dovi is not None)
     hlg_to_pq = dst.hdr and settings.hdr_passthrough and is_hlg
     # SDR source with BT.2020 primaries shown on a 709 display
     # (ps_fix_bt2020.hlsl; codegen branch Source/Shaders.cpp:892-915)
@@ -206,6 +232,7 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
         convert_to_sdr=convert_to_sdr, hlg_to_pq=hlg_to_pq,
         fix_bt2020_sdr=fix_bt2020_sdr, sdr_gamma=sdr_gamma,
         local_tonemap=local_tonemap, dither_bits=dither_bits,
+        dovi=dovi, dovi_trims=src.dovi_trims, src_rect=src.src_rect,
     )
 
 
@@ -219,13 +246,30 @@ def _normalize_planes(plan: PipelinePlan, planes, dtype) -> list[jnp.ndarray]:
     return [p.astype(dtype) * jnp.asarray(scale, dtype) for p in planes]
 
 
+def _crop_planes(plan: PipelinePlan, planes):
+    """Source-rect crop (IBasicVideo SetSourcePosition analogue): static
+    slices per plane, chroma rect divided by the subsampling factors."""
+    rect = plan.src_rect
+    if rect is None:
+        return planes
+    l, t, r, b = rect
+    dw, dh = plan.info.chroma_div
+    out = []
+    for i, p in enumerate(planes):
+        if i == 0 or plan.info.cs_type != ColorSystem.YUV:
+            out.append(p[..., t:b, l:r])
+        else:
+            out.append(p[..., t // dh:b // dh, l // dw:r // dw])
+    return tuple(out)
+
+
 def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
                    dtype=jnp.float32) -> jnp.ndarray:
     """ConvertColorPass analogue: normalize, chroma upsample, 3x3 matrix.
     Returns (..., 3, H, W)."""
     info = plan.info
     s = plan.settings
-    norm = _normalize_planes(plan, planes, dtype)
+    norm = _normalize_planes(plan, _crop_planes(plan, planes), dtype)
 
     if info.cs_type == ColorSystem.GRAY:
         y = norm[0]
@@ -244,6 +288,12 @@ def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
     else:
         comps = jnp.stack(norm, axis=-3)
 
+    if plan.dovi is not None:
+        # DoVi reshape on the raw ycc signal before the matrix
+        # (ShaderGetPixels -> ShaderDoviReshape, Source/Shaders.cpp:809-817)
+        from .ops import dovi as dovi_ops
+        comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
+
     if plan.apply_matrix:
         m = jnp.asarray(plan.cmat_m, dtype)
         c = jnp.asarray(plan.cmat_c, dtype)
@@ -254,8 +304,15 @@ def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
         vc = comps[..., 2, :, :]
         rgb = jnp.stack([m[i, 0] * yc + m[i, 1] * uc + m[i, 2] * vc + c[i]
                          for i in range(3)], axis=-3)
-        return rgb
-    return comps
+    else:
+        rgb = comps
+
+    if plan.dovi is not None:
+        # PQ EOTF -> (LMS2RGB @ rgb_to_lms) -> PQ OETF
+        # (Source/Shaders.cpp:824-859)
+        from .ops import dovi as dovi_ops
+        rgb = dovi_ops.apply_lms_matrix(rgb, plan.dovi, axis=-3)
+    return rgb
 
 
 def _corrections(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -268,10 +325,15 @@ def _corrections(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
         # Hable -> 2020->709 -> sRGB-ish gamma
         luminance_scale = 10000.0 / s.sdr_display_nits  # SetShaderLuminanceParams
         x = jnp.clip(rgb, 0.0, 1.0)
-        if plan.src.transfer == TRC.HLG:
+        if plan.src.transfer == TRC.HLG and plan.dovi is None:
             x = transfer_ops.hlg_to_linear(x, axis=axis)
             x = transfer_ops.linear_to_st2084(x, 1000.0)
             x = jnp.clip(x, 0.0, 1.0)
+        if plan.dovi is not None and plan.dovi_trims is not None \
+                and plan.dovi_trims.l2_enabled:
+            # L2 trims on the PQ signal (Source/Shaders.cpp:873-877)
+            x = tonemap_ops.dolby_vision_trims(x, plan.dovi_trims, axis=axis,
+                                               pq_input=True)
         x = transfer_ops.st2084_to_linear(x, luminance_scale)
         x = tonemap_ops.tonemap_hable_sdr(x)
         gm = jnp.asarray(csputils.bt2020_to_bt709_matrix(), x.dtype)
@@ -304,7 +366,8 @@ def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
         display_max_nits=float(plan.settings.hdr_display_max_nits),
     )
     return tonemap_ops.local_tonemap_pq(
-        rgb, int(plan.settings.hdr_local_tone_mapping_type), params, axis=-3)
+        rgb, int(plan.settings.hdr_local_tone_mapping_type), params,
+        trims=plan.dovi_trims, axis=-3)
 
 
 def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -317,15 +380,145 @@ def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
     return dither_ops.ordered_dither(jnp.clip(rgb, 0.0, 1.0), db)
 
 
-def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32):
+def _can_fuse(plan: PipelinePlan) -> bool:
+    """The fused linear-resample path applies when everything between plane
+    normalization and the first nonlinearity is linear: chroma upsample,
+    (blend deinterlace), color matrix, separable resize.  That is the
+    VP-order pipeline with a separable scaler; Jinc2 (non-separable 2D) and
+    the shader-order (corrections before resize) fall back."""
+    s = plan.settings
+    if not s.vp_scaling:
+        return False
+    if plan.dovi is not None:
+        return False  # the reshape is nonlinear in the ycc signal
+    src, dst = plan.src, plan.dst
+    h, w = src.height, src.width
+    if plan.src_rect is not None:
+        l, t, r, b = plan.src_rect
+        w, h = r - l, b - t
+    if s.upscaling == Upscaling.JINC2 and (dst.height > h or dst.width > w) \
+            and not (h > 2 * dst.height or w > 2 * dst.width):
+        return False
+    return True
+
+
+def _fused_apply2d(x, mx, my, use_pallas: bool):
+    """Apply optional (in,out) matrices along W then H."""
+    from .kernels import resize_pallas as rp
+
+    def app(v, m, axis):
+        if m is None:
+            return v
+        if use_pallas:
+            return rp.banded_resize_axis(v, np.asarray(m, np.float32), axis)
+        return scale_ops.resize_axis(v, m, axis)
+
+    x = app(x, mx, -1)
+    return app(x, my, -2)
+
+
+def _compose(a: np.ndarray | None, b: np.ndarray | None):
+    """Compose two (in,out) axis maps applied a-then-b."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a @ b
+
+
+def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
+    """TPU-native fused pipeline: chroma upsample + (blend deinterlace) +
+    separable resize collapse into one banded matrix per plane per axis
+    (linear maps compose), so the YUV->RGB matrix, transfer functions,
+    tone map and dither all run at *output* resolution and no full-source-
+    size float intermediate ever exists.  Bit-equivalent (to float32
+    rounding) with the staged path — enforced by tests/test_fused.py."""
+    s = plan.settings
+    src, dst = plan.src, plan.dst
+    info = plan.info
+    use_pallas = s.use_accel_backend and jax.default_backend() == "tpu"
+
+    src_w, src_h = src.width, src.height
+    if plan.src_rect is not None:
+        l, t, r, b = plan.src_rect
+        src_w, src_h = r - l, b - t
+
+    # luma/full-res axis maps
+    cx = scale_ops.select_scaler(src_w, dst.width, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    cy = scale_ops.select_scaler(src_h, dst.height, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    wx = scale_ops.build_axis_matrix(cx, src_w, dst.width)
+    wy = scale_ops.build_axis_matrix(cy, src_h, dst.height)
+
+    blend = (s.deint_blend and src.interlaced and info.subsampling == 420
+             and info.cs_type == ColorSystem.YUV)
+    wy_luma = wy
+    if blend:
+        from .ops.chroma import blend_deinterlace_matrix
+        wy_luma = _compose(blend_deinterlace_matrix(src_h), wy)
+
+    if info.cs_type == ColorSystem.YUV:
+        dw, dh = info.chroma_div
+        ux, uy = chroma_ops.chroma_upsample_matrices(
+            src_w // dw, src_h // dh, info.subsampling,
+            s.chroma_scaling, plan.src.chroma_location)
+        cwx = _compose(ux, wx)
+        cwy = _compose(uy, wy)
+    else:
+        cwx = cwy = None
+
+    norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
+
+    def fn(planes):
+        planes = _crop_planes(plan, planes)
+        ps = [p.astype(dtype) * jnp.asarray(norm, dtype) for p in planes]
+        if info.cs_type == ColorSystem.GRAY:
+            y = _fused_apply2d(ps[0], wx, wy, use_pallas)
+            m, c = plan.cmat_m, plan.cmat_c
+            rgb = jnp.stack([y * m[i, 0] + c[i] for i in range(3)], axis=-3)
+        else:
+            if info.cs_type == ColorSystem.YUV:
+                y = _fused_apply2d(ps[0], wx, wy_luma, use_pallas)
+                u = _fused_apply2d(ps[1], cwx, cwy, use_pallas)
+                v = _fused_apply2d(ps[2], cwx, cwy, use_pallas)
+                comps = (y, u, v)
+            else:
+                comps = tuple(_fused_apply2d(p, wx, wy, use_pallas)
+                              for p in ps)
+            if plan.apply_matrix:
+                m = jnp.asarray(plan.cmat_m, dtype)
+                c = jnp.asarray(plan.cmat_c, dtype)
+                rgb = jnp.stack(
+                    [m[i, 0] * comps[0] + m[i, 1] * comps[1]
+                     + m[i, 2] * comps[2] + c[i] for i in range(3)], axis=-3)
+            else:
+                rgb = jnp.stack(comps, axis=-3)
+        rgb = _corrections(plan, rgb)
+        if plan.local_tonemap:
+            rgb = _local_tonemap(plan, rgb)
+        return _final_pass(plan, rgb)
+
+    return fn
+
+
+def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = None):
     """Build the per-frame processing function (unjitted).
 
     Input: tuple of plane arrays (uint8/uint16), each (..., Hp, Wp) with
     matching leading batch dims.  Output: (..., 3, out_h, out_w) float32 in
     [0,1] (SDR/PQ encoded), quantized per the plan.
+
+    ``fused=None`` auto-selects the fused linear-resample path when legal
+    (see :func:`_can_fuse`); ``False`` forces the staged reference path.
     """
     s = plan.settings
     dst = plan.dst
+
+    if fused is None:
+        fused = _can_fuse(plan)
+    if fused:
+        return _make_fused_fn(plan, dtype)
 
     def fn(planes):
         rgb = _convert_color(plan, planes, dtype)
@@ -341,6 +534,36 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32):
         if plan.local_tonemap:
             rgb = _local_tonemap(plan, rgb)
         return _final_pass(plan, rgb)
+
+    return fn
+
+
+def make_deint_frame_fn(plan: PipelinePlan, field: int,
+                        top_field_first: bool = True, dtype=jnp.float32,
+                        motion_threshold: float = 8.0 / 255.0):
+    """Per-field processing function for interlaced content: motion-adaptive
+    deinterlace of every plane over a (prev, cur, next) window, then the
+    regular pipeline — the explicit-kernel replacement of the D3D11VP
+    rate-conversion blt with past/future reference frames
+    (Source/D3D11VP.cpp:292-331,893-960).
+
+    Signature: fn(prev_planes, cur_planes, next_planes) -> output frame for
+    ``field`` (0 = first temporal field, 1 = second; render both for
+    double-rate output, Source/DX11VideoProcessor.cpp:2176-2197).
+    """
+    from .ops import deinterlace as di
+
+    base = make_frame_fn(plan, dtype)
+    maxval = 2.0 ** plan.info.plane_bits - 1.0
+
+    def fn(prev_planes, cur_planes, next_planes):
+        deint = []
+        for p, c, n in zip(prev_planes, cur_planes, next_planes):
+            deint.append(di.motion_adaptive(
+                c.astype(dtype), p.astype(dtype), n.astype(dtype),
+                field=field, top_field_first=top_field_first,
+                threshold=motion_threshold * maxval))
+        return base(tuple(deint))
 
     return fn
 

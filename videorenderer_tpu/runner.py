@@ -88,6 +88,57 @@ def windowed_batches(planes: tuple[np.ndarray, ...], batch: int,
         yield tuple(p[lo:hi] for p in planes)
 
 
+class DeinterlaceSession:
+    """Streaming motion-adaptive deinterlacing with one frame of lookahead —
+    the reference-frame window of the fixed-function deinterlacer
+    (Source/D3D11VP.h:26-193) as a host-side sliding buffer.
+
+    push() returns 0..2 processed output frames per input (2 when
+    ``double_rate`` — field 1 is the +duration/2 render); flush() drains the
+    last frame with a clamped window.
+    """
+
+    def __init__(self, plan, double_rate: bool = True,
+                 top_field_first: bool = True):
+        import jax as _jax
+        from .pipeline import make_deint_frame_fn
+        self.double_rate = double_rate
+        self._fns = [
+            _jax.jit(make_deint_frame_fn(plan, field=0,
+                                         top_field_first=top_field_first)),
+        ]
+        if double_rate:
+            self._fns.append(
+                _jax.jit(make_deint_frame_fn(plan, field=1,
+                                             top_field_first=top_field_first)))
+        self._window: list[tuple] = []  # [prev, cur, next]
+
+    def _emit(self, prev, cur, nxt) -> list:
+        return [fn(prev, cur, nxt) for fn in self._fns]
+
+    def push(self, planes: tuple) -> list:
+        planes = tuple(jnp.asarray(p) for p in planes)
+        self._window.append(planes)
+        if len(self._window) == 1:
+            return []
+        if len(self._window) == 2:
+            # first frame: prev clamps to itself
+            a, b = self._window
+            return self._emit(a, a, b)
+        self._window = self._window[-3:]
+        a, b, c = self._window
+        return self._emit(a, b, c)
+
+    def flush(self) -> list:
+        if not self._window:
+            return []
+        if len(self._window) == 1:
+            a = self._window[0]
+            return self._emit(a, a, a)
+        a, b = self._window[-2:]
+        return self._emit(a, b, b)
+
+
 class PresentClock:
     """Real-time presentation pacing: decides drop/render per frame like the
     base renderer's quality management (renbase2.h:46-148) and sleeps to the
