@@ -120,7 +120,6 @@ def main() -> None:
                   convert_to_sdr=True, use_dither=True)
     vp = VideoProcessor(st, src, dst)
 
-    y, u, v = make_frames(BATCH)
     # distinct input batches so nothing can be cached/deduped
     all_batches = []
     for k in range(2):
@@ -146,9 +145,10 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fps = BATCH * ITERS / dt
 
-    # PSNR vs float64 oracle on frame 0
-    got = np.asarray(out[0], dtype=np.float64)
-    ref = numpy_oracle(y[0], u[0], v[0])
+    # PSNR vs float64 oracle on frame 0 of the seed-0 batch
+    got = np.asarray(vp.process(all_batches[0])[0], dtype=np.float64)
+    y0, u0, v0 = make_frames(BATCH, seed=0)
+    ref = numpy_oracle(y0[0], u0[0], v0[0])
     mse = np.mean((got - ref) ** 2)
     psnr = float(10 * np.log10(1.0 / mse)) if mse > 0 else float("inf")
 

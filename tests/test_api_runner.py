@@ -200,3 +200,29 @@ def test_deinterlace_static_content_matches_progressive():
     outs += sess.push(planes)
     ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
     np.testing.assert_allclose(np.asarray(outs[0]), ref, atol=2e-6)
+
+
+def test_api_subtitles_and_alpha_bitmap():
+    from videorenderer_tpu.subtitles import TextEvent, TextSubtitleProvider
+    vr = _open_renderer(64, 32, use_dither=False)
+    vr.set_subtitle_provider(TextSubtitleProvider(
+        [TextEvent(0.0, 10.0, "hi", x=2, y=2)], size=12), threaded=False)
+    base = np.asarray(vr.process_frame(_nv12_planes(64, 32), time=20.0))
+    with_sub = np.asarray(vr.process_frame(_nv12_planes(64, 32), time=5.0))
+    assert np.abs(with_sub - base).max() > 0.01  # something composited
+    vr.set_subtitle_provider(None)
+
+    vr.set_alpha_bitmap(np.ones((3, 4, 4), np.float32),
+                        np.ones((4, 4), np.float32), x=10, y=10)
+    ov = np.asarray(vr.process_frame(_nv12_planes(64, 32)))
+    assert ov[0, 10, 10] == 1.0
+    vr.set_alpha_bitmap(None, None)
+
+
+def test_api_stats_overlay():
+    import dataclasses
+    vr = _open_renderer(128, 96, use_dither=False)
+    vr.process_frame(_nv12_planes(128, 96))
+    vr.set_settings(dataclasses.replace(vr.settings, show_stats=True))
+    out = np.asarray(vr.process_frame(_nv12_planes(128, 96)))
+    assert out.shape == (3, 96, 128)

@@ -56,6 +56,8 @@ class VideoRenderer:
         self._user_pre_fns: list[Callable] = []
         self._last_input = None
         self._last_output = None
+        self._subpic_queue = None          # subtitles.SubPicQueue(-NoThread)
+        self._alpha_bitmap = None          # (rgb (3,h,w), alpha (h,w), x, y)
         self.metrics = Metrics()
 
     # -- IVideoRenderer -------------------------------------------------------
@@ -173,8 +175,53 @@ class VideoRenderer:
 
         self._fn = jax.jit(fn)
 
-    def process_frame(self, frame_or_planes):
-        """ProcessSample analogue. Returns the processed (…,3,H,W) array."""
+    # -- subtitles / OSD overlays ----------------------------------------------
+
+    def set_subtitle_provider(self, provider, threaded: bool = True) -> None:
+        """Connect a subtitle provider (ISubPicProvider analogue); frames
+        processed with a ``time`` argument get subpics composited
+        (DrawSubtitles, Source/DX11VideoProcessor.cpp:3247-3295)."""
+        from .subtitles import SubPicQueue, SubPicQueueNoThread
+        if self._subpic_queue is not None:
+            self._subpic_queue.stop()
+        if provider is None:
+            self._subpic_queue = None
+        else:
+            cls = SubPicQueue if threaded else SubPicQueueNoThread
+            self._subpic_queue = cls(provider)
+
+    def set_alpha_bitmap(self, rgb, alpha, x: int = 0, y: int = 0) -> None:
+        """IMFVideoMixerBitmap::SetAlphaBitmap analogue
+        (Source/DX11VideoProcessor.cpp:4553-4623); pass rgb=None to clear."""
+        if rgb is None:
+            self._alpha_bitmap = None
+        else:
+            self._alpha_bitmap = (np.asarray(rgb, np.float32),
+                                  np.asarray(alpha, np.float32), x, y)
+
+    def _composite_overlays(self, out, time: float | None):
+        from .ops.overlay import blend_in_rect
+        from .subtitles import composite
+        if self._subpic_queue is not None and time is not None:
+            out = composite(out, self._subpic_queue.lookup(time))
+        if self._alpha_bitmap is not None:
+            rgb, alpha, x, y = self._alpha_bitmap
+            out = blend_in_rect(out, jnp.asarray(rgb), jnp.asarray(alpha),
+                                x=x, y=y)
+        if self.settings.show_stats:
+            from .osd import render_stats_overlay
+            rgb, alpha = render_stats_overlay(
+                self.metrics.snapshot(),
+                graph_values=self.metrics.sync_graph.values())
+            h = min(alpha.shape[0], out.shape[-2] - 8)
+            w = min(alpha.shape[1], out.shape[-1] - 8)
+            out = blend_in_rect(out, jnp.asarray(rgb[:, :h, :w]),
+                                jnp.asarray(alpha[:h, :w]), x=8, y=8)
+        return out
+
+    def process_frame(self, frame_or_planes, time: float | None = None):
+        """ProcessSample analogue. Returns the processed (…,3,H,W) array.
+        ``time`` (stream seconds) drives subtitle lookup."""
         if self._fn is None:
             raise RuntimeError("open() a media type first")
         planes = (frame_or_planes.planes
@@ -186,6 +233,11 @@ class VideoRenderer:
         self.metrics.input_stats.add(precise_tick())
         t1 = precise_tick()
         out = self._fn(planes)
+        has_overlay = (self._subpic_queue is not None
+                       or self._alpha_bitmap is not None
+                       or self.settings.show_stats)
+        if has_overlay:
+            out = self._composite_overlays(out, time)
         out.block_until_ready()
         self.metrics.render_stats.paint_s = precise_tick() - t1
         self.metrics.draw_stats.frame_drawn()

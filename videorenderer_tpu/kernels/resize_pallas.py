@@ -1,18 +1,25 @@
-"""Pallas banded-matmul resize kernel.
+"""Pallas banded-matmul resize kernels.
 
 The weight matrix of a separable resize (videorenderer_tpu/ops/scale.py) is
 *banded*: each output column depends on at most ``taps`` (≈ filter support x
 scale) consecutive input columns.  A dense MXU matmul wastes ~(W_in / band)
-of its FLOPs on zero blocks — ~7-15x for the 4K chains.  This kernel
-computes only the diagonal band:
+of its FLOPs on zero blocks — 7-15x for the 4K chains.  These kernels
+compute only the diagonal band:
 
- * host side: for every 128-column output tile, find the input window
-   [start_j, start_j + KB) covering all its taps (KB = max window, padded to
-   the 128 lane size) and pack the weight band (J, KB, 128);
- * device side: a Pallas kernel with scalar-prefetched ``starts`` DMAs the
-   input window from HBM into VMEM (the window start is data-independent but
-   not block-aligned, so a manual async copy is used instead of a BlockSpec)
-   and runs a (TILE_R, KB) x (KB, 128) MXU matmul per grid step.
+ * host side: for every 128-wide output tile, find the 128-aligned input
+   window [start_j, start_j + KB) covering its taps and pack the weight
+   band (J, KB, 128);
+ * device side: an input *stripe* (all input columns for TILE_R rows) lives
+   in VMEM via a BlockSpec — Pallas double-buffers the stripe stream
+   automatically and skips the copy while the stripe index is unchanged
+   across the inner output-tile loop; the kernel slices the 128-aligned
+   band window out of VMEM (cheap) and runs a (TILE_R, KB) x (KB, 128) MXU
+   matmul per grid step at Precision.HIGHEST (full f32 accuracy; affordable
+   because the contraction is only band-wide).
+
+UNORM normalization of integer planes is folded into the weights
+(``pre_scale``), so raw uint8/uint16 video planes stream straight from HBM
+without a materialized float copy.
 
 This is the TPU-idiomatic replacement of the reference's per-pixel gather
 loops (ps_convolution.hlsl:28-43, the interpolation shaders) for the hot
@@ -22,16 +29,14 @@ backend and the golden reference.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_R = 256     # rows per grid step
-TILE_N = 128     # output columns per grid step (lane width)
+TILE_N = 128                     # output tile (lane width)
+_STRIPE_BYTES = 4 * 1024 * 1024  # VMEM budget for one input stripe
 
 
 def _round_up(x: int, m: int) -> int:
@@ -42,9 +47,8 @@ _band_cache: dict = {}
 
 
 def pack_band_for(mat: np.ndarray, kb_align: int = 128):
-    """Per-output-tile input windows; window starts are 128-aligned because
-    Mosaic requires HBM slice offsets in the lane dimension to be multiples
-    of the tiling."""
+    """Per-output-tile input windows; window starts are 128-aligned (Mosaic
+    requires lane-dim slice offsets to be multiples of the tiling)."""
     key = (id(mat), mat.shape)
     cached = _band_cache.get(key)
     if cached is not None:
@@ -74,73 +78,141 @@ def pack_band_for(mat: np.ndarray, kb_align: int = 128):
     return out
 
 
-def _kernel(starts_ref, x_hbm, w_ref, o_ref, scratch, sem):
-    i = pl.program_id(0)
+def _pick_tile(span_bytes_per_row: int, preferred: int, align: int,
+               total: int | None = None) -> int:
+    """Largest row-tile (multiple of ``align``) whose stripe fits the VMEM
+    budget; when ``total`` is given, prefer a tile that divides it exactly so
+    no padded copy of the input is materialized."""
+    cap = preferred
+    while cap > align and cap * span_bytes_per_row > _STRIPE_BYTES:
+        cap //= 2
+    cap = max(cap, align)
+    if total is not None and total % align == 0:
+        for t in range(cap, align - 1, -align):
+            if total % t == 0:
+                return t
+    return cap
+
+
+def _kernel_cols(starts_ref, x_ref, w_ref, o_ref):
     j = pl.program_id(1)
     start = pl.multiple_of(starts_ref[j], 128)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * TILE_R, TILE_R), pl.ds(start, scratch.shape[1])],
-        scratch, sem)
-    cp.start()
-    cp.wait()
-    # HIGHEST: full-f32 accuracy via multiple bf16 MXU passes — affordable
-    # because the contraction is only band-wide (the PSNR bar needs it)
-    o_ref[:] = jnp.dot(scratch[:], w_ref[0],
+    kb = w_ref.shape[1]
+    window = x_ref[:, pl.ds(start, kb)]
+    o_ref[:] = jnp.dot(window, w_ref[0],
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
 
 
 def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
-                            out_dtype=None) -> jnp.ndarray:
-    """Resize along the last axis with the banded Pallas kernel.
-
-    ``x``: (..., W_in) float32; ``mat``: (W_in, W_out) numpy weights.
-    Leading dims are flattened into row tiles; rows are padded to TILE_R and
-    W_out to TILE_N (then cropped).
-    """
+                            pre_scale: float | None = None) -> jnp.ndarray:
+    """Resize along the last axis.  ``x``: (..., W_in) float32 or raw
+    uint8/uint16 planes (with ``pre_scale`` folding the UNORM normalization
+    into the weights).  Returns float32 (..., W_out)."""
     w_in, w_out = mat.shape
     assert x.shape[-1] == w_in
     starts, bands, kb, w_in_pad = pack_band_for(mat)
+    if pre_scale is not None:
+        bands = bands * np.float32(pre_scale)
     j_tiles = bands.shape[0]
 
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
-    rows_pad = _round_up(rows, TILE_R)
+    # Mosaic has no in-kernel uint->float cast; integer planes are upcast
+    # here (XLA) and only the normalization multiply folds into the weights.
     x2 = x.reshape(rows, w_in).astype(jnp.float32)
+    tile_r = _pick_tile(w_in_pad * x2.dtype.itemsize, 256, 32, total=rows)
+    rows_pad = _round_up(rows, tile_r)
     if rows_pad != rows or w_in_pad != w_in:
         x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, w_in_pad - w_in)))
 
-    grid = (rows_pad // TILE_R, j_tiles)
+    grid = (rows_pad // tile_r, j_tiles)
     out = pl.pallas_call(
-        _kernel,
+        _kernel_cols,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+                # full-width input stripe; constant over the inner j loop so
+                # Pallas streams it once per row tile
+                pl.BlockSpec((tile_r, w_in_pad), lambda i, j, s: (i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, kb, TILE_N), lambda i, j, s: (j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TILE_R, TILE_N), lambda i, j, s: (i, j),
+            out_specs=pl.BlockSpec((tile_r, TILE_N), lambda i, j, s: (i, j),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((TILE_R, kb), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
         ),
         out_shape=jax.ShapeDtypeStruct((rows_pad, j_tiles * TILE_N),
                                        jnp.float32),
     )(jnp.asarray(starts), x2, jnp.asarray(bands))
 
     out = out[:rows, :w_out]
-    res = out.reshape(lead + (w_out,))
-    return res.astype(out_dtype) if out_dtype else res
+    return out.reshape(lead + (w_out,))
 
 
-def banded_resize_axis(x: jnp.ndarray, mat: np.ndarray, axis: int) -> jnp.ndarray:
-    """Banded resize along ``axis`` (via transpose for non-last axes)."""
+def _kernel_rows(starts_ref, x_ref, w_ref, o_ref):
+    jr = pl.program_id(2)
+    start = pl.multiple_of(starts_ref[jr], 128)
+    kb = w_ref.shape[2]
+    window = x_ref[0, pl.ds(start, kb), :]
+    o_ref[0] = jnp.dot(w_ref[0], window,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
+                       pre_scale: float | None = None) -> jnp.ndarray:
+    """Resize along the second-to-last (H) axis without transposing:
+    out[.., m, w] = sum_r mat[r, m] * x[.., r, w] via a left matmul with the
+    transposed weight band over a full-height column stripe in VMEM."""
+    h_in, h_out = mat.shape
+    assert x.shape[-2] == h_in
+    starts, bands, kb, h_in_pad = pack_band_for(mat)
+    if pre_scale is not None:
+        bands = bands * np.float32(pre_scale)
+    jr_tiles = bands.shape[0]
+    bands_t = np.ascontiguousarray(np.swapaxes(bands, 1, 2))  # (J, 128, KB)
+
+    lead = x.shape[:-2]
+    l = int(np.prod(lead)) if lead else 1
+    w = x.shape[-1]
+    x3 = x.reshape(l, h_in, w).astype(jnp.float32)
+    tile_w = _pick_tile(h_in_pad * x3.dtype.itemsize, 512, 128, total=w)
+    w_pad = _round_up(w, tile_w)
+    if h_in_pad != h_in or w_pad != w:
+        x3 = jnp.pad(x3, ((0, 0), (0, h_in_pad - h_in), (0, w_pad - w)))
+
+    grid = (l, w_pad // tile_w, jr_tiles)
+    out = pl.pallas_call(
+        _kernel_rows,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, h_in_pad, tile_w),
+                             lambda b, wt, jr, s: (b, 0, wt),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_N, kb), lambda b, wt, jr, s: (jr, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TILE_N, tile_w),
+                                   lambda b, wt, jr, s: (b, jr, wt),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((l, jr_tiles * TILE_N, w_pad),
+                                       jnp.float32),
+    )(jnp.asarray(starts), x3, jnp.asarray(bands_t))
+
+    out = out[:, :h_out, :w]
+    return out.reshape(lead + (h_out, w))
+
+
+def banded_resize_axis(x: jnp.ndarray, mat: np.ndarray, axis: int,
+                       pre_scale: float | None = None) -> jnp.ndarray:
+    """Banded resize along the last (W) or second-to-last (H) axis."""
     if axis in (-1, x.ndim - 1):
-        return banded_resize_last_axis(x, mat)
-    moved = jnp.swapaxes(x, axis, -1)
-    out = banded_resize_last_axis(moved, mat)
-    return jnp.swapaxes(out, axis, -1)
+        return banded_resize_last_axis(x, mat, pre_scale)
+    if axis in (-2, x.ndim - 2):
+        return banded_resize_rows(x, mat, pre_scale)
+    raise ValueError(f"unsupported axis {axis}")

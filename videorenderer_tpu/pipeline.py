@@ -402,19 +402,30 @@ def _can_fuse(plan: PipelinePlan) -> bool:
     return True
 
 
-def _fused_apply2d(x, mx, my, use_pallas: bool):
-    """Apply optional (in,out) matrices along W then H."""
+def _fused_apply2d(x_raw, mx, my, use_pallas: bool, norm: float, dtype):
+    """Apply optional (in,out) matrices along W then H to a *raw* integer
+    plane.  On the Pallas path the UNORM normalization folds into the first
+    matmul's weights so the integer data streams straight from HBM."""
     from .kernels import resize_pallas as rp
 
-    def app(v, m, axis):
-        if m is None:
-            return v
-        if use_pallas:
-            return rp.banded_resize_axis(v, np.asarray(m, np.float32), axis)
-        return scale_ops.resize_axis(v, m, axis)
+    if use_pallas:
+        if mx is not None:
+            x = rp.banded_resize_last_axis(x_raw, np.asarray(mx, np.float32),
+                                           pre_scale=norm)
+            if my is not None:
+                x = rp.banded_resize_rows(x, np.asarray(my, np.float32))
+            return x
+        if my is not None:
+            return rp.banded_resize_rows(x_raw, np.asarray(my, np.float32),
+                                         pre_scale=norm)
+        return x_raw.astype(dtype) * jnp.asarray(norm, dtype)
 
-    x = app(x, mx, -1)
-    return app(x, my, -2)
+    x = x_raw.astype(dtype) * jnp.asarray(norm, dtype)
+    if mx is not None:
+        x = scale_ops.resize_axis(x, mx, -1)
+    if my is not None:
+        x = scale_ops.resize_axis(x, my, -2)
+    return x
 
 
 def _compose(a: np.ndarray | None, b: np.ndarray | None):
@@ -472,20 +483,19 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
 
     def fn(planes):
         planes = _crop_planes(plan, planes)
-        ps = [p.astype(dtype) * jnp.asarray(norm, dtype) for p in planes]
+        app = lambda p, a, b: _fused_apply2d(p, a, b, use_pallas, norm, dtype)
         if info.cs_type == ColorSystem.GRAY:
-            y = _fused_apply2d(ps[0], wx, wy, use_pallas)
+            y = app(planes[0], wx, wy)
             m, c = plan.cmat_m, plan.cmat_c
             rgb = jnp.stack([y * m[i, 0] + c[i] for i in range(3)], axis=-3)
         else:
             if info.cs_type == ColorSystem.YUV:
-                y = _fused_apply2d(ps[0], wx, wy_luma, use_pallas)
-                u = _fused_apply2d(ps[1], cwx, cwy, use_pallas)
-                v = _fused_apply2d(ps[2], cwx, cwy, use_pallas)
+                y = app(planes[0], wx, wy_luma)
+                u = app(planes[1], cwx, cwy)
+                v = app(planes[2], cwx, cwy)
                 comps = (y, u, v)
             else:
-                comps = tuple(_fused_apply2d(p, wx, wy, use_pallas)
-                              for p in ps)
+                comps = tuple(app(p, wx, wy) for p in planes)
             if plan.apply_matrix:
                 m = jnp.asarray(plan.cmat_m, dtype)
                 c = jnp.asarray(plan.cmat_c, dtype)
