@@ -54,6 +54,10 @@ def cmd_process(args) -> int:
         convert_to_sdr=not args.hdr_passthrough,
         hdr_passthrough=args.hdr_passthrough,
         sdr_display_nits=args.sdr_nits,
+        hdr_local_tone_mapping=args.tone_map is not None,
+        hdr_local_tone_mapping_type=(_enum(ToneMapType, args.tone_map)
+                                     if args.tone_map else ToneMapType.ACES),
+        hdr_display_max_nits=args.display_nits,
     )
     src = SourceDescriptor(
         format=src_fmt, width=w, height=h,
@@ -61,6 +65,7 @@ def cmd_process(args) -> int:
         levels=_enum(Levels, args.levels) if args.levels else Levels.AUTO,
         primaries=_enum(Primaries, args.primaries) if args.primaries else Primaries.AUTO,
         transfer=_enum(TRC, args.transfer) if args.transfer else TRC.AUTO,
+        interlaced=args.deinterlace is not None,
     )
     dst = OutputDescriptor(width=ow, height=oh, bits=args.out_bits,
                            hdr=args.hdr_passthrough)
@@ -72,16 +77,58 @@ def cmd_process(args) -> int:
         vr.flt_set("flip", True)
     vr.open(src, dst)
 
+    if args.srt:
+        from .io.srt import load_srt
+        vr.set_subtitle_provider(load_srt(args.srt), threaded=False)
+
     source = RawVideoSource(args.input, src_fmt, w, h)
     n = len(source)
     if n == 0:
         print("no frames in input", file=sys.stderr)
         return 1
     planes = source.read_batch(0, n)
+
+    if args.deinterlace is not None:
+        # streaming per-field path with temporal window
+        from .runner import DeinterlaceSession
+        sess = DeinterlaceSession(vr._plan,
+                                  double_rate=args.deinterlace == "double")
+        with RawVideoSink(args.out, bits=args.out_bits) as sink:
+            import time as _t
+            t0 = _t.perf_counter()
+            frames = 0
+            for i in range(n):
+                for out in sess.push(tuple(p[i] for p in planes)):
+                    sink.present(np.asarray(out))
+                    frames += 1
+            for out in sess.flush():
+                sink.present(np.asarray(out))
+                frames += 1
+            fps = frames / max(_t.perf_counter() - t0, 1e-9)
+        print(f"{frames} fields -> {args.out} ({fps:.1f} fps)",
+              file=sys.stderr)
+        return 0
+
+    if args.srt:
+        # per-frame path so subtitles composite at the right times
+        with RawVideoSink(args.out, bits=args.out_bits) as sink:
+            fps_in = args.fps
+            for i in range(n):
+                out = vr.process_frame(tuple(p[i] for p in planes),
+                                       time=i / fps_in)
+                sink.present(np.asarray(out))
+        print(f"{n} frames -> {args.out}", file=sys.stderr)
+        return 0
+
     with RawVideoSink(args.out, bits=args.out_bits) as sink:
         result = run_clip(vr._fn, windowed_batches(planes, args.batch))
         for out in result.outputs:
             sink.present(np.asarray(out))
+    if args.screenshot:
+        from .io.image import save_image
+        save_image(args.screenshot, np.moveaxis(
+            np.asarray(result.outputs[0])[0] if np.asarray(result.outputs[0]).ndim == 4
+            else np.asarray(result.outputs[0]), 0, -1))
     print(f"{sink.frames} frames -> {args.out} "
           f"({result.fps:.1f} fps)", file=sys.stderr)
     return 0
@@ -123,6 +170,16 @@ def main(argv=None) -> int:
     pp.add_argument("--sdr-nits", type=int, default=125)
     pp.add_argument("--rotation", type=int, default=0)
     pp.add_argument("--flip", action="store_true")
+    pp.add_argument("--deinterlace", choices=("single", "double"), default=None,
+                    help="motion-adaptive deinterlace (double = double-rate)")
+    pp.add_argument("--tone-map", default=None,
+                    help="local HDR tone-map: ACES/REINHARD/HABLE/MOBIUS/BT2390/ST2094_10")
+    pp.add_argument("--display-nits", type=int, default=1000)
+    pp.add_argument("--srt", default=None, help="burn in subtitles from an SRT file")
+    pp.add_argument("--fps", type=float, default=24.0,
+                    help="frame rate for subtitle timing")
+    pp.add_argument("--screenshot", default=None,
+                    help="also save the first output frame as PNG/BMP")
     pp.set_defaults(fn=cmd_process)
 
     pi = sub.add_parser("info", help="device / processor info")

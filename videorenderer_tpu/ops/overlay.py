@@ -49,11 +49,24 @@ def blend_in_rect(base: jnp.ndarray, overlay_rgb: jnp.ndarray,
                   premultiplied: bool = False) -> jnp.ndarray:
     """Composite a small overlay at (x, y) — the dirty-rect path (ISubPic
     GetDirtyRect/AlphaBlt): only the overlay-sized region is touched, via a
-    static dynamic-update-slice."""
+    static update-slice.  Overlays are clipped to the frame bounds
+    (ClipToSurface analogue, Source/Helper.cpp)."""
+    fh, fw = base.shape[-2], base.shape[-1]
     h, w = overlay_alpha.shape[-2], overlay_alpha.shape[-1]
+    # clip overlay to the surface
+    ox = max(0, -x)
+    oy = max(0, -y)
+    x = max(0, x)
+    y = max(0, y)
+    h = min(h - oy, fh - y)
+    w = min(w - ox, fw - x)
+    if h <= 0 or w <= 0:
+        return base
+    ov_rgb = overlay_rgb[..., oy:oy + h, ox:ox + w]
+    ov_a = overlay_alpha[..., oy:oy + h, ox:ox + w]
     region = base[..., :, y:y + h, x:x + w]
     blend = alpha_blend_premultiplied if premultiplied else alpha_blend
-    blended = blend(region, overlay_rgb, overlay_alpha)
+    blended = blend(region, ov_rgb, ov_a)
     return base.at[..., :, y:y + h, x:x + w].set(blended)
 
 
