@@ -41,7 +41,7 @@ from videorenderer_tpu.pipeline import HDR10Metadata
 
 W, H = 3840, 2160
 OW, OH = 1920, 1080
-BATCH = 4
+BATCH = 16
 WARMUP = 2
 ITERS = 8
 BASELINE_FPS = 600.0

@@ -53,3 +53,26 @@ def test_banded_axis_h():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(rp.banded_resize_axis(jnp.asarray(x), np.asarray(mat), axis=-2))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_banded_u16_input_interpret():
+    """Raw uint16 planes stream directly; normalization folds into weights."""
+    mat = scale.upscale_matrix(Upscaling.LANCZOS3, 512, 256)
+    rng = np.random.default_rng(3)
+    x = (rng.integers(0, 1024, (600, 512), dtype=np.uint16) << 6)
+    ref = (x.astype(np.float64) / 65535.0) @ mat
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.banded_resize_last_axis(
+            jnp.asarray(x), np.asarray(mat), pre_scale=1 / 65535.0))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_banded_rows_u16_interpret():
+    mat = scale.upscale_matrix(Upscaling.CATMULL_ROM, 128, 64)
+    rng = np.random.default_rng(4)
+    x = (rng.integers(0, 1024, (2, 128, 256), dtype=np.uint16) << 6)
+    ref = np.einsum("chw,hH->cHw", x.astype(np.float64) / 65535.0, mat)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.banded_resize_rows(
+            jnp.asarray(x), np.asarray(mat), pre_scale=1 / 65535.0))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -140,6 +140,31 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_settings(args) -> int:
+    """Show, save or edit settings — the property-page + registry analogue
+    (Source/PropPage.cpp; Source/VideoRenderer.cpp:1273-1315)."""
+    import json as _json
+    import os as _os
+    s = (Settings.load(args.file)
+         if args.file and _os.path.exists(args.file) and not args.reset
+         else Settings())
+    if args.set:
+        d = s.to_dict()
+        for kv in args.set:
+            k, _, v = kv.partition("=")
+            if k not in d:
+                raise SystemExit(f"error: unknown setting '{k}' "
+                                 f"(valid: {', '.join(d)})")
+            cur = d[k]
+            d[k] = (v.lower() in ("1", "true", "yes") if isinstance(cur, bool)
+                    else int(v) if isinstance(cur, int) else v)
+        s = Settings.from_dict(d)
+    if args.file and (args.set or args.reset):
+        s.save(args.file)
+    print(_json.dumps(s.to_dict(), indent=2))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root bench
     bench.main()
@@ -184,6 +209,14 @@ def main(argv=None) -> int:
 
     pi = sub.add_parser("info", help="device / processor info")
     pi.set_defaults(fn=cmd_info)
+
+    ps = sub.add_parser("settings", help="show/edit persisted settings")
+    ps.add_argument("--file", default=None, help="settings JSON path")
+    ps.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE")
+    ps.add_argument("--reset", action="store_true",
+                    help="reset to defaults (Reset_Settings.cmd analogue)")
+    ps.set_defaults(fn=cmd_settings)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.add_argument("--frames", type=int, default=32)

@@ -104,6 +104,29 @@ def _kernel_cols(starts_ref, x_ref, w_ref, o_ref):
                        precision=jax.lax.Precision.HIGHEST)
 
 
+def _u16_to_f32(v):
+    """Mosaic has no direct uint16->float32 cast; bitcast to int16, widen,
+    and mask off the sign extension."""
+    i16 = pltpu.bitcast(v, jnp.int16)
+    return jax.lax.bitwise_and(i16.astype(jnp.int32), jnp.int32(0xFFFF)).astype(jnp.float32)
+
+
+def _kernel_cols_u16(starts_ref, x_ref, w_ref, o_ref, xf_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        # convert the uint16 stripe to f32 once; reused across all j
+        xf_ref[:] = _u16_to_f32(x_ref[:])
+
+    start = pl.multiple_of(starts_ref[j], 128)
+    kb = w_ref.shape[1]
+    window = xf_ref[:, pl.ds(start, kb)]
+    o_ref[:] = jnp.dot(window, w_ref[0],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
 def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
                             pre_scale: float | None = None) -> jnp.ndarray:
     """Resize along the last axis.  ``x``: (..., W_in) float32 or raw
@@ -118,17 +141,22 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
 
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
-    # Mosaic has no in-kernel uint->float cast; integer planes are upcast
-    # here (XLA) and only the normalization multiply folds into the weights.
-    x2 = x.reshape(rows, w_in).astype(jnp.float32)
-    tile_r = _pick_tile(w_in_pad * x2.dtype.itemsize, 256, 32, total=rows)
+    x2 = x.reshape(rows, w_in)
+    u16_mode = x2.dtype == jnp.uint16.dtype
+    if not u16_mode:
+        x2 = x2.astype(jnp.float32)
+    tile_r = _pick_tile(w_in_pad * (4 + (2 if u16_mode else 4)), 256, 32,
+                        total=rows)
     rows_pad = _round_up(rows, tile_r)
     if rows_pad != rows or w_in_pad != w_in:
         x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, w_in_pad - w_in)))
 
     grid = (rows_pad // tile_r, j_tiles)
+    kernel = _kernel_cols_u16 if u16_mode else _kernel_cols
+    scratch = ([pltpu.VMEM((tile_r, w_in_pad), jnp.float32)]
+               if u16_mode else [])
     out = pl.pallas_call(
-        _kernel_cols,
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -142,6 +170,7 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
             ],
             out_specs=pl.BlockSpec((tile_r, TILE_N), lambda i, j, s: (i, j),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((rows_pad, j_tiles * TILE_N),
                                        jnp.float32),
@@ -156,6 +185,21 @@ def _kernel_rows(starts_ref, x_ref, w_ref, o_ref):
     start = pl.multiple_of(starts_ref[jr], 128)
     kb = w_ref.shape[2]
     window = x_ref[0, pl.ds(start, kb), :]
+    o_ref[0] = jnp.dot(w_ref[0], window,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _kernel_rows_u16(starts_ref, x_ref, w_ref, o_ref, xf_ref):
+    jr = pl.program_id(2)
+
+    @pl.when(jr == 0)
+    def _():
+        xf_ref[:] = _u16_to_f32(x_ref[0])
+
+    start = pl.multiple_of(starts_ref[jr], 128)
+    kb = w_ref.shape[2]
+    window = xf_ref[pl.ds(start, kb), :]
     o_ref[0] = jnp.dot(w_ref[0], window,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -177,15 +221,22 @@ def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
     lead = x.shape[:-2]
     l = int(np.prod(lead)) if lead else 1
     w = x.shape[-1]
-    x3 = x.reshape(l, h_in, w).astype(jnp.float32)
-    tile_w = _pick_tile(h_in_pad * x3.dtype.itemsize, 512, 128, total=w)
+    x3 = x.reshape(l, h_in, w)
+    u16_mode = x3.dtype == jnp.uint16.dtype
+    if not u16_mode:
+        x3 = x3.astype(jnp.float32)
+    tile_w = _pick_tile(h_in_pad * (4 + (2 if u16_mode else 4)), 512, 128,
+                        total=w)
     w_pad = _round_up(w, tile_w)
     if h_in_pad != h_in or w_pad != w:
         x3 = jnp.pad(x3, ((0, 0), (0, h_in_pad - h_in), (0, w_pad - w)))
 
     grid = (l, w_pad // tile_w, jr_tiles)
+    kernel = _kernel_rows_u16 if u16_mode else _kernel_rows
+    scratch = ([pltpu.VMEM((h_in_pad, tile_w), jnp.float32)]
+               if u16_mode else [])
     out = pl.pallas_call(
-        _kernel_rows,
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -199,6 +250,7 @@ def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
             out_specs=pl.BlockSpec((1, TILE_N, tile_w),
                                    lambda b, wt, jr, s: (b, jr, wt),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((l, jr_tiles * TILE_N, w_pad),
                                        jnp.float32),
