@@ -76,3 +76,14 @@ def test_banded_rows_u16_interpret():
         got = np.asarray(rp.banded_resize_rows(
             jnp.asarray(x), np.asarray(mat), pre_scale=1 / 65535.0))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_banded_u8_input_interpret():
+    mat = scale.upscale_matrix(Upscaling.CATMULL_ROM, 256, 512)
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (300, 256), dtype=np.uint8)
+    ref = (x.astype(np.float64) / 255.0) @ mat
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.banded_resize_last_axis(
+            jnp.asarray(x), np.asarray(mat), pre_scale=1 / 255.0))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

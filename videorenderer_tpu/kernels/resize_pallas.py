@@ -111,13 +111,21 @@ def _u16_to_f32(v):
     return jax.lax.bitwise_and(i16.astype(jnp.int32), jnp.int32(0xFFFF)).astype(jnp.float32)
 
 
+def _u8_to_f32(v):
+    i8 = pltpu.bitcast(v, jnp.int8)
+    return jax.lax.bitwise_and(i8.astype(jnp.int32), jnp.int32(0xFF)).astype(jnp.float32)
+
+
+_CONVERTERS = {jnp.uint16.dtype: _u16_to_f32, jnp.uint8.dtype: _u8_to_f32}
+
+
 def _kernel_cols_u16(starts_ref, x_ref, w_ref, o_ref, xf_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        # convert the uint16 stripe to f32 once; reused across all j
-        xf_ref[:] = _u16_to_f32(x_ref[:])
+        # convert the integer stripe to f32 once; reused across all j
+        xf_ref[:] = _CONVERTERS[x_ref.dtype](x_ref[:])
 
     start = pl.multiple_of(starts_ref[j], 128)
     kb = w_ref.shape[1]
@@ -142,11 +150,12 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(rows, w_in)
-    u16_mode = x2.dtype == jnp.uint16.dtype
+    u16_mode = x2.dtype in _CONVERTERS
     if not u16_mode:
         x2 = x2.astype(jnp.float32)
-    tile_r = _pick_tile(w_in_pad * (4 + (2 if u16_mode else 4)), 256, 32,
-                        total=rows)
+    tile_r = _pick_tile(
+        w_in_pad * (4 + (x2.dtype.itemsize if u16_mode else 4)), 256, 32,
+        total=rows)
     rows_pad = _round_up(rows, tile_r)
     if rows_pad != rows or w_in_pad != w_in:
         x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, w_in_pad - w_in)))
@@ -195,7 +204,7 @@ def _kernel_rows_u16(starts_ref, x_ref, w_ref, o_ref, xf_ref):
 
     @pl.when(jr == 0)
     def _():
-        xf_ref[:] = _u16_to_f32(x_ref[0])
+        xf_ref[:] = _CONVERTERS[x_ref.dtype](x_ref[0])
 
     start = pl.multiple_of(starts_ref[jr], 128)
     kb = w_ref.shape[2]
@@ -222,11 +231,12 @@ def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
     l = int(np.prod(lead)) if lead else 1
     w = x.shape[-1]
     x3 = x.reshape(l, h_in, w)
-    u16_mode = x3.dtype == jnp.uint16.dtype
+    u16_mode = x3.dtype in _CONVERTERS
     if not u16_mode:
         x3 = x3.astype(jnp.float32)
-    tile_w = _pick_tile(h_in_pad * (4 + (2 if u16_mode else 4)), 512, 128,
-                        total=w)
+    tile_w = _pick_tile(
+        h_in_pad * (4 + (x3.dtype.itemsize if u16_mode else 4)), 512, 128,
+        total=w)
     w_pad = _round_up(w, tile_w)
     if h_in_pad != h_in or w_pad != w:
         x3 = jnp.pad(x3, ((0, 0), (0, h_in_pad - h_in), (0, w_pad - w)))

@@ -64,6 +64,8 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     neighbor shard (edge-replicated at the global boundary), using paired
     ppermute shifts over the mesh ring — runs on ICI.
     """
+    if halo == 0:
+        return x
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
 
