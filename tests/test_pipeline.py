@@ -218,3 +218,23 @@ def test_local_tonemap_in_pipeline():
     v = np.full((h // 2, w // 2), 512 << 6, np.uint16)
     out = np.asarray(vp.process((y, u, v)))
     assert np.all((out >= 0) & (out <= 1))
+
+
+def test_video_rect_letterbox():
+    """Placement of the scaled video inside a larger surface with black fill
+    (FillBlack / SetDestinationPosition analogue)."""
+    from videorenderer_tpu.pipeline import VideoProcessor as VP
+    w, h = 32, 16
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=64, height=48, bits=8,
+                           video_rect=(8, 12, 56, 36))  # 48x24 video area
+    vp = VP(Settings(use_dither=False), src, dst)
+    rng = np.random.default_rng(0)
+    out = np.asarray(vp.process((
+        rng.integers(100, 200, (h, w), np.uint8),
+        np.full((h // 2, w // 2), 128, np.uint8),
+        np.full((h // 2, w // 2), 128, np.uint8))))
+    assert out.shape == (3, 48, 64)
+    assert out[:, :12].max() == 0.0 and out[:, 36:].max() == 0.0  # bars
+    assert out[:, 12:36, 8:56].mean() > 0.2  # video content present

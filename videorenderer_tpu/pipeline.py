@@ -132,6 +132,17 @@ class OutputDescriptor:
     height: int
     bits: int = 8            # quantization depth: 8 / 10; 16 = float16 out
     hdr: bool = False        # True: PQ/BT.2020 output (HDR passthrough)
+    # video placement within the surface (IBasicVideo SetDestinationPosition
+    # analogue): the scaled video lands in video_rect (l, t, r, b) and the
+    # rest is filled black (FillBlack, Source/VideoProcessor.h:171-236).
+    video_rect: tuple[int, int, int, int] | None = None
+
+    @property
+    def video_size(self) -> tuple[int, int]:
+        if self.video_rect is None:
+            return self.width, self.height
+        l, t, r, b = self.video_rect
+        return r - l, b - t
 
 
 @dataclass(frozen=True)
@@ -371,13 +382,21 @@ def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
-    """ps_final_pass.hlsl: ordered dither + quantization."""
+    """ps_final_pass.hlsl: ordered dither + quantization, then placement of
+    the video rect into the target surface with black fill (FillBlack)."""
     db = plan.dither_bits
-    if db is None or db == 0:
-        return rgb
-    if db < 0:
-        return dither_ops.quantize(jnp.clip(rgb, 0.0, 1.0), -db)
-    return dither_ops.ordered_dither(jnp.clip(rgb, 0.0, 1.0), db)
+    if db is not None and db != 0:
+        if db < 0:
+            rgb = dither_ops.quantize(jnp.clip(rgb, 0.0, 1.0), -db)
+        else:
+            rgb = dither_ops.ordered_dither(jnp.clip(rgb, 0.0, 1.0), db)
+    rect = plan.dst.video_rect
+    if rect is not None:
+        l, t, r, b = rect
+        surface = jnp.zeros(rgb.shape[:-2] + (plan.dst.height, plan.dst.width),
+                            rgb.dtype)
+        rgb = surface.at[..., t:b, l:r].set(rgb)
+    return rgb
 
 
 def _can_fuse(plan: PipelinePlan) -> bool:
@@ -396,6 +415,8 @@ def _can_fuse(plan: PipelinePlan) -> bool:
     if plan.src_rect is not None:
         l, t, r, b = plan.src_rect
         w, h = r - l, b - t
+    dw, dh = dst.video_size
+    dst = dataclasses.replace(dst, width=dw, height=dh, video_rect=None)
     if s.upscaling == Upscaling.JINC2 and (dst.height > h or dst.width > w) \
             and not (h > 2 * dst.height or w > 2 * dst.width):
         return False
@@ -453,14 +474,15 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
     if plan.src_rect is not None:
         l, t, r, b = plan.src_rect
         src_w, src_h = r - l, b - t
+    vid_w, vid_h = dst.video_size
 
     # luma/full-res axis maps
-    cx = scale_ops.select_scaler(src_w, dst.width, s.upscaling,
+    cx = scale_ops.select_scaler(src_w, vid_w, s.upscaling,
                                  s.downscaling, s.interpolate_at_50pct)
-    cy = scale_ops.select_scaler(src_h, dst.height, s.upscaling,
+    cy = scale_ops.select_scaler(src_h, vid_h, s.upscaling,
                                  s.downscaling, s.interpolate_at_50pct)
-    wx = scale_ops.build_axis_matrix(cx, src_w, dst.width)
-    wy = scale_ops.build_axis_matrix(cy, src_h, dst.height)
+    wx = scale_ops.build_axis_matrix(cx, src_w, vid_w)
+    wy = scale_ops.build_axis_matrix(cy, src_h, vid_h)
 
     blend = (s.deint_blend and src.interlaced and info.subsampling == 420
              and info.cs_type == ColorSystem.YUV)
@@ -535,8 +557,9 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
         if not s.vp_scaling:
             # shader-path order: corrections at source resolution
             rgb = _corrections(plan, rgb)
+        vid_w, vid_h = dst.video_size
         rgb = scale_ops.resize_plane(
-            rgb, dst.height, dst.width,
+            rgb, vid_h, vid_w,
             upscaling=s.upscaling, downscaling=s.downscaling,
             interpolate_at_50pct=s.interpolate_at_50pct)
         if s.vp_scaling:
