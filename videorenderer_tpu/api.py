@@ -107,11 +107,14 @@ class VideoRenderer:
     # -- IExFilterConfig ("Flt_Get*/Flt_Set*") ---------------------------------
 
     def flt_get(self, key: str):
+        if key == "displayedImage":
+            return self.get_displayed_image()
         return {
             "rotation": self._rotation,
             "flip": self._flip,
             "stereo3dTransform": self._stereo3d_transform,
             "statsEnable": self.settings.show_stats,
+            "lessRedraws": getattr(self, "_less_redraws", False),
             "version": __version__,
         }[key]
 
@@ -127,6 +130,9 @@ class VideoRenderer:
         elif key == "statsEnable":
             self.settings = dataclasses.replace(self.settings,
                                                 show_stats=bool(value))
+        elif key == "lessRedraws":
+            self._less_redraws = bool(value)
+            return
         elif key == "cmd_addPostScaleShader":
             self._user_post_fns.append(value)
         elif key == "cmd_addPreScaleShader":

@@ -95,13 +95,16 @@ def _pick_tile(span_bytes_per_row: int, preferred: int, align: int,
 
 
 def _kernel_cols(starts_ref, x_ref, w_ref, o_ref):
-    j = pl.program_id(1)
-    start = pl.multiple_of(starts_ref[j], 128)
+    # all output tiles of this row stripe in one grid step: per-grid-step
+    # overhead dominates small banded dots, so the j loop is unrolled here
+    # with the full weight bands resident in VMEM
     kb = w_ref.shape[1]
-    window = x_ref[:, pl.ds(start, kb)]
-    o_ref[:] = jnp.dot(window, w_ref[0],
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    for j in range(w_ref.shape[0]):
+        start = pl.multiple_of(starts_ref[j], 128)
+        window = x_ref[:, pl.ds(start, kb)]
+        o_ref[:, j * TILE_N:(j + 1) * TILE_N] = jnp.dot(
+            window, w_ref[j], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 def _u16_to_f32(v):
@@ -120,19 +123,14 @@ _CONVERTERS = {jnp.uint16.dtype: _u16_to_f32, jnp.uint8.dtype: _u8_to_f32}
 
 
 def _kernel_cols_u16(starts_ref, x_ref, w_ref, o_ref, xf_ref):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        # convert the integer stripe to f32 once; reused across all j
-        xf_ref[:] = _CONVERTERS[x_ref.dtype](x_ref[:])
-
-    start = pl.multiple_of(starts_ref[j], 128)
+    xf_ref[:] = _CONVERTERS[x_ref.dtype](x_ref[:])
     kb = w_ref.shape[1]
-    window = xf_ref[:, pl.ds(start, kb)]
-    o_ref[:] = jnp.dot(window, w_ref[0],
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    for j in range(w_ref.shape[0]):
+        start = pl.multiple_of(starts_ref[j], 128)
+        window = xf_ref[:, pl.ds(start, kb)]
+        o_ref[:, j * TILE_N:(j + 1) * TILE_N] = jnp.dot(
+            window, w_ref[j], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
@@ -160,7 +158,7 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
     if rows_pad != rows or w_in_pad != w_in:
         x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, w_in_pad - w_in)))
 
-    grid = (rows_pad // tile_r, j_tiles)
+    grid = (rows_pad // tile_r,)
     kernel = _kernel_cols_u16 if u16_mode else _kernel_cols
     scratch = ([pltpu.VMEM((tile_r, w_in_pad), jnp.float32)]
                if u16_mode else [])
@@ -170,14 +168,14 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                # full-width input stripe; constant over the inner j loop so
-                # Pallas streams it once per row tile
-                pl.BlockSpec((tile_r, w_in_pad), lambda i, j, s: (i, 0),
+                pl.BlockSpec((tile_r, w_in_pad), lambda i, s: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kb, TILE_N), lambda i, j, s: (j, 0, 0),
+                # all weight bands stay resident in VMEM
+                pl.BlockSpec((j_tiles, kb, TILE_N), lambda i, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile_r, TILE_N), lambda i, j, s: (i, j),
+            out_specs=pl.BlockSpec((tile_r, j_tiles * TILE_N),
+                                   lambda i, s: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         ),
@@ -190,28 +188,24 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
 
 
 def _kernel_rows(starts_ref, x_ref, w_ref, o_ref):
-    jr = pl.program_id(2)
-    start = pl.multiple_of(starts_ref[jr], 128)
     kb = w_ref.shape[2]
-    window = x_ref[0, pl.ds(start, kb), :]
-    o_ref[0] = jnp.dot(w_ref[0], window,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    for jr in range(w_ref.shape[0]):
+        start = pl.multiple_of(starts_ref[jr], 128)
+        window = x_ref[0, pl.ds(start, kb), :]
+        o_ref[0, jr * TILE_N:(jr + 1) * TILE_N, :] = jnp.dot(
+            w_ref[jr], window, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 def _kernel_rows_u16(starts_ref, x_ref, w_ref, o_ref, xf_ref):
-    jr = pl.program_id(2)
-
-    @pl.when(jr == 0)
-    def _():
-        xf_ref[:] = _CONVERTERS[x_ref.dtype](x_ref[0])
-
-    start = pl.multiple_of(starts_ref[jr], 128)
+    xf_ref[:] = _CONVERTERS[x_ref.dtype](x_ref[0])
     kb = w_ref.shape[2]
-    window = xf_ref[pl.ds(start, kb), :]
-    o_ref[0] = jnp.dot(w_ref[0], window,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    for jr in range(w_ref.shape[0]):
+        start = pl.multiple_of(starts_ref[jr], 128)
+        window = xf_ref[pl.ds(start, kb), :]
+        o_ref[0, jr * TILE_N:(jr + 1) * TILE_N, :] = jnp.dot(
+            w_ref[jr], window, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
@@ -241,7 +235,7 @@ def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
     if h_in_pad != h_in or w_pad != w:
         x3 = jnp.pad(x3, ((0, 0), (0, h_in_pad - h_in), (0, w_pad - w)))
 
-    grid = (l, w_pad // tile_w, jr_tiles)
+    grid = (l, w_pad // tile_w)
     kernel = _kernel_rows_u16 if u16_mode else _kernel_rows
     scratch = ([pltpu.VMEM((h_in_pad, tile_w), jnp.float32)]
                if u16_mode else [])
@@ -252,13 +246,13 @@ def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, h_in_pad, tile_w),
-                             lambda b, wt, jr, s: (b, 0, wt),
+                             lambda b, wt, s: (b, 0, wt),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_N, kb), lambda b, wt, jr, s: (jr, 0, 0),
+                pl.BlockSpec((jr_tiles, TILE_N, kb), lambda b, wt, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, TILE_N, tile_w),
-                                   lambda b, wt, jr, s: (b, jr, wt),
+            out_specs=pl.BlockSpec((1, jr_tiles * TILE_N, tile_w),
+                                   lambda b, wt, s: (b, 0, wt),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         ),
