@@ -320,22 +320,19 @@ def jinc2_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     by, fy = _jinc2_tap_data(h, out_h)
     bx, fx = _jinc2_tap_data(w, out_w)
 
-    # Distances from the sample point to the 16 texel centers, per output px.
-    # dy_j = fy - (j_off), dx_i = fx - (i_off) for offsets -1..2.
+    # Distances from the sample point to the 16 texel centers decompose into
+    # small per-axis 1-D arrays; the (oh, ow) weight fields are computed on
+    # device per tap (baking them as constants would put a ~0.5 GB literal
+    # into the program for a 4K target).
     offs = np.arange(-1, 3)
-    dy = fy[:, None] - offs[None, :]         # (out_h, 4)
-    dx = fx[:, None] - offs[None, :]         # (out_w, 4)
-    d2 = (dy[:, None, :, None] ** 2 + dx[None, :, None, :] ** 2)  # (oh,ow,4,4)
-    d = np.sqrt(d2)
-    wgt = np.where(d == 0.0, wa * wb, np.sin(d * wa) * np.sin(d * wb) / np.where(d2 == 0, 1.0, d2))
-    wgt = wgt / wgt.sum(axis=(-1, -2), keepdims=True)
-    wgt = jnp.asarray(wgt, dtype=x.dtype)    # (oh, ow, 4, 4)
+    dy = jnp.asarray((fy[:, None] - offs[None, :]) ** 2, dtype=x.dtype)  # (oh,4)
+    dx = jnp.asarray((fx[:, None] - offs[None, :]) ** 2, dtype=x.dtype)  # (ow,4)
 
     rows = [np.clip(by + o, 0, h - 1) for o in offs]
     cols = [np.clip(bx + o, 0, w - 1) for o in offs]
 
-    # Gather each of the 16 taps as row/col selections (static indices).
     out = None
+    wsum = None
     center = []
     for jo, r in enumerate(rows):
         xr = jnp.take(x, jnp.asarray(r), axis=-2)
@@ -343,8 +340,15 @@ def jinc2_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
             tap = jnp.take(xr, jnp.asarray(c), axis=-1)  # (..., oh, ow)
             if jo in (1, 2) and io in (1, 2):
                 center.append(tap)
-            term = tap * wgt[..., jo, io]
+            d2 = dy[:, None, jo] + dx[None, :, io]       # (oh, ow)
+            d = jnp.sqrt(d2)
+            wgt = jnp.where(d2 == 0.0, wa * wb,
+                            jnp.sin(d * wa) * jnp.sin(d * wb)
+                            / jnp.where(d2 == 0.0, 1.0, d2))
+            term = tap * wgt
             out = term if out is None else out + term
+            wsum = wgt if wsum is None else wsum + wgt
+    out = out / wsum
 
     # Anti-ringing (JINC2_AR_ENABLE): clamp toward center 2x2 min/max.
     mn = jnp.minimum(jnp.minimum(center[0], center[1]),
