@@ -1,6 +1,7 @@
 """Resizers vs the per-pixel HLSL oracle."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from videorenderer_tpu.config import Downscaling, Upscaling
@@ -121,3 +122,17 @@ def test_jinc2_identity_at_integer_positions():
     x = np.tile(np.arange(16, dtype=np.float64) / 15.0, (8, 1))
     out = np.asarray(scale.jinc2_resize(x, 8, 16))
     np.testing.assert_allclose(out[:, 2:-2], x[:, 2:-2], atol=5e-3)
+
+
+def test_jinc2_phase_path_matches_gather():
+    """Rational-scale phase decomposition == the general gather formulation."""
+    from videorenderer_tpu.ops.scale import _jinc2_phases, _phase_period
+    rng = np.random.default_rng(9)
+    x = rng.random((2, 24, 32)).astype(np.float32)
+    for (oh, ow) in [(48, 64), (36, 48), (24, 32)]:
+        qy, py = _phase_period(24, oh)
+        qx, px = _phase_period(32, ow)
+        assert qy <= 8 and qx <= 8
+        fast = np.asarray(_jinc2_phases(jnp.asarray(x), oh, ow, qy, py, qx, px))
+        slow = np.asarray(scale._jinc2_gather(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(fast, slow, atol=1e-5)

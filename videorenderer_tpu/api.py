@@ -238,17 +238,32 @@ class VideoRenderer:
         self.metrics.render_stats.copy_s = precise_tick() - t0
         self.metrics.input_stats.add(precise_tick())
         t1 = precise_tick()
-        out = self._fn(planes)
-        has_overlay = (self._subpic_queue is not None
-                       or self._alpha_bitmap is not None
-                       or self.settings.show_stats)
-        if has_overlay:
-            out = self._composite_overlays(out, time)
-        out.block_until_ready()
+        try:
+            out = self._run(planes, time)
+        except jax.errors.JaxRuntimeError:
+            # device-lost analogue: rebuild the pipeline once and retry
+            # (the reference's swap-chain re-create on DXGI_ERROR_INVALID_CALL,
+            # Source/DX11VideoProcessor.cpp:2820-2822; failed frames counted
+            # not fatal, m_RenderStats.failed)
+            self.metrics.render_stats.failed += 1
+            self._rebuild()
+            try:
+                out = self._run(planes, time)
+            except jax.errors.JaxRuntimeError:
+                self.metrics.render_stats.failed += 1
+                raise
         self.metrics.render_stats.paint_s = precise_tick() - t1
         self.metrics.draw_stats.frame_drawn()
         self._last_input = planes
         self._last_output = out
+        return out
+
+    def _run(self, planes, time):
+        out = self._fn(planes)
+        if (self._subpic_queue is not None or self._alpha_bitmap is not None
+                or self.settings.show_stats):
+            out = self._composite_overlays(out, time)
+        out.block_until_ready()
         return out
 
     # -- screenshots -----------------------------------------------------------

@@ -304,6 +304,74 @@ def _jinc2_tap_data(in_size: int, out_size: int):
     return base, frac
 
 
+def _phase_period(in_size: int, out_size: int) -> tuple[int, int]:
+    """(q, p): output positions repeat with period q while input steps by p
+    (q = out/gcd, p = in/gcd)."""
+    g = math.gcd(in_size, out_size)
+    return out_size // g, in_size // g
+
+
+def _jinc2_phases(x: jnp.ndarray, out_h: int, out_w: int,
+                  qy: int, py: int, qx: int, px: int) -> jnp.ndarray:
+    """Phase-decomposed Jinc2: for rational scales the fractional position
+    cycles with period (qy, qx), so every phase pair has a *constant* 4x4
+    weight stencil and its taps are static strided slices — gathers become
+    shifted multiply-adds on the VPU (and anti-ringing likewise)."""
+    h, w = x.shape[-2], x.shape[-1]
+    wa = _JINC2_WINDOW_SINC * np.pi
+    wb = _JINC2_SINC * np.pi
+    by, fy = _jinc2_tap_data(h, out_h)
+    bx, fx = _jinc2_tap_data(w, out_w)
+    kh, kw = out_h // qy, out_w // qx
+
+    pad = 4 + max(py, px)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)],
+                 mode="edge")
+
+    def resampler(d2: float) -> float:
+        if d2 == 0.0:
+            return wa * wb
+        d = math.sqrt(d2)
+        return math.sin(d * wa) * math.sin(d * wb) / d2
+
+    rows_out = []
+    for ry in range(qy):
+        cy = int(by[ry])           # base row offset for this phase (k=0)
+        ty = float(fy[ry])
+        cols_out = []
+        for rx in range(qx):
+            cx = int(bx[rx])
+            tx = float(fx[rx])
+            acc = None
+            wsum = 0.0
+            center = []
+            for jo in range(4):
+                for io in range(4):
+                    wgt = resampler((ty - (jo - 1)) ** 2 + (tx - (io - 1)) ** 2)
+                    wsum += wgt
+                    r0 = pad + cy + jo - 1
+                    c0 = pad + cx + io - 1
+                    tap = xp[..., r0:r0 + py * kh:py, c0:c0 + px * kw:px]
+                    if jo in (1, 2) and io in (1, 2):
+                        center.append(tap)
+                    term = tap * jnp.asarray(wgt, x.dtype)
+                    acc = term if acc is None else acc + term
+            out = acc / jnp.asarray(wsum, x.dtype)
+            mn = jnp.minimum(jnp.minimum(center[0], center[1]),
+                             jnp.minimum(center[2], center[3]))
+            mx = jnp.maximum(jnp.maximum(center[0], center[1]),
+                             jnp.maximum(center[2], center[3]))
+            clamped = jnp.clip(out, mn, mx)
+            cols_out.append(out + (clamped - out) * _JINC2_AR_STRENGTH)
+        # interleave the qx column phases
+        col = jnp.stack(cols_out, axis=-1).reshape(cols_out[0].shape[:-1]
+                                                   + (kw * qx,))
+        rows_out.append(col)
+    res = jnp.stack(rows_out, axis=-1)          # (..., kh, W_out, qy)
+    res = jnp.swapaxes(res, -1, -2)             # (..., kh, qy, W_out)
+    return res.reshape(res.shape[:-3] + (kh * qy, kw * qx))
+
+
 def jinc2_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """One-pass 2D Jinc2 resample with anti-ringing
     (Shaders/examples/resizer_onepass_jinc2.hlsl).
@@ -312,7 +380,21 @@ def jinc2_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     neighborhood (d = Euclidean distance in texel units), normalized by the
     weight sum; anti-ringing lerps toward the clamp against the center 2x2
     min/max with strength 0.8.
+
+    For rational scale factors with small phase periods the phase-decomposed
+    fast path (:func:`_jinc2_phases`) replaces the 16 gathers with static
+    strided slices.
     """
+    h, w = x.shape[-2], x.shape[-1]
+    qy, py = _phase_period(h, out_h)
+    qx, px = _phase_period(w, out_w)
+    if qy <= 8 and qx <= 8:
+        return _jinc2_phases(x, out_h, out_w, qy, py, qx, px)
+    return _jinc2_gather(x, out_h, out_w)
+
+
+def _jinc2_gather(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """General (irrational-phase) Jinc2 via per-tap gathers."""
     h, w = x.shape[-2], x.shape[-1]
     wa = _JINC2_WINDOW_SINC * np.pi
     wb = _JINC2_SINC * np.pi
