@@ -177,3 +177,50 @@ def test_lms_matrix_roundtrip_identity():
     pq = jnp.asarray(np.random.default_rng(1).random((3, 2, 2)) * 0.7 + 0.1)
     out = np.asarray(dovi.apply_lms_matrix(pq, meta, axis=0))
     np.testing.assert_allclose(out, np.asarray(pq), atol=1e-5)
+
+
+def test_reshape_dynamic_matches_static():
+    """Runtime-tensor reshape == trace-specialized reshape for mixed
+    poly/MMR curves."""
+    rng = np.random.default_rng(11)
+    coef = np.zeros((2, 3, 7))
+    coef[1, 0, :3] = [0.4, 0.3, 0.2]
+    coef[1, 0, 3:] = [0.05, 0.04, 0.03, 0.02]
+    coef[1, 1, :3] = [0.01, 0.02, 0.03]
+    coef[1, 1, 3:] = [0.001, 0.002, 0.003, 0.004]
+    mixed = dovi.ReshapeCurve(
+        pivots=(0.5,), method=(0, 1),
+        poly=np.array([[0.1, 0.8, 0.05], [0, 1, 0]]),
+        mmr_order=(0, 2), mmr_constant=(0.0, 0.05), mmr_coef=coef)
+    meta = dovi.DoviMetadata(
+        curves=(mixed, dovi.identity_curve(), _poly_curve([(0.0, 0.5, 0.5)])),
+        ycc_to_rgb_matrix=np.eye(3), ycc_to_rgb_offset=np.zeros(3),
+        rgb_to_lms_matrix=np.eye(3))
+    x = jnp.asarray(rng.random((3, 8, 8)))
+    static = np.asarray(dovi.reshape(x, meta, axis=0))
+    packed = {k: jnp.asarray(v) for k, v in dovi.pack_curves(meta).items()}
+    dynamic = np.asarray(dovi.reshape_dynamic(x, packed, axis=0))
+    np.testing.assert_allclose(dynamic, static, atol=1e-6)
+
+
+def test_reshape_dynamic_no_retrace():
+    """Changing curve values must not retrace the jitted function."""
+    import jax
+    meta = dovi.DoviMetadata(
+        curves=(dovi.identity_curve(),) * 3,
+        ycc_to_rgb_matrix=np.eye(3), ycc_to_rgb_offset=np.zeros(3),
+        rgb_to_lms_matrix=np.eye(3))
+    packed = {k: jnp.asarray(v) for k, v in dovi.pack_curves(meta).items()}
+    traces = []
+
+    @jax.jit
+    def fn(x, curves):
+        traces.append(1)
+        return dovi.reshape_dynamic(x, curves, axis=0)
+
+    x = jnp.asarray(np.random.default_rng(0).random((3, 4, 4)))
+    fn(x, packed)
+    packed2 = dict(packed)
+    packed2["poly"] = packed["poly"] * 0.9
+    fn(x, packed2)
+    assert len(traces) == 1

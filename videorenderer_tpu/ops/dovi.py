@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -172,6 +173,88 @@ def reshape(ycc: jnp.ndarray, meta: DoviMetadata, axis: int = -3) -> jnp.ndarray
                     piece_val = _eval_mmr(curve, i, sig)
                 val = jnp.where(idx == i, piece_val, val)
         out.append(jnp.clip(val, 0.0, 1.0))
+    return jnp.stack(out, axis=axis)
+
+
+def pack_curves(meta: DoviMetadata) -> dict:
+    """Pack the three reshape curves into fixed-shape arrays so the reshape
+    can be traced ONCE and fed per-frame/per-scene RPU updates as runtime
+    tensors (no jit retrace when the curve values change — the analogue of
+    the reference updating the DoVi cbuffers per sample,
+    Source/DX11VideoProcessor.cpp:990-1130).
+
+    Shapes (C=3 components, P=8 max pieces, 7 interior pivots):
+      pivots (C,7) padded with +inf; poly (C,P,3); is_mmr (C,P);
+      mmr_const (C,P); mmr_coef (C,P,3,7); mmr_order (C,P)
+    """
+    C, P = 3, 8
+    pivots = np.full((C, 7), np.inf, np.float32)
+    poly = np.zeros((C, P, 3), np.float32)
+    is_mmr = np.zeros((C, P), np.float32)
+    mmr_const = np.zeros((C, P), np.float32)
+    mmr_coef = np.zeros((C, P, 3, 7), np.float32)
+    mmr_order = np.zeros((C, P), np.float32)
+    for c, curve in enumerate(meta.curves):
+        n = curve.num_pieces
+        for i, p in enumerate(curve.pivots):
+            pivots[c, i] = p
+        poly[c, :n] = curve.poly
+        # pieces beyond n: replicate the last piece so the masked select is
+        # always well-defined
+        poly[c, n:] = curve.poly[n - 1]
+        for i in range(n):
+            if curve.method[i] == 1:
+                is_mmr[c, i] = 1.0
+                mmr_const[c, i] = curve.mmr_constant[i]
+                mmr_order[c, i] = curve.mmr_order[i]
+                mmr_coef[c, i] = curve.mmr_coef[i]
+    return {"pivots": pivots, "poly": poly, "is_mmr": is_mmr,
+            "mmr_const": mmr_const, "mmr_coef": mmr_coef,
+            "mmr_order": mmr_order}
+
+
+def reshape_dynamic(ycc: jnp.ndarray, curves: dict, axis: int = -3) -> jnp.ndarray:
+    """Branch-free reshape with *runtime* curve tensors (see
+    :func:`pack_curves`): piece selection by pivot comparisons, polynomial
+    and full order-3 MMR evaluated for every piece and mask-combined.
+    Slightly more FLOPs than the trace-specialized :func:`reshape`, but the
+    program never retraces across RPU updates."""
+    comps = [jnp.take(ycc, i, axis=axis) for i in range(3)]
+    sig = [jnp.clip(c, 0.0, 1.0) for c in comps]
+    s0, s1, s2 = sig
+    lin = jnp.stack([s0, s1, s2], axis=-1)                       # (..., 3)
+    cross = jnp.stack([s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2], axis=-1)
+    out = []
+    for c in range(3):
+        s = sig[c]
+        piv = curves["pivots"][c]                                # (7,)
+        idx = jnp.zeros(s.shape, jnp.int32)
+        for k in range(7):
+            idx = idx + (s >= piv[k]).astype(jnp.int32)
+        onehot = jax.nn.one_hot(idx, 8, dtype=s.dtype)           # (..., 8)
+
+        # polynomial value per piece: c0 + c1*s + c2*s^2
+        pc = curves["poly"][c]                                   # (8, 3)
+        poly_val = (pc[:, 0] + pc[:, 1] * s[..., None]
+                    + pc[:, 2] * s[..., None] ** 2)              # (..., 8)
+
+        # MMR per piece, evaluated to order 3 with order masks
+        mc = curves["mmr_coef"][c]                               # (8, 3, 7)
+        order = curves["mmr_order"][c]                           # (8,)
+        mmr_val = curves["mmr_const"][c][None]                   # (1, 8)
+        lin_j = lin
+        cross_j = cross
+        for j in range(3):
+            if j > 0:
+                lin_j = lin_j * lin
+                cross_j = cross_j * cross
+            term = (jnp.einsum("...k,pk->...p", lin_j, mc[:, j, :3])
+                    + jnp.einsum("...k,pk->...p", cross_j, mc[:, j, 3:]))
+            mmr_val = mmr_val + term * (order > j).astype(s.dtype)
+
+        val = jnp.where(curves["is_mmr"][c] > 0, mmr_val, poly_val)
+        s_out = jnp.sum(val * onehot, axis=-1)
+        out.append(jnp.clip(s_out, 0.0, 1.0))
     return jnp.stack(out, axis=axis)
 
 
