@@ -16,7 +16,7 @@ bookkeeping, and restore-on-close.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 
 from .config import HdrToggleDisplay
 

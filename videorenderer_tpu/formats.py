@@ -36,7 +36,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 from dataclasses import dataclass
-from typing import Callable
+
 
 import numpy as np
 

@@ -11,7 +11,6 @@ when the toolchain or library is unavailable, and
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -21,7 +21,7 @@ target is larger.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ XLA inserts the collectives.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ the collective volume is a few rows per shard per stage.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -120,8 +120,6 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
 
     from jax.experimental.shard_map import shard_map
 
-    nd = None  # placeholder for readability
-    in_specs = tuple(P(*([None] * 0), axis, None) for _ in range(info.num_planes))
     # planes are (..., H, W): shard the H axis (second-to-last)
     def spec_for(ndim):
         parts = [None] * ndim

@@ -32,14 +32,14 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import csputils
-from .config import ChromaScaling, Settings, TexFormat, ToneMapType, Upscaling
+from .config import Settings, Upscaling
 from .csputils import (CSP, ChromaLocation, Colorspace, CSPParams, Levels,
                        Primaries, TRC)
 from .formats import ColorFormat, ColorSystem, FormatInfo, get_format_info
