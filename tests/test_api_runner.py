@@ -226,3 +226,51 @@ def test_api_stats_overlay():
     vr.set_settings(dataclasses.replace(vr.settings, show_stats=True))
     out = np.asarray(vr.process_frame(_nv12_planes(128, 96)))
     assert out.shape == (3, 96, 128)
+
+
+def test_prefetching_source():
+    from videorenderer_tpu.io.raw import PrefetchingSource
+    seen = []
+    src = PrefetchingSource(lambda i: ("batch", i), num_batches=5, depth=2)
+    for item in src:
+        seen.append(item)
+    assert seen == [("batch", i) for i in range(5)]
+
+    def boom(i):
+        if i == 2:
+            raise RuntimeError("io error")
+        return i
+
+    src = PrefetchingSource(boom, num_batches=5)
+    import pytest
+    with pytest.raises(RuntimeError):
+        list(src)
+
+
+def test_subpic_queue_thread_stress():
+    """Concurrent lookups while the worker prerenders — no deadlock/corruption
+    (the race-detection story for the threaded queue)."""
+    import threading
+    from videorenderer_tpu.subtitles import (SubPicQueue, TextEvent,
+                                             TextSubtitleProvider)
+    events = [TextEvent(i * 0.1, i * 0.1 + 0.15, f"e{i}") for i in range(40)]
+    q = SubPicQueue(TextSubtitleProvider(events, size=10), max_ahead=4)
+    errors = []
+
+    def reader(offset):
+        try:
+            for i in range(40):
+                t = offset + i * 0.05
+                for p in q.lookup(t):
+                    assert p.covers(t)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader, args=(k * 0.01,))
+               for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    q.stop()
+    assert not errors

@@ -136,3 +136,36 @@ def test_jinc2_phase_path_matches_gather():
         fast = np.asarray(_jinc2_phases(jnp.asarray(x), oh, ow, qy, py, qx, px))
         slow = np.asarray(scale._jinc2_gather(jnp.asarray(x), oh, ow))
         np.testing.assert_allclose(fast, slow, atol=1e-5)
+
+
+def test_band_diagonals_stencil_matches_matmul():
+    from videorenderer_tpu.ops.scale import (band_diagonals,
+                                             stencil_resize_last_axis,
+                                             stencil_resize_rows)
+    from videorenderer_tpu.ops.chroma import chroma_upsample_matrices
+    from videorenderer_tpu.config import ChromaScaling
+    from videorenderer_tpu.csputils import ChromaLocation
+    # composed chroma-up x downscale at net scale 1 (the 4K->1080p case)
+    ux, uy = chroma_upsample_matrices(64, 32, 420, ChromaScaling.BILINEAR,
+                                      ChromaLocation.MPEG2)
+    wx = scale.upscale_matrix(Upscaling.LANCZOS3, 128, 64)
+    wy = scale.upscale_matrix(Upscaling.LANCZOS3, 64, 32)
+    cwx = ux @ wx
+    cwy = uy @ wy
+    dx = band_diagonals(np.asarray(cwx))
+    dy = band_diagonals(np.asarray(cwy))
+    assert dx is not None and dy is not None
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 32, 64)).astype(np.float32)
+    ref = np.einsum("chw,wW,hH->cHW", x.astype(np.float64), cwx, cwy)
+    got = np.asarray(stencil_resize_rows(
+        stencil_resize_last_axis(jnp.asarray(x), dx), dy))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_band_diagonals_rejects_wide_or_nonsquare():
+    from videorenderer_tpu.ops.scale import band_diagonals
+    assert band_diagonals(np.asarray(scale.upscale_matrix(
+        Upscaling.LANCZOS3, 64, 128))) is None   # non-square
+    wide = np.ones((64, 64))
+    assert band_diagonals(wide) is None          # full band

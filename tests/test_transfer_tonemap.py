@@ -117,3 +117,41 @@ def test_ordered_dither_preserves_mean():
     img = jnp.full((1, 32, 32), 100.4 / 255.0, dtype=jnp.float32)
     out = np.asarray(dither.ordered_dither(img, 8))
     assert abs(out.mean() * 255.0 - 100.4) < 0.05
+
+
+def test_local_tonemap_rt_matches_static():
+    """Runtime-params tone map == static version for every operator."""
+    import jax
+    pq = jnp.asarray(np.random.default_rng(3).random((3, 8, 8)))
+    cases = [
+        dict(mastering_min_nits=0.005, mastering_max_nits=4000.0,
+             max_cll=4000.0, max_fall=1000.0, display_max_nits=600.0),
+        dict(mastering_min_nits=0.0, mastering_max_nits=1000.0,
+             max_cll=500.0, max_fall=200.0, display_max_nits=1000.0),  # bright display
+    ]
+    for prm in cases:
+        p = tonemap.HDRParams(**prm)
+        rt = {k: jnp.asarray(v, jnp.float64) for k, v in prm.items()}
+        for sel in (1, 2, 3, 4, 5, 6):
+            a = np.asarray(tonemap.local_tonemap_pq(pq, sel, p, axis=0))
+            b = np.asarray(tonemap.local_tonemap_pq_rt(pq, sel, rt, axis=0))
+            np.testing.assert_allclose(b, a, atol=2e-5,
+                                       err_msg=f"sel={sel} prm={prm}")
+
+
+def test_local_tonemap_rt_no_retrace():
+    import jax
+    traces = []
+
+    @jax.jit
+    def fn(pq, prm):
+        traces.append(1)
+        return tonemap.local_tonemap_pq_rt(pq, 5, prm, axis=0)
+
+    pq = jnp.asarray(np.random.default_rng(0).random((3, 4, 4)))
+    base = dict(mastering_min_nits=0.005, mastering_max_nits=1000.0,
+                max_cll=1000.0, max_fall=400.0, display_max_nits=800.0)
+    fn(pq, {k: jnp.asarray(v) for k, v in base.items()})
+    base["max_cll"] = 4000.0
+    fn(pq, {k: jnp.asarray(v) for k, v in base.items()})
+    assert len(traces) == 1

@@ -62,6 +62,40 @@ class RawVideoSource:
                      for i in range(len(frames[0].planes)))
 
 
+class PrefetchingSource:
+    """Background-thread batch prefetcher over any batch-producing callable —
+    the host-feed analogue of the decoder thread delivering into Receive():
+    unpacking/disk IO for batch k+1 overlaps device compute on batch k.
+    """
+
+    def __init__(self, produce, num_batches: int, depth: int = 2):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._n = num_batches
+        self._exc = None
+
+        def worker():
+            try:
+                for i in range(num_batches):
+                    self._q.put(produce(i))
+            except Exception as e:  # surfaced on next __next__
+                self._exc = e
+            self._q.put(None)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._exc is not None:
+                    raise self._exc
+                return
+            yield item
+
+
 class RawVideoSink:
     """Write processed (…,3,H,W) float frames to a raw file in RGB8 /
     RGB10 (A2R10G10B10 dwords) / RGB16 — the Present analogue."""

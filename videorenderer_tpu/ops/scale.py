@@ -286,6 +286,83 @@ def resize_plane(x: jnp.ndarray, out_h: int, out_w: int,
 
 
 # ---------------------------------------------------------------------------
+# diagonal-band stencils: same-size narrow-band maps as shifted FMAs
+# ---------------------------------------------------------------------------
+
+
+def band_diagonals(mat: np.ndarray, max_band: int = 16):
+    """For a square matrix whose nonzeros hug the diagonal, return
+    {offset d: weight vector w_d} with w_d[j] = mat[j+d, j]; None if the
+    band exceeds ``max_band`` or the matrix isn't square.
+
+    A map like the composed chroma-upsample x resize at net scale 1 (e.g.
+    4K P010 chroma -> 1080p: 1920->1920) has band ~8; as a 128-aligned MXU
+    window it would waste 16-32x of the FLOPs, while as shifted multiply-adds
+    it is a handful of fused VPU ops."""
+    n, m = mat.shape
+    if n != m:
+        return None
+    nz_r, nz_c = np.nonzero(mat)
+    if len(nz_r) == 0:
+        return None
+    d = nz_r - nz_c
+    if d.max() - d.min() + 1 > max_band:
+        return None
+    diags = {}
+    for off in range(int(d.min()), int(d.max()) + 1):
+        w = np.zeros(m, mat.dtype)
+        j0 = max(0, -off)
+        j1 = min(m, n - off)
+        idx = np.arange(j0, j1)
+        w[idx] = mat[idx + off, idx]
+        if np.any(w):
+            diags[off] = w
+    return diags
+
+
+def stencil_resize_last_axis(x: jnp.ndarray, diags: dict,
+                             dtype=jnp.float32) -> jnp.ndarray:
+    """out[..., j] = sum_d x[..., j+d] * w_d[j] (zero beyond the edge —
+    the matrix already folded clamping into its edge weights)."""
+    n = x.shape[-1]
+    xf = x.astype(dtype)
+    out = None
+    for off, w in diags.items():
+        if off == 0:
+            term = xf * jnp.asarray(w, dtype)
+        elif off > 0:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, off)]
+            shifted = jnp.pad(xf[..., off:], pad)
+            term = shifted * jnp.asarray(w, dtype)
+        else:
+            pad = [(0, 0)] * (x.ndim - 1) + [(-off, 0)]
+            shifted = jnp.pad(xf[..., :off], pad)
+            term = shifted * jnp.asarray(w, dtype)
+        out = term if out is None else out + term
+    return out
+
+
+def stencil_resize_rows(x: jnp.ndarray, diags: dict,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """Row-axis version of :func:`stencil_resize_last_axis`."""
+    n = x.shape[-2]
+    xf = x.astype(dtype)
+    out = None
+    for off, w in diags.items():
+        wv = jnp.asarray(w, dtype)[:, None]
+        if off == 0:
+            term = xf * wv
+        elif off > 0:
+            pad = [(0, 0)] * (x.ndim - 2) + [(0, off), (0, 0)]
+            term = jnp.pad(xf[..., off:, :], pad) * wv
+        else:
+            pad = [(0, 0)] * (x.ndim - 2) + [(-off, 0), (0, 0)]
+            term = jnp.pad(xf[..., :off, :], pad) * wv
+        out = term if out is None else out + term
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Jinc2 (one-pass 2D, non-separable) with anti-ringing
 # ---------------------------------------------------------------------------
 

@@ -266,6 +266,106 @@ def dolby_vision_trims(linear: jnp.ndarray, t: DoviTrims, axis: int = -1,
     return color if pq_input else st2084_to_linear(color, 10000.0)
 
 
+def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
+                        trims: DoviTrims | None = None,
+                        axis: int = -1) -> jnp.ndarray:
+    """Runtime-parameter variant of :func:`local_tonemap_pq`: the HDR10
+    luminance metadata arrives as traced scalars (keys mastering_min_nits /
+    mastering_max_nits / max_cll / max_fall / display_max_nits), so per-title
+    or per-scene metadata changes never retrace.  All Python branches of the
+    static version become jnp.where masks; the operator ``selection`` stays
+    static (different math).
+    """
+    def enc(v):
+        return linear_to_st2084(v, 10000.0)
+
+    def dec(v):
+        return st2084_to_linear(v, 10000.0)
+
+    mmin = jnp.asarray(p["mastering_min_nits"], pq_rgb.dtype)
+    mmax = jnp.asarray(p["mastering_max_nits"], pq_rgb.dtype)
+    mcll = jnp.asarray(p["max_cll"], pq_rgb.dtype)
+    mfall = jnp.asarray(p["max_fall"], pq_rgb.dtype)
+    disp = jnp.asarray(p["display_max_nits"], pq_rgb.dtype)
+
+    color = dec(pq_rgb)
+    if trims is not None and trims.l2_enabled:
+        color = dolby_vision_trims(color, trims, axis=axis)
+
+    if selection == 5:  # BT.2390
+        safe = jnp.where(mcll > 10.0, mcll, jnp.where(mmax > 10.0, mmax, 1000.0))
+        avg = _luma(color, axis)
+        max_pq = enc(safe)
+        target_pq = enc(disp)
+        ks = jnp.maximum(0.0, 1.5 * target_pq - 0.5 * max_pq)
+        e1 = enc(avg)
+        t = (e1 - ks) / jnp.maximum(1e-6, max_pq - ks)
+        t2, t3 = t * t, t * t * t
+        e2s = ((2 * t3 - 3 * t2 + 1) * ks + (t3 - 2 * t2 + t) * (max_pq - ks)
+               + (-2 * t3 + 3 * t2) * target_pq)
+        e2 = jnp.where(e1 > ks, e2s, e1)
+        mapped = dec(e2)
+        scale = jnp.where(avg <= 1e-6, 1.0, mapped / jnp.maximum(avg, 1e-6))
+        mapped_rgb = color * scale
+        out = jnp.where(disp >= safe, color, mapped_rgb)
+        return enc(out)
+
+    if selection == 6:  # ST 2094-10
+        def sstep(e0, e1v, x):
+            t = jnp.clip((x - e0) / (e1v - e0), 0.0, 1.0)
+            return t * t * (3.0 - 2.0 * t)
+
+        def lerp(a, b, t):
+            return a + (b - a) * t
+
+        src_min, src_max = enc(mmin), enc(mcll)
+        src_avg = enc(mfall)
+        dst_min, dst_max = enc(jnp.zeros_like(disp)), enc(disp)
+        mk, xk, dk, ka = 0.1, 0.8, 0.4, 0.4
+        skn, skx = lerp(src_min, src_max, mk), lerp(src_min, src_max, xk)
+        dkn, dkx = lerp(dst_min, dst_max, mk), lerp(dst_min, dst_max, xk)
+        src_knee = jnp.where(mfall > 0.0, src_avg, lerp(src_min, src_max, dk))
+        src_knee = jnp.clip(src_knee, skn, skx)
+        target = (src_knee - src_min) / (src_max - src_min)
+        adapted = lerp(dst_min, dst_max, target)
+        tuning = 1.0 - sstep(xk, dk, target) * sstep(mk, dk, target)
+        adaptation = lerp(ka, 1.0, tuning)
+        dst_knee = jnp.clip(lerp(src_knee, adapted, adaptation), dkn, dkx)
+        x1, x2, x3 = mmin, dec(src_knee), mcll
+        y1, y2, y3 = jnp.zeros_like(disp), dec(dst_knee), disp
+        m00 = x2 * x3 * (y2 - y3)
+        m01 = x1 * x3 * (y3 - y1)
+        m02 = x1 * x2 * (y1 - y2)
+        m10 = x3 * y3 - x2 * y2
+        m11 = x1 * y1 - x3 * y3
+        m12 = x2 * y2 - x1 * y1
+        m20, m21, m22 = x3 - x2, x1 - x3, x2 - x1
+        k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1)
+                   + x1 * y1 * (x2 - x3))
+        c1 = k * (m00 * y1 + m01 * y2 + m02 * y3)
+        c2 = k * (m10 * y1 + m11 * y2 + m12 * y3)
+        c3 = k * (m20 * y1 + m21 * y2 + m22 * y3)
+        xn = _luma(color, axis)
+        yn = (c1 + c2 * xn) / (1.0 + c3 * xn)
+        scale = jnp.where(xn > 0.0, yn / jnp.maximum(xn, 1e-9), 1.0)
+        out = jnp.where(disp >= mcll, color, color * scale)
+        return enc(out)
+
+    base = jnp.maximum(disp, mmax)
+    eff = jnp.minimum(base, mcll)
+    fall_adj = jnp.minimum(base / jnp.maximum(mfall, 1e-6), 1.0)
+    c = jnp.clip(color / eff, 0.0, 1.0) * fall_adj
+    if selection == 2:
+        c = reinhard(c)
+    elif selection == 3:
+        c = habel(c)
+    elif selection == 4:
+        c = c / (1.0 + c / (disp + 1e-6))
+    else:
+        c = aces_film(c)
+    return linear_to_st2084(c * disp, 10000.0)
+
+
 def local_tonemap_pq(pq_rgba: jnp.ndarray, selection: int, p: HDRParams,
                      trims: DoviTrims | None = None, axis: int = -1) -> jnp.ndarray:
     """Full ps_hdr10_tonemap main() (ps_hdr10_tonemap.hlsl:265-331):

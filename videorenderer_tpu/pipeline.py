@@ -429,6 +429,10 @@ def _fused_apply2d(x_raw, mx, my, use_pallas: bool, norm: float, dtype):
     matmul's weights so the integer data streams straight from HBM."""
     from .kernels import resize_pallas as rp
 
+    # Note: a shifted-FMA "stencil" form for narrow diagonal bands
+    # (ops/scale.band_diagonals) was benchmarked here and LOST to the banded
+    # MXU kernel (658 vs 891 f/s on the headline chain) — XLA re-reads the
+    # full plane per tap; the kernel streams the stripe once.
     if use_pallas:
         if mx is not None:
             x = rp.banded_resize_last_axis(x_raw, np.asarray(mx, np.float32),
