@@ -76,3 +76,49 @@ def test_src_rect_crop():
     out2 = np.asarray(vp2.process((y[8:24, 16:48], u[4:12, 8:24],
                                    v[4:12, 8:24])))
     np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_serving_fn_runtime_metadata():
+    """One compiled serving program handles changing DoVi curves and HDR10
+    metadata without retracing."""
+    import jax
+    import jax.numpy as jnp
+    from videorenderer_tpu.config import ToneMapType
+    from videorenderer_tpu.pipeline import make_serving_fn, HDR10Metadata
+
+    meta = _identity_meta()
+    src = SourceDescriptor(format=ColorFormat.P010, width=32, height=16,
+                           transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                           matrix=CSP.BT_2020_NC, dovi=meta,
+                           hdr10=HDR10Metadata())
+    dst = OutputDescriptor(width=32, height=16, bits=10, hdr=True)
+    st = Settings(convert_to_sdr=False, hdr_passthrough=True,
+                  hdr_local_tone_mapping=True,
+                  hdr_local_tone_mapping_type=ToneMapType.BT2390,
+                  hdr_display_max_nits=600)
+    plan = plan_pipeline(st, src, dst)
+    assert plan.local_tonemap and plan.dovi is meta
+
+    traces = []
+
+    def raw(planes, rt):
+        traces.append(1)
+        return make_serving_fn(plan)(planes, rt)
+
+    fn = jax.jit(raw)
+    y = np.full((16, 32), 600 << 6, np.uint16)
+    u = np.full((8, 16), 512 << 6, np.uint16)
+    v = np.full((8, 16), 512 << 6, np.uint16)
+    curves = {k: jnp.asarray(vv) for k, vv in dovi_ops.pack_curves(meta).items()}
+    hdr = {k: jnp.asarray(vv, jnp.float32) for k, vv in dict(
+        mastering_min_nits=0.005, mastering_max_nits=1000.0,
+        max_cll=1000.0, max_fall=400.0, display_max_nits=600.0).items()}
+    o1 = fn((y, u, v), {"dovi_curves": curves, "hdr": hdr})
+    # new scene: different curves + metadata, same program
+    curves2 = dict(curves)
+    curves2["poly"] = curves["poly"] * 0.95
+    hdr2 = dict(hdr)
+    hdr2["max_cll"] = jnp.asarray(4000.0, jnp.float32)
+    o2 = fn((y, u, v), {"dovi_curves": curves2, "hdr": hdr2})
+    assert len(traces) == 1
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))

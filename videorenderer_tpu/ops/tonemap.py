@@ -241,8 +241,8 @@ def apply_l2_trim(rgb_nits: jnp.ndarray, t: DoviTrims, axis: int = -1) -> jnp.nd
     i, ct, cp = jnp.split(ictcp, 3, axis=axis)
     orig_i = i
     i = jnp.maximum(i * t.trim_slope + t.trim_offset, 0.0)
-    i = jnp.power(i, max(t.trim_power, 0.1))
-    sat = max(t.saturation_gain, 0.0)
+    i = jnp.power(i, jnp.maximum(t.trim_power, 0.1))
+    sat = jnp.maximum(t.saturation_gain, 0.0)
     hw = jnp.clip(orig_i * 2.0, 0.0, 1.0)
     eff = sat + (1.0 - sat) * hw * (1.0 - t.chroma_weight)
     ct = ct * eff

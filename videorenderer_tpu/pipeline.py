@@ -275,7 +275,7 @@ def _crop_planes(plan: PipelinePlan, planes):
 
 
 def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
-                   dtype=jnp.float32) -> jnp.ndarray:
+                   dtype=jnp.float32, rt_curves: dict | None = None) -> jnp.ndarray:
     """ConvertColorPass analogue: normalize, chroma upsample, 3x3 matrix.
     Returns (..., 3, H, W)."""
     info = plan.info
@@ -303,7 +303,10 @@ def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
         # DoVi reshape on the raw ycc signal before the matrix
         # (ShaderGetPixels -> ShaderDoviReshape, Source/Shaders.cpp:809-817)
         from .ops import dovi as dovi_ops
-        comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
+        if rt_curves is not None:
+            comps = dovi_ops.reshape_dynamic(comps, rt_curves, axis=-3)
+        else:
+            comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
 
     if plan.apply_matrix:
         m = jnp.asarray(plan.cmat_m, dtype)
@@ -570,6 +573,48 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
             rgb = _corrections(plan, rgb)
         if plan.local_tonemap:
             rgb = _local_tonemap(plan, rgb)
+        return _final_pass(plan, rgb)
+
+    return fn
+
+
+def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
+    """Serving-mode pipeline: ONE compiled program that takes per-frame
+    runtime metadata alongside the planes, so title/scene changes never
+    retrace (the reference analogously re-uploads cbuffers per sample
+    rather than recompiling shaders):
+
+      fn(planes, rt) with optional rt keys:
+        "hdr"         — dict of HDR10 scalars for the local tone map
+                        (see ops.tonemap.local_tonemap_pq_rt)
+        "dovi_curves" — packed reshape tensors (ops.dovi.pack_curves)
+
+    The plan decides *which* stages exist (static); rt supplies their
+    parameters (dynamic).
+    """
+    s = plan.settings
+    dst = plan.dst
+
+    def fn(planes, rt):
+        rgb = _convert_color(plan, planes, dtype,
+                             rt_curves=rt.get("dovi_curves"))
+        if not s.vp_scaling:
+            rgb = _corrections(plan, rgb)
+        vid_w, vid_h = dst.video_size
+        rgb = scale_ops.resize_plane(
+            rgb, vid_h, vid_w,
+            upscaling=s.upscaling, downscaling=s.downscaling,
+            interpolate_at_50pct=s.interpolate_at_50pct)
+        if s.vp_scaling:
+            rgb = _corrections(plan, rgb)
+        if plan.local_tonemap:
+            hdr = rt.get("hdr")
+            if hdr is not None:
+                rgb = tonemap_ops.local_tonemap_pq_rt(
+                    rgb, int(s.hdr_local_tone_mapping_type), hdr,
+                    trims=plan.dovi_trims, axis=-3)
+            else:
+                rgb = _local_tonemap(plan, rgb)
         return _final_pass(plan, rgb)
 
     return fn
