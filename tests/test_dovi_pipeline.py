@@ -122,3 +122,40 @@ def test_serving_fn_runtime_metadata():
     o2 = fn((y, u, v), {"dovi_curves": curves2, "hdr": hdr2})
     assert len(traces) == 1
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_serving_fn_runtime_procamp():
+    """Runtime ProcAmp: the color matrix arrives as tensors; saturation
+    change flows through without retrace."""
+    import jax
+    import jax.numpy as jnp
+    from videorenderer_tpu.pipeline import make_serving_fn
+    from videorenderer_tpu.csputils import (CSPParams, Colorspace, Levels,
+                                            get_csp_matrix)
+
+    src = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=32, height=16, bits=8)
+    plan = plan_pipeline(Settings(use_dither=False), src, dst)
+    traces = []
+
+    def raw(planes, rt):
+        traces.append(1)
+        return make_serving_fn(plan)(planes, rt)
+
+    fn = jax.jit(raw)
+    rng = np.random.default_rng(0)
+    planes = (rng.integers(0, 256, (16, 32), np.uint8),
+              rng.integers(0, 256, (8, 16), np.uint8),
+              rng.integers(0, 256, (8, 16), np.uint8))
+
+    def cmat(sat):
+        cm = get_csp_matrix(CSPParams(
+            color=Colorspace(CSP.BT_709, Levels.TV), saturation=sat))
+        return {"m": jnp.asarray(cm.m), "c": jnp.asarray(cm.c)}
+
+    a = np.asarray(fn(planes, {"cmat": cmat(1.0)}))
+    b = np.asarray(fn(planes, {"cmat": cmat(0.0)}))   # grayscale
+    assert len(traces) == 1
+    np.testing.assert_allclose(b[0], b[1], atol=1e-5)  # desaturated: R==G
+    assert np.abs(a - b).max() > 0.01

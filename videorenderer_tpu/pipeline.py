@@ -275,7 +275,8 @@ def _crop_planes(plan: PipelinePlan, planes):
 
 
 def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
-                   dtype=jnp.float32, rt_curves: dict | None = None) -> jnp.ndarray:
+                   dtype=jnp.float32, rt_curves: dict | None = None,
+                   rt_cmat: dict | None = None) -> jnp.ndarray:
     """ConvertColorPass analogue: normalize, chroma upsample, 3x3 matrix.
     Returns (..., 3, H, W)."""
     info = plan.info
@@ -309,8 +310,14 @@ def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
             comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
 
     if plan.apply_matrix:
-        m = jnp.asarray(plan.cmat_m, dtype)
-        c = jnp.asarray(plan.cmat_c, dtype)
+        if rt_cmat is not None:
+            # runtime ProcAmp path: matrix as traced tensors (the reference
+            # updates the cbuffer per IMFVideoProcessor ProcAmp change)
+            m = jnp.asarray(rt_cmat["m"], dtype)
+            c = jnp.asarray(rt_cmat["c"], dtype)
+        else:
+            m = jnp.asarray(plan.cmat_m, dtype)
+            c = jnp.asarray(plan.cmat_c, dtype)
         # per-pixel 3-vector FMA on the VPU (cm_r/cm_g/cm_b/cm_c cbuffer,
         # Source/Shaders.cpp:819-820)
         yc = comps[..., 0, :, :]
@@ -520,9 +527,9 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
         else:
             if info.cs_type == ColorSystem.YUV:
                 y = app(planes[0], wx, wy_luma)
-                u = app(planes[1], cwx, cwy)
-                v = app(planes[2], cwx, cwy)
-                comps = (y, u, v)
+                # U and V share matrices: one kernel invocation for both
+                uv = app(jnp.stack([planes[1], planes[2]]), cwx, cwy)
+                comps = (y, uv[0], uv[1])
             else:
                 comps = tuple(app(p, wx, wy) for p in planes)
             if plan.apply_matrix:
@@ -588,6 +595,8 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
         "hdr"         — dict of HDR10 scalars for the local tone map
                         (see ops.tonemap.local_tonemap_pq_rt)
         "dovi_curves" — packed reshape tensors (ops.dovi.pack_curves)
+        "cmat"        — {"m": (3,3), "c": (3,)} color-matrix override for
+                        runtime ProcAmp (brightness/contrast/hue/saturation)
 
     The plan decides *which* stages exist (static); rt supplies their
     parameters (dynamic).
@@ -597,7 +606,8 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
 
     def fn(planes, rt):
         rgb = _convert_color(plan, planes, dtype,
-                             rt_curves=rt.get("dovi_curves"))
+                             rt_curves=rt.get("dovi_curves"),
+                             rt_cmat=rt.get("cmat"))
         if not s.vp_scaling:
             rgb = _corrections(plan, rgb)
         vid_w, vid_h = dst.video_size
