@@ -527,9 +527,11 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
         else:
             if info.cs_type == ColorSystem.YUV:
                 y = app(planes[0], wx, wy_luma)
-                # U and V share matrices: one kernel invocation for both
-                uv = app(jnp.stack([planes[1], planes[2]]), cwx, cwy)
-                comps = (y, uv[0], uv[1])
+                # (stacking U+V into one kernel call was tried: the stack
+                # copy costs more than the saved dispatch — keep separate)
+                u = app(planes[1], cwx, cwy)
+                v = app(planes[2], cwx, cwy)
+                comps = (y, u, v)
             else:
                 comps = tuple(app(p, wx, wy) for p in planes)
             if plan.apply_matrix:
