@@ -274,3 +274,49 @@ def test_subpic_queue_thread_stress():
         t.join(timeout=30)
     q.stop()
     assert not errors
+
+
+def test_superres_in_renderer():
+    import jax
+    from videorenderer_tpu.models import superres
+    from videorenderer_tpu.config import SuperResolution
+
+    cfg = superres.SuperResConfig(channels=8, num_blocks=1, scale=2)
+    params = superres.init_params(jax.random.PRNGKey(0), cfg)
+    vr = VideoRenderer(Settings(vp_superres=SuperResolution.P1080,
+                                use_dither=False))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=64, height=32, bits=8)
+    vr.open(src, dst)
+    vr.set_superres_params(params, cfg)
+    assert vr._superres_engaged()
+    out = np.asarray(vr.process_frame(_nv12_planes(32, 16)))
+    assert out.shape == (3, 32, 64)
+    # disabling the gate falls back to the separable upscaler
+    import dataclasses
+    vr.set_settings(dataclasses.replace(vr.settings,
+                                        vp_superres=SuperResolution.DISABLE))
+    assert not vr._superres_engaged()
+    out2 = np.asarray(vr.process_frame(_nv12_planes(32, 16)))
+    assert out2.shape == (3, 32, 64)
+    assert np.abs(out - out2).max() > 1e-4  # different upscalers
+
+
+def test_videohdr_in_renderer():
+    import jax
+    from videorenderer_tpu.models import videohdr
+
+    cfg = videohdr.VideoHDRConfig(channels=8)
+    params = videohdr.init_params(jax.random.PRNGKey(0), cfg)
+    vr = VideoRenderer(Settings(vp_rtx_video_hdr=True, hdr_passthrough=True,
+                                convert_to_sdr=False, use_dither=False))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=32, height=16, bits=10, hdr=True)
+    vr.open(src, dst)
+    vr.set_videohdr_params(params, cfg)
+    assert vr._videohdr_engaged()
+    out = np.asarray(vr.process_frame(_nv12_planes(32, 16)))
+    assert out.shape == (3, 16, 32)
+    assert np.all((out >= 0) & (out <= 1))

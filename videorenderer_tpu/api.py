@@ -58,6 +58,8 @@ class VideoRenderer:
         self._last_output = None
         self._subpic_queue = None          # subtitles.SubPicQueue(-NoThread)
         self._alpha_bitmap = None          # (rgb (3,h,w), alpha (h,w), x, y)
+        self._superres = None              # (params, SuperResConfig)
+        self._videohdr = None              # (params, VideoHDRConfig)
         self.metrics = Metrics()
 
     # -- IVideoRenderer -------------------------------------------------------
@@ -152,15 +154,86 @@ class VideoRenderer:
 
     # -- media type / processing ----------------------------------------------
 
+    def set_superres_params(self, params, cfg=None) -> None:
+        """Load weights for the learned upscaler (the SuperRes slot,
+        Source/D3D11VP.cpp:712-844).  Engages when ``Settings.vp_superres``
+        gates allow it and the target is exactly the model's scale factor;
+        it then *replaces* the separable upscaler like the vendor block
+        replaces VP scaling."""
+        from .models.superres import SuperResConfig
+        self._superres = None if params is None else (params,
+                                                      cfg or SuperResConfig())
+        if self._src is not None:
+            self._rebuild()
+
+    def set_videohdr_params(self, params, cfg=None) -> None:
+        """Load weights for learned SDR->HDR (the RTX Video HDR slot,
+        Source/D3D11VP.cpp:846-891); engages per ``vp_rtx_video_hdr`` on
+        8-bit SDR sources with an HDR output."""
+        from .models.videohdr import VideoHDRConfig
+        self._videohdr = None if params is None else (params,
+                                                      cfg or VideoHDRConfig())
+        if self._src is not None:
+            self._rebuild()
+
     def open(self, src: SourceDescriptor, dst: OutputDescriptor) -> None:
         """SetMediaType + InitMediaType + InitSwapChain analogue."""
         self._src = src
         self._dst = dst
         self._rebuild()
 
+    def _superres_engaged(self) -> bool:
+        from .models.superres import superres_engages
+        if self._superres is None:
+            return False
+        params, cfg = self._superres
+        s = cfg.scale
+        return (superres_engages(self.settings.vp_superres,
+                                 self._src.width, self._src.height,
+                                 self._dst.width, self._dst.height)
+                and self._dst.width == self._src.width * s
+                and self._dst.height == self._src.height * s)
+
+    def _videohdr_engaged(self) -> bool:
+        from .formats import get_format_info
+        info = get_format_info(self._src.format)
+        return (self._videohdr is not None
+                and self.settings.vp_rtx_video_hdr
+                and self._dst.hdr
+                and info.depth == 8
+                and not self._src.is_hdr)
+
     def _rebuild(self) -> None:
-        self._plan = plan_pipeline(self.settings, self._src, self._dst)
+        import dataclasses as _dc
+        from .pipeline import OutputDescriptor as _OD
+
+        src, dst = self._src, self._dst
+        sr_engaged = self._superres_engaged()
+        hdr_engaged = self._videohdr_engaged()
+        if sr_engaged:
+            # the model replaces the separable upscaler: pipeline runs 1:1,
+            # the net performs the 2x expansion
+            dst = _dc.replace(dst, width=src.width, height=src.height)
+        if hdr_engaged:
+            # deliver SDR RGB from the pipeline; the net produces PQ/2020
+            dst = _dc.replace(dst, hdr=False)
+        self._plan = plan_pipeline(self.settings, src, dst)
         base = make_frame_fn(self._plan)
+        if sr_engaged or hdr_engaged:
+            inner = base
+            sr = self._superres
+            vh = self._videohdr
+
+            def base(planes, _inner=inner, _sr=sr, _vh=vh,
+                     _sr_on=sr_engaged, _hdr_on=hdr_engaged):
+                rgb = _inner(planes)
+                if _sr_on:
+                    from .models.superres import enhance_plane_chw
+                    rgb = enhance_plane_chw(_sr[0], rgb, _sr[1])
+                if _hdr_on:
+                    from .models.videohdr import enhance_plane_chw as vh_apply
+                    rgb = vh_apply(_vh[0], rgb, _vh[1])
+                return rgb
         rotation, flip = self._rotation, self._flip
         stereo = self._stereo3d_transform
         pre = tuple(self._user_pre_fns)
