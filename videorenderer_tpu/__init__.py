@@ -17,15 +17,18 @@ from .config import (ChromaScaling, Deinterlacing, Downscaling, Settings,
 from .csputils import CSP, ChromaLocation, Levels, Primaries, TRC
 from .formats import ColorFormat, PlanarFrame, get_format_info, unpack_frame
 from .pipeline import (HDR10Metadata, OutputDescriptor, SourceDescriptor,
-                       VideoProcessor, plan_pipeline)
+                       VideoProcessor, make_frame_fn, make_serving_fn,
+                       plan_pipeline)
 
 __version__ = "0.1.0"
+
+from .api import VideoRenderer  # noqa: E402  (needs __version__ above)
 
 __all__ = [
     "CSP", "ChromaLocation", "ChromaScaling", "ColorFormat", "Deinterlacing",
     "Downscaling", "HDR10Metadata", "Levels", "OutputDescriptor",
     "PlanarFrame", "Primaries", "Settings", "SourceDescriptor",
     "SuperResolution", "SwapEffect", "TRC", "TexFormat", "ToneMapType",
-    "Upscaling", "VideoProcessor", "get_format_info", "plan_pipeline",
-    "unpack_frame",
+    "Upscaling", "VideoProcessor", "VideoRenderer", "get_format_info",
+    "make_frame_fn", "make_serving_fn", "plan_pipeline", "unpack_frame",
 ]

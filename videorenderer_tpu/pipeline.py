@@ -86,8 +86,10 @@ class SourceDescriptor:
     # source crop rectangle (left, top, right, bottom) — the IBasicVideo
     # SetSourcePosition analogue; None = full frame
     src_rect: tuple[int, int, int, int] | None = None
-    # ProcAmp (IMFVideoProcessor, Source/VideoProcessor.cpp:334-403)
-    brightness: float = 0.0   # -1..1 (reference: -100..100 /255... see below)
+    # ProcAmp (IMFVideoProcessor, Source/VideoProcessor.cpp:334-403);
+    # brightness here is the reference's DXVA2 fixed-point value already
+    # divided by 255 (SetShaderConvertColorParams, DX11VideoProcessor.cpp:839)
+    brightness: float = 0.0   # -1..1
     contrast: float = 1.0
     hue_deg: float = 0.0
     saturation: float = 1.0
