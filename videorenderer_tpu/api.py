@@ -91,12 +91,13 @@ class VideoRenderer:
         lines.append(f"Device: {jax.devices()[0]}")
         lines.append(f"Backend: {jax.default_backend()} "
                      f"({len(jax.devices())} device(s))")
-        if self._src:
-            info = get_format_info(self._src.format)
-            lines.append(f"Input: {info.name} {self._src.width}x{self._src.height}"
-                         f" matrix={self._src.matrix.name}"
-                         f" primaries={self._src.primaries.name}"
-                         f" transfer={self._src.transfer.name}")
+        if self._plan:
+            psrc = self._plan.src  # post-SpecifyExtendedFormat values
+            info = get_format_info(psrc.format)
+            lines.append(f"Input: {info.name} {psrc.width}x{psrc.height}"
+                         f" matrix={psrc.matrix.name}"
+                         f" primaries={psrc.primaries.name}"
+                         f" transfer={psrc.transfer.name}")
         if self._dst:
             lines.append(f"Output: {self._dst.width}x{self._dst.height}"
                          f" {self._dst.bits}-bit hdr={self._dst.hdr}")
