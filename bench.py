@@ -41,9 +41,9 @@ from videorenderer_tpu.pipeline import HDR10Metadata
 
 W, H = 3840, 2160
 OW, OH = 1920, 1080
-BATCH = 32
+BATCH = 64
 WARMUP = 2
-ITERS = 6
+ITERS = 4
 BASELINE_FPS = 600.0
 
 
