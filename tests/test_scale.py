@@ -169,3 +169,13 @@ def test_band_diagonals_rejects_wide_or_nonsquare():
         Upscaling.LANCZOS3, 64, 128))) is None   # non-square
     wide = np.ones((64, 64))
     assert band_diagonals(wide) is None          # full band
+
+
+def test_lanczos3_reference_bug_compat():
+    """The compat switch reproduces the reference's duplicated Q0/Q1 tap
+    (ps_interpolation_lanczos3.hlsl samples pos-1.5 twice)."""
+    fixed = scale.upscale_matrix(Upscaling.LANCZOS3, 16, 40)
+    buggy = scale.upscale_matrix(Upscaling.LANCZOS3, 16, 40,
+                                 reference_bug_compat=True)
+    assert not np.allclose(fixed, buggy)
+    np.testing.assert_allclose(buggy.sum(axis=0), 1.0, atol=1e-9)

@@ -102,9 +102,27 @@ class VideoRenderer:
             lines.append(f"Output: {self._dst.width}x{self._dst.height}"
                          f" {self._dst.bits}-bit hdr={self._dst.hdr}")
         if self._plan:
-            lines.append(f"ConvertToSDR: {self._plan.convert_to_sdr}; "
-                         f"HLG->PQ: {self._plan.hlg_to_pq}; "
-                         f"LocalToneMap: {self._plan.local_tonemap}")
+            p = self._plan
+            s = p.settings
+            from .pipeline import _can_fuse
+            lines.append(f"ConvertToSDR: {p.convert_to_sdr}; "
+                         f"HLG->PQ: {p.hlg_to_pq}; "
+                         f"LocalToneMap: {p.local_tonemap}; "
+                         f"DolbyVision: {p.dovi is not None}")
+            lines.append(f"Chroma scaling: {s.chroma_scaling.name}; "
+                         f"Upscaling: {s.upscaling.name}; "
+                         f"Downscaling: {s.downscaling.name}; "
+                         f"Dither: {'ordered' if s.use_dither else 'round'}")
+            path = "fused linear-prefix" if _can_fuse(p) else "staged"
+            backend = ("Pallas banded kernels" if s.use_accel_backend
+                       and jax.default_backend() == "tpu" else "XLA dense")
+            lines.append(f"Pipeline: {path}; resampling backend: {backend}")
+            if self._superres is not None:
+                lines.append(f"SuperRes model: loaded "
+                             f"(engaged: {self._superres_engaged()})")
+            if self._videohdr is not None:
+                lines.append(f"VideoHDR model: loaded "
+                             f"(engaged: {self._videohdr_engaged()})")
         return "\n".join(lines)
 
     # -- IExFilterConfig ("Flt_Get*/Flt_Set*") ---------------------------------
