@@ -238,3 +238,25 @@ def test_video_rect_letterbox():
     assert out.shape == (3, 48, 64)
     assert out[:, :12].max() == 0.0 and out[:, 36:].max() == 0.0  # bars
     assert out[:, 12:36, 8:56].mean() > 0.2  # video content present
+
+
+def test_ycgco_matrix_path():
+    """YCgCo sources route through the matrix path (the reference needs
+    ps_fix_ycgco only because its fixed-function VP can't; our convert always
+    uses the correct matrix)."""
+    from videorenderer_tpu.csputils import CSPParams, Colorspace
+    w, h = 16, 8
+    src = SourceDescriptor(format=ColorFormat.YUV444P8, width=w, height=h,
+                           matrix=CSP.YCGCO, levels=Levels.PC)
+    dst = OutputDescriptor(width=w, height=h, bits=8)
+    vp = VideoProcessor(Settings(use_dither=False), src, dst)
+    # gray (Y=0.5, Cg=Co=0.5 biased): R=G=B=0.5
+    y = np.full((h, w), 128, np.uint8)
+    c = np.full((h, w), 128, np.uint8)
+    out = np.asarray(vp.process((y, c, c)))
+    np.testing.assert_allclose(out[0], out[1], atol=0.01)
+    np.testing.assert_allclose(out[1], out[2], atol=0.01)
+    # green-ish: Cg high raises G, lowers R and B
+    cg_hi = np.full((h, w), 200, np.uint8)
+    out2 = np.asarray(vp.process((y, cg_hi, c)))
+    assert out2[1].mean() > out2[0].mean() and out2[1].mean() > out2[2].mean()
