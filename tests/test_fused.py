@@ -87,3 +87,16 @@ def test_fused_with_dither_matches():
     # quantized outputs: allow rare 1-LSB flips at dither thresholds
     diff = np.abs(staged - fused) * 255
     assert (diff > 0.5).mean() < 1e-3
+
+
+def test_vp_format_allowlist():
+    from videorenderer_tpu.pipeline import _vp_format_allowed
+    from videorenderer_tpu.config import VPEnableFormats
+    from videorenderer_tpu.formats import get_format_info
+    import dataclasses
+    st = Settings(vp_formats=VPEnableFormats(nv12=False, p01x=True,
+                                             yuy2=False, other=True))
+    assert not _vp_format_allowed(st, get_format_info(ColorFormat.NV12))
+    assert _vp_format_allowed(st, get_format_info(ColorFormat.P010))
+    assert not _vp_format_allowed(st, get_format_info(ColorFormat.YUY2))
+    assert _vp_format_allowed(st, get_format_info(ColorFormat.RGB24))

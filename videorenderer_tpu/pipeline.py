@@ -411,6 +411,20 @@ def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
     return rgb
 
 
+def _vp_format_allowed(s: Settings, info: FormatInfo) -> bool:
+    """VP format allowlist (VPEnableFormats_t, IVideoRenderer.h:97-102):
+    which source classes may use the fixed-function-style accelerated path;
+    others fall back to the XLA composition (the reference's shader path)."""
+    f = info.cformat
+    if f == ColorFormat.NV12:
+        return s.vp_formats.nv12
+    if f in (ColorFormat.P010, ColorFormat.P016):
+        return s.vp_formats.p01x
+    if f == ColorFormat.YUY2:
+        return s.vp_formats.yuy2
+    return s.vp_formats.other
+
+
 def _can_fuse(plan: PipelinePlan) -> bool:
     """The fused linear-resample path applies when everything between plane
     normalization and the first nonlinearity is linear: chroma upsample,
@@ -484,7 +498,8 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
     s = plan.settings
     src, dst = plan.src, plan.dst
     info = plan.info
-    use_pallas = s.use_accel_backend and jax.default_backend() == "tpu"
+    use_pallas = (s.use_accel_backend and jax.default_backend() == "tpu"
+                  and _vp_format_allowed(s, info))
 
     src_w, src_h = src.width, src.height
     if plan.src_rect is not None:
