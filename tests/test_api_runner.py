@@ -43,10 +43,20 @@ def test_api_process_and_screenshots():
 
 
 def test_api_rotation_flip():
-    vr = _open_renderer(32, 16)
+    """Rotation keeps the destination surface shape — the content rotates and
+    the resize happens in rotated space (reference semantics)."""
+    vr = _open_renderer(32, 16, use_dither=False)
     vr.flt_set("rotation", 90)
-    out = vr.process_frame(_nv12_planes(32, 16))
-    assert out.shape == (3, 32, 16)
+    # vertical luma gradient -> after 90deg it reads as horizontal
+    y = np.tile(np.linspace(16, 235, 16, dtype=np.uint8)[:, None], (1, 32))
+    u = np.full((8, 16), 128, np.uint8)
+    v = np.full((8, 16), 128, np.uint8)
+    out = np.asarray(vr.process_frame((y, u, v)))
+    assert out.shape == (3, 16, 32)          # dst-shaped surface
+    row = out[0, 8]                          # gradient now along W
+    assert row[-1] - row[0] > 0.5 or row[0] - row[-1] > 0.5
+    col = out[0, :, 16]
+    assert abs(col[-1] - col[0]) < 0.1       # flat along H
     assert vr.flt_get("rotation") == 90
     with pytest.raises(ValueError):
         vr.flt_set("rotation", 45)

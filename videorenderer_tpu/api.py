@@ -227,6 +227,14 @@ class VideoRenderer:
         from .pipeline import OutputDescriptor as _OD
 
         src, dst = self._src, self._dst
+        if self._rotation in (90, 270):
+            # the reference resizes into the rotated destination (axis-swapped
+            # scaling shaders, ResizeShaderPass DX11VideoProcessor.cpp:3125-3135):
+            # run the pipeline at swapped dims, rotate into the real surface
+            vr = dst.video_rect
+            dst = _dc.replace(
+                dst, width=dst.height, height=dst.width,
+                video_rect=None if vr is None else (vr[1], vr[0], vr[3], vr[2]))
         sr_engaged = self._superres_engaged()
         hdr_engaged = self._videohdr_engaged()
         if sr_engaged:
@@ -299,12 +307,22 @@ class VideoRenderer:
 
     def _composite_overlays(self, out, time: float | None):
         from .ops.overlay import blend_in_rect
-        from .subtitles import composite
+        def prep(rgb):
+            # SDR-authored overlays on a PQ output get pre-compensated to the
+            # selected OSD luminance (ps_convert_bitmap_to_pq.hlsl)
+            if self._dst is not None and self._dst.hdr:
+                from .ops.overlay import sdr_bitmap_to_pq
+                return sdr_bitmap_to_pq(jnp.asarray(rgb),
+                                        self.settings.hdr_osd_brightness)
+            return jnp.asarray(rgb)
+
         if self._subpic_queue is not None and time is not None:
-            out = composite(out, self._subpic_queue.lookup(time))
+            for p in self._subpic_queue.lookup(time):
+                out = blend_in_rect(out, prep(p.rgb), jnp.asarray(p.alpha),
+                                    x=p.x, y=p.y)
         if self._alpha_bitmap is not None:
             rgb, alpha, x, y = self._alpha_bitmap
-            out = blend_in_rect(out, jnp.asarray(rgb), jnp.asarray(alpha),
+            out = blend_in_rect(out, prep(rgb), jnp.asarray(alpha),
                                 x=x, y=y)
         if self.settings.show_stats:
             from .osd import render_stats_overlay
@@ -313,7 +331,7 @@ class VideoRenderer:
                 graph_values=self.metrics.sync_graph.values())
             h = min(alpha.shape[0], out.shape[-2] - 8)
             w = min(alpha.shape[1], out.shape[-1] - 8)
-            out = blend_in_rect(out, jnp.asarray(rgb[:, :h, :w]),
+            out = blend_in_rect(out, prep(rgb[:, :h, :w]),
                                 jnp.asarray(alpha[:h, :w]), x=8, y=8)
         return out
 
