@@ -84,3 +84,27 @@ def test_cli_deinterlace_and_srt(tmp_path):
                "--out", str(out2), "--srt", str(srt), "--no-dither"])
     assert rc == 0
     assert out2.stat().st_size == 3 * 32 * 16 * 3
+
+
+def test_cli_y4m(tmp_path):
+    from videorenderer_tpu.io.y4m import Y4MSource, write_y4m
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(2):
+        frames.append((rng.integers(16, 236, (16, 32), np.uint8),
+                       rng.integers(16, 241, (8, 16), np.uint8),
+                       rng.integers(16, 241, (8, 16), np.uint8)))
+    p = tmp_path / "clip.y4m"
+    write_y4m(str(p), frames, 32, 16, fps=(30, 1))
+    src = Y4MSource(str(p))
+    assert (src.width, src.height, len(src)) == (32, 16, 2)
+    assert src.fps == 30.0
+    got = list(src)
+    np.testing.assert_array_equal(got[0].planes[0], frames[0][0])
+    batch = src.read_batch(1, 1)
+    np.testing.assert_array_equal(batch[0][0], frames[1][0])
+
+    out = tmp_path / "out.rgb"
+    rc = main(["process", str(p), "--out", str(out), "--out-size", "64x32"])
+    assert rc == 0
+    assert out.stat().st_size == 2 * 64 * 32 * 3

@@ -42,8 +42,20 @@ def _enum(cls, name: str):
 
 
 def cmd_process(args) -> int:
-    src_fmt = _enum(ColorFormat, args.format)
-    w, h = _parse_size(args.size)
+    y4m = None
+    if args.input.lower().endswith(".y4m"):
+        from .io.y4m import Y4MSource
+        y4m = Y4MSource(args.input)
+        src_fmt = y4m.format
+        w, h = y4m.width, y4m.height
+        if args.fps == 24.0:
+            args.fps = y4m.fps
+    else:
+        if not args.format or not args.size:
+            raise SystemExit("error: --format and --size are required for "
+                             "raw input (or use a .y4m file)")
+        src_fmt = _enum(ColorFormat, args.format)
+        w, h = _parse_size(args.size)
     ow, oh = _parse_size(args.out_size) if args.out_size else (w, h)
 
     settings = Settings(
@@ -59,12 +71,15 @@ def cmd_process(args) -> int:
                                      if args.tone_map else ToneMapType.ACES),
         hdr_display_max_nits=args.display_nits,
     )
+    from videorenderer_tpu.csputils import ChromaLocation
     src = SourceDescriptor(
         format=src_fmt, width=w, height=h,
         matrix=_enum(CSP, args.matrix) if args.matrix else CSP.AUTO,
         levels=_enum(Levels, args.levels) if args.levels else Levels.AUTO,
         primaries=_enum(Primaries, args.primaries) if args.primaries else Primaries.AUTO,
         transfer=_enum(TRC, args.transfer) if args.transfer else TRC.AUTO,
+        chroma_location=(y4m.chroma_location if y4m is not None
+                         else ChromaLocation.UNKNOWN),
         interlaced=args.deinterlace is not None,
     )
     dst = OutputDescriptor(width=ow, height=oh, bits=args.out_bits,
@@ -81,7 +96,7 @@ def cmd_process(args) -> int:
         from .io.srt import load_srt
         vr.set_subtitle_provider(load_srt(args.srt), threaded=False)
 
-    source = RawVideoSource(args.input, src_fmt, w, h)
+    source = y4m if y4m is not None else RawVideoSource(args.input, src_fmt, w, h)
     n = len(source)
     if n == 0:
         print("no frames in input", file=sys.stderr)
@@ -177,8 +192,9 @@ def main(argv=None) -> int:
 
     pp = sub.add_parser("process", help="process a raw video file")
     pp.add_argument("input")
-    pp.add_argument("--format", required=True, help="e.g. NV12, P010, YUY2")
-    pp.add_argument("--size", required=True, help="WxH")
+    pp.add_argument("--format", default=None,
+                    help="e.g. NV12, P010, YUY2 (auto for .y4m input)")
+    pp.add_argument("--size", default=None, help="WxH (auto for .y4m)")
     pp.add_argument("--out", required=True)
     pp.add_argument("--out-size", default=None)
     pp.add_argument("--out-bits", type=int, default=8, choices=(8, 10, 16))
