@@ -232,6 +232,14 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
     local_tonemap = (dst.hdr and settings.hdr_local_tone_mapping
                      and (is_pq or is_hlg))
 
+    if src.src_rect is not None and info.cs_type == ColorSystem.YUV:
+        dw, dh = info.chroma_div
+        l, t, r, b = src.src_rect
+        if l % dw or r % dw or t % dh or b % dh:
+            raise ValueError(
+                f"src_rect {src.src_rect} must align to the {info.name} "
+                f"chroma grid ({dw}x{dh})")
+
     # positive: ordered dither to that depth; negative: plain rounding;
     # 0: float output, no quantization (TEXFMT_16FLOAT analogue)
     if dst.bits in (8, 10):
