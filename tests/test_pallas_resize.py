@@ -87,3 +87,40 @@ def test_banded_u8_input_interpret():
         got = np.asarray(rp.banded_resize_last_axis(
             jnp.asarray(x), np.asarray(mat), pre_scale=1 / 255.0))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_v210_device_unpack_matches_host():
+    from videorenderer_tpu.kernels.unpack_device import v210_unpack_device
+    from videorenderer_tpu import formats
+    w, h = 48, 4
+    row_bytes = ((w + 47) // 48) * 128
+    rng = np.random.default_rng(7)
+    buf = rng.integers(0, 256, row_bytes * h, dtype=np.uint8).tobytes()
+    formats.USE_NATIVE = False
+    ref = formats.unpack_frame(formats.ColorFormat.V210, buf, w, h)
+    dwords = np.frombuffer(buf, np.uint32).reshape(h, row_bytes // 4)
+    y, u, v = v210_unpack_device(jnp.asarray(dwords), w)
+    np.testing.assert_array_equal(np.asarray(y), ref.planes[0])
+    np.testing.assert_array_equal(np.asarray(u), ref.planes[1])
+    np.testing.assert_array_equal(np.asarray(v), ref.planes[2])
+
+
+def test_nv12_y210_device_unpack():
+    from videorenderer_tpu.kernels.unpack_device import (nv12_split_device,
+                                                         y210_unpack_device)
+    from videorenderer_tpu import formats
+    w, h = 16, 8
+    rng = np.random.default_rng(8)
+    buf = rng.integers(0, 256, w * h * 3 // 2, dtype=np.uint8)
+    ref = formats.unpack_frame(formats.ColorFormat.NV12, buf.tobytes(), w, h)
+    y, u, v = nv12_split_device(jnp.asarray(buf), w, h)
+    np.testing.assert_array_equal(np.asarray(y), ref.planes[0])
+    np.testing.assert_array_equal(np.asarray(u), ref.planes[1])
+    np.testing.assert_array_equal(np.asarray(v), ref.planes[2])
+
+    words = rng.integers(0, 65536, (h, w * 2), dtype=np.uint16)
+    ref2 = formats.unpack_frame(formats.ColorFormat.Y210, words.tobytes(), w, h)
+    y2, u2, v2 = y210_unpack_device(jnp.asarray(words), w)
+    np.testing.assert_array_equal(np.asarray(y2), ref2.planes[0])
+    np.testing.assert_array_equal(np.asarray(u2), ref2.planes[1])
+    np.testing.assert_array_equal(np.asarray(v2), ref2.planes[2])
