@@ -496,7 +496,7 @@ def _compose(a: np.ndarray | None, b: np.ndarray | None):
     return a @ b
 
 
-def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
+def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False):
     """TPU-native fused pipeline: chroma upsample + (blend deinterlace) +
     separable resize collapse into one banded matrix per plane per axis
     (linear maps compose), so the YUV->RGB matrix, transfer functions,
@@ -542,7 +542,8 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
 
     norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
 
-    def fn(planes):
+    def fn(planes, rt=None):
+        rt = rt or {}
         planes = _crop_planes(plan, planes)
         app = lambda p, a, b: _fused_apply2d(p, a, b, use_pallas, norm, dtype)
         if info.cs_type == ColorSystem.GRAY:
@@ -560,8 +561,13 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
             else:
                 comps = tuple(app(p, wx, wy) for p in planes)
             if plan.apply_matrix:
-                m = jnp.asarray(plan.cmat_m, dtype)
-                c = jnp.asarray(plan.cmat_c, dtype)
+                rt_cmat = rt.get("cmat")
+                if rt_cmat is not None:
+                    m = jnp.asarray(rt_cmat["m"], dtype)
+                    c = jnp.asarray(rt_cmat["c"], dtype)
+                else:
+                    m = jnp.asarray(plan.cmat_m, dtype)
+                    c = jnp.asarray(plan.cmat_c, dtype)
                 rgb = jnp.stack(
                     [m[i, 0] * comps[0] + m[i, 1] * comps[1]
                      + m[i, 2] * comps[2] + c[i] for i in range(3)], axis=-3)
@@ -569,10 +575,18 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32):
                 rgb = jnp.stack(comps, axis=-3)
         rgb = _corrections(plan, rgb)
         if plan.local_tonemap:
-            rgb = _local_tonemap(plan, rgb)
+            hdr = rt.get("hdr")
+            if hdr is not None:
+                rgb = tonemap_ops.local_tonemap_pq_rt(
+                    rgb, int(plan.settings.hdr_local_tone_mapping_type), hdr,
+                    trims=plan.dovi_trims, axis=-3)
+            else:
+                rgb = _local_tonemap(plan, rgb)
         return _final_pass(plan, rgb)
 
-    return fn
+    if with_rt:
+        return fn
+    return lambda planes: fn(planes)
 
 
 def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = None):
@@ -630,6 +644,11 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
     """
     s = plan.settings
     dst = plan.dst
+
+    if _can_fuse(plan):
+        # the fused linear-prefix path supports the cmat/hdr runtime hooks
+        # directly (DoVi curves imply the staged path via _can_fuse)
+        return _make_fused_fn(plan, dtype, with_rt=True)
 
     def fn(planes, rt):
         rgb = _convert_color(plan, planes, dtype,
