@@ -116,3 +116,14 @@ def test_trc_peaks():
 def test_default_matrix_for_size():
     assert cs.default_matrix_for_size(720, 576) == cs.CSP.BT_601
     assert cs.default_matrix_for_size(1920, 1080) == cs.CSP.BT_709
+
+
+def test_settings_roundtrip_with_vp_formats():
+    from videorenderer_tpu.config import Settings, VPEnableFormats, Upscaling
+    s = Settings(vp_formats=VPEnableFormats(nv12=False, yuy2=False),
+                 upscaling=Upscaling.LANCZOS3, sdr_display_nits=9999)
+    d = s.to_dict()
+    back = Settings.from_dict(d)
+    assert back.vp_formats.nv12 is False and back.vp_formats.p01x is True
+    assert back.upscaling == Upscaling.LANCZOS3
+    assert back.sdr_display_nits == 400  # clamped on load (registry behavior)

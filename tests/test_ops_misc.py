@@ -224,3 +224,20 @@ def test_reshape_dynamic_no_retrace():
     packed2["poly"] = packed["poly"] * 0.9
     fn(x, packed2)
     assert len(traces) == 1
+
+
+def test_alpha_blend_premultiplied():
+    base = jnp.full((3, 4, 4), 0.8)
+    ov = jnp.full((3, 4, 4), 0.3)   # premultiplied color
+    a = jnp.full((4, 4), 0.5)
+    out = np.asarray(overlay.alpha_blend_premultiplied(base, ov, a))
+    np.testing.assert_allclose(out, 0.3 + 0.8 * 0.5, atol=1e-7)
+
+
+def test_blend_in_rect_negative_origin_clips():
+    base = jnp.zeros((3, 8, 8))
+    ov = jnp.ones((3, 4, 4))
+    a = jnp.ones((4, 4))
+    out = np.asarray(overlay.blend_in_rect(base, ov, a, x=-2, y=-2))
+    assert out[0, 0, 0] == 1.0 and out[0, 1, 1] == 1.0
+    assert out[0, 2, 2] == 0.0  # only the visible 2x2 corner landed
