@@ -46,12 +46,11 @@ def _round_up(x: int, m: int) -> int:
 _band_cache: dict = {}
 
 
-def pack_band_for(mat: np.ndarray, kb_align: int = 128):
-    """Per-output-tile input windows with 128-aligned starts."""
-    key = (id(mat), mat.shape)
-    cached = _band_cache.get(key)
-    if cached is not None:
-        return cached
+def _pack_band(mat: np.ndarray, kb_align: int = 128,
+               kb_force: int | None = None):
+    """Band-pack one (in, out) matrix: per-output-tile input windows with
+    128-aligned starts.  ``kb_force`` imposes a common window width so
+    several packings can be stacked (per-shard weight selection)."""
     w_in, w_out = mat.shape
     w_in_pad = _round_up(w_in, kb_align)
     j_tiles = _round_up(w_out, TILE_N) // TILE_N
@@ -64,7 +63,8 @@ def pack_band_for(mat: np.ndarray, kb_align: int = 128):
         nz_hi[j] = max(nz_hi[j], r + 1)
     starts = (np.maximum(nz_lo, 0) // kb_align) * kb_align  # align down
     widths = np.maximum(nz_hi - starts, 1)
-    kb = _round_up(int(widths.max()), kb_align)
+    kb = kb_force if kb_force is not None else _round_up(int(widths.max()),
+                                                         kb_align)
     kb = min(kb, w_in_pad)
     starts = np.minimum(starts, max(w_in_pad - kb, 0)).astype(np.int32)
     bands = np.zeros((j_tiles, kb, TILE_N), np.float32)
@@ -72,9 +72,44 @@ def pack_band_for(mat: np.ndarray, kb_align: int = 128):
         s = int(starts[j])
         cols = mat[s:s + kb, j * TILE_N:(j + 1) * TILE_N]
         bands[j, :cols.shape[0], :cols.shape[1]] = cols
-    out = (starts, bands, kb, w_in_pad)
+    return starts, bands, kb, w_in_pad
+
+
+def pack_band_for(mat: np.ndarray, kb_align: int = 128):
+    """Cached :func:`_pack_band` (matrices are interned per plan)."""
+    key = (id(mat), mat.shape)
+    cached = _band_cache.get(key)
+    if cached is not None:
+        return cached
+    out = _pack_band(mat, kb_align)
     _band_cache[key] = out
     return out
+
+
+def pack_band_stack(mats, pre_scale: float | None = None):
+    """Pack a list of same-shape (in, out) matrices (one per shard) with a
+    COMMON window width, returning stacked arrays for dynamic per-shard
+    selection inside shard_map:
+
+      starts (n, J) int32, w_hi/w_lo (n, J, 128, KB) bfloat16 — already
+      transposed for the left-matmul rows kernel — plus (kb, in_pad).
+    """
+    kb = 0
+    for m in mats:
+        kb = max(kb, _pack_band(np.asarray(m))[2])
+    starts_l, hi_l, lo_l = [], [], []
+    in_pad = None
+    for m in mats:
+        s, bands, _, in_pad = _pack_band(np.asarray(m), kb_force=kb)
+        if pre_scale is not None:
+            bands = bands * np.float32(pre_scale)
+        bt = np.ascontiguousarray(np.swapaxes(bands, 1, 2))  # (J, 128, KB)
+        hi, lo = _split_bf16(bt)
+        starts_l.append(s)
+        hi_l.append(hi)
+        lo_l.append(lo)
+    return (np.stack(starts_l), np.stack(hi_l), np.stack(lo_l),
+            min(kb, in_pad), in_pad)
 
 
 def _split_bf16(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -221,10 +256,20 @@ def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
     starts, bands, kb, h_in_pad = pack_band_for(mat)
     if pre_scale is not None:
         bands = bands * np.float32(pre_scale)
-    jr_tiles = bands.shape[0]
     bands_t = np.ascontiguousarray(np.swapaxes(bands, 1, 2))  # (J, 128, KB)
     w_hi, w_lo = _split_bf16(bands_t)
+    return banded_resize_rows_packed(x, starts, w_hi, w_lo, h_out, h_in_pad)
 
+
+def banded_resize_rows_packed(x: jnp.ndarray, starts, w_hi, w_lo,
+                              h_out: int, h_in_pad: int) -> jnp.ndarray:
+    """Rows kernel on pre-packed band weights.  ``starts`` (J,) int32 and
+    ``w_hi``/``w_lo`` (J, 128, KB) bfloat16 may be traced arrays — e.g. one
+    shard's slice of a :func:`pack_band_stack`, selected by
+    ``jax.lax.axis_index`` inside shard_map — so one compiled kernel serves
+    every shard of a row-sharded frame."""
+    h_in = x.shape[-2]
+    jr_tiles, _, kb = w_hi.shape
     lead = x.shape[:-2]
     l = int(np.prod(lead)) if lead else 1
     w = x.shape[-1]

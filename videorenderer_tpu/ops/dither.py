@@ -41,17 +41,31 @@ def _tile_to(pattern: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.tile(pattern, reps)[:h, :w]
 
 
-def ordered_dither(img: jnp.ndarray, bits: int) -> jnp.ndarray:
+def ordered_dither(img: jnp.ndarray, bits: int,
+                   row_offset: "int | jnp.ndarray" = 0) -> jnp.ndarray:
     """Ordered-dither quantization to ``bits`` (ps_final_pass.hlsl:24-28):
     ``floor(pixel * Q + dither) / Q`` with QUANTIZATION = 2**bits - 1.
 
     ``img``: float array whose last two dims are (H, W); leading dims
     (channels/batch) broadcast over the same tiled pattern, matching the
     reference (one dither texture shared by R, G and B).
+
+    ``row_offset``: global row index of the first local row — local row i
+    dithers with pattern row ``(i + row_offset) % 32``.  Required for
+    row-sharded execution (shard_map) so every shard uses the phase it
+    would have in the unsharded frame; may be a traced scalar
+    (``jax.lax.axis_index * shard_rows``).
     """
     q = float(2 ** bits - 1)
     h, w = img.shape[-2], img.shape[-1]
-    d = _tile_to(jnp.asarray(bayer_matrix()), h, w).astype(img.dtype)
+    pat = jnp.asarray(bayer_matrix())
+    if isinstance(row_offset, (int, np.integer)):
+        if row_offset % DITHER_SIZE:
+            pat = jnp.asarray(np.roll(bayer_matrix(),
+                                      -(row_offset % DITHER_SIZE), axis=0))
+    else:
+        pat = jnp.roll(pat, -(row_offset % DITHER_SIZE), axis=0)
+    d = _tile_to(pat, h, w).astype(img.dtype)
     return jnp.floor(img * q + d) / q
 
 

@@ -250,6 +250,22 @@ def select_scaler(in_size: int, out_size: int, upscaling: Upscaling,
     return ("up", upscaling)
 
 
+def jinc2_passes(in_h: int, in_w: int, out_h: int, out_w: int,
+                 interpolate_at_50pct: bool):
+    """Per-axis pass roles when the upscaler is Jinc2, mirroring
+    ResizeShaderPass's selection (Source/DX11VideoProcessor.cpp:3120-3139):
+    returns (x_role, y_role), each None (no-op), "up" (the 2D Jinc2 shader
+    handles this axis) or "down" (separable convolution pass)."""
+    k = 2 if interpolate_at_50pct else 1
+
+    def role(i, o):
+        if i == o:
+            return None
+        return "down" if i > k * o else "up"
+
+    return role(in_w, out_w), role(in_h, out_h)
+
+
 def build_axis_matrix(choice, in_size: int, out_size: int) -> np.ndarray | None:
     if choice is None:
         return None
@@ -270,9 +286,25 @@ def resize_plane(x: jnp.ndarray, out_h: int, out_w: int,
     if (h, w) == (out_h, out_w):
         return x
 
-    if upscaling == Upscaling.JINC2 and (out_h > h or out_w > w) \
-            and not (h > 2 * out_h or w > 2 * out_w):
-        return jinc2_resize(x, out_h, out_w)
+    if upscaling == Upscaling.JINC2:
+        rx, ry = jinc2_passes(h, w, out_h, out_w, interpolate_at_50pct)
+        if "up" in (rx, ry):
+            # Any Jinc2-upscaled axis runs the one-pass 2D shader for its
+            # pass; a mixed down axis gets its own separable convolution
+            # pass, in ResizeShaderPass's X-then-Y two-pass order (the 2D
+            # shader resamples the other axis at scale 1, as the reference's
+            # intermediate-texture passes do).
+            if rx == "up" and ry in ("up", None):
+                return jinc2_resize(x, out_h, out_w)
+            if rx is not None:
+                x = (jinc2_resize(x, h, out_w) if rx == "up" else
+                     resize_axis(x, downscale_matrix(downscaling, w, out_w),
+                                 axis=-1))
+            if ry is not None:
+                x = (jinc2_resize(x, out_h, out_w) if ry == "up" else
+                     resize_axis(x, downscale_matrix(downscaling, h, out_h),
+                                 axis=-2))
+            return x
 
     cx = select_scaler(w, out_w, upscaling, downscaling, interpolate_at_50pct)
     cy = select_scaler(h, out_h, upscaling, downscaling, interpolate_at_50pct)

@@ -401,15 +401,20 @@ def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
         trims=plan.dovi_trims, axis=-3)
 
 
-def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
+def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray,
+                row_offset: "int | jnp.ndarray" = 0) -> jnp.ndarray:
     """ps_final_pass.hlsl: ordered dither + quantization, then placement of
-    the video rect into the target surface with black fill (FillBlack)."""
+    the video rect into the target surface with black fill (FillBlack).
+
+    ``row_offset``: global row of local row 0 (row-sharded execution) so the
+    dither pattern keeps its unsharded phase."""
     db = plan.dither_bits
     if db is not None and db != 0:
         if db < 0:
             rgb = dither_ops.quantize(jnp.clip(rgb, 0.0, 1.0), -db)
         else:
-            rgb = dither_ops.ordered_dither(jnp.clip(rgb, 0.0, 1.0), db)
+            rgb = dither_ops.ordered_dither(jnp.clip(rgb, 0.0, 1.0), db,
+                                            row_offset=row_offset)
     rect = plan.dst.video_rect
     if rect is not None:
         l, t, r, b = rect
@@ -450,10 +455,10 @@ def _can_fuse(plan: PipelinePlan) -> bool:
         l, t, r, b = plan.src_rect
         w, h = r - l, b - t
     dw, dh = dst.video_size
-    dst = dataclasses.replace(dst, width=dw, height=dh, video_rect=None)
-    if s.upscaling == Upscaling.JINC2 and (dst.height > h or dst.width > w) \
-            and not (h > 2 * dst.height or w > 2 * dst.width):
-        return False
+    if s.upscaling == Upscaling.JINC2:
+        rx, ry = scale_ops.jinc2_passes(h, w, dh, dw, s.interpolate_at_50pct)
+        if "up" in (rx, ry):
+            return False  # the 2D Jinc2 pass is non-separable
     return True
 
 
