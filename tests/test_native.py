@@ -61,3 +61,39 @@ def test_native_pack():
     out10 = native.pack_rgb10(rgb)
     ref10 = formats.pack_rgb10(np.moveaxis(rgb, 0, -1).astype(np.float64))
     np.testing.assert_array_equal(out10, ref10)
+
+
+@pytest.mark.parametrize("fn,args", [
+    (native.nv12_split, ()),
+    (native.p010_split, ()),
+    (lambda b, w, h: native.packed422_to_planar(b, w, h, "yuy2"), ()),
+    (lambda b, w, h: native.packed422_to_planar(b, w, h, "y210"), ()),
+    (lambda b, w, h: native.packed422_to_planar(b, w, h, "v210"), ()),
+    (lambda b, w, h: native.rgb_to_planar(b, w, h, "rgb24"), ()),
+    (lambda b, w, h: native.rgb_to_planar(b, w, h, "r210"), ()),
+])
+def test_native_rejects_short_buffer(fn, args):
+    """Truncated frame buffers return None (falling back to the numpy path,
+    which raises cleanly) instead of reading out of bounds in C."""
+    w, h = 48, 16
+    short = np.zeros(16, np.uint8)  # far too small for any 48x16 frame
+    assert fn(short, w, h) is None
+
+
+def test_native_rebuilds_on_stale_so(tmp_path, monkeypatch):
+    """A source file newer than the .so triggers a rebuild (ADVICE r1: stale
+    -march=native binaries must not mask source edits)."""
+    import os
+    import time
+    so = native._LIB_PATH
+    src = native._NATIVE_DIR / "frame_copy.cpp"
+    if not so.exists():
+        pytest.skip("no built library")
+    # make the source look newer, then force a fresh load
+    os.utime(src, (time.time() + 2, time.time() + 2))
+    old_mtime = so.stat().st_mtime
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    assert native._load() is not None
+    assert so.stat().st_mtime > old_mtime
+    os.utime(src)  # restore sane mtimes

@@ -48,6 +48,69 @@ def test_spatial_matches_single(out_size):
     np.testing.assert_allclose(got, ref, atol=3e-6)
 
 
+def test_spatial_src_rect_exact():
+    """src_rect folds into the axis maps (H crop zero-embedded into the
+    sharded plane height): bit-identical to the single-chip fused crop."""
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    w, h = 64, 64
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709, src_rect=(8, 4, 56, 52))
+    dst = OutputDescriptor(width=96, height=96, bits=8)
+    plan = plan_pipeline(Settings(), src, dst)
+    rng = np.random.default_rng(2)
+    planes = (rng.integers(0, 256, (h, w), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(
+        shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in planes))))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_spatial_video_rect_exact():
+    """video_rect placement: H output embedding + row mask + W pad give the
+    FillBlack surface bit-identically, including the dither phase (the rect
+    top is NOT a multiple of the 32-row Bayer period)."""
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    w, h = 64, 64
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=8,
+                           video_rect=(24, 20, 104, 84))
+    plan = plan_pipeline(Settings(), src, dst)
+    rng = np.random.default_rng(3)
+    planes = (rng.integers(0, 256, (h, w), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(
+        shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in planes))))
+    assert got.shape == (3, 96, 128)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_spatial_guards():
+    """Clear errors for unshardable configs instead of trace-time shape
+    failures (VERDICT r1: _final_pass video_rect was unguarded)."""
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=64, height=60,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=64, height=64, bits=8)
+    plan = plan_pipeline(Settings(), src, dst)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_spatial_frame_fn(plan, mesh)
+    src2 = SourceDescriptor(format=ColorFormat.NV12, width=64, height=64,
+                            matrix=CSP.BT_709)
+    dst2 = OutputDescriptor(width=64, height=66, bits=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_spatial_frame_fn(plan_pipeline(Settings(), src2, dst2), mesh)
+    # non-fusable plan (DoVi-free check: shader-order corrections)
+    plan3 = plan_pipeline(Settings(vp_scaling=False), src2,
+                          OutputDescriptor(width=64, height=64))
+    with pytest.raises(ValueError, match="fusable"):
+        make_spatial_frame_fn(plan3, mesh)
+
+
 def test_spatial_dither_and_hdr():
     from videorenderer_tpu.csputils import Levels, Primaries, TRC
     mesh = Mesh(np.array(jax.devices()[:2]), ("spatial",))
@@ -64,6 +127,5 @@ def test_spatial_dither_and_hdr():
     ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
     got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(
         shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in planes))))
-    # quantized 10-bit output: allow isolated code flips at boundaries
-    diff = np.abs(got - ref)
-    assert (diff > 0.5 / 1023).mean() < 5e-3
+    # sharded dither keeps the unsharded pattern phase: bit-identical output
+    np.testing.assert_array_equal(got, ref)

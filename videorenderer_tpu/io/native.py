@@ -28,7 +28,14 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists():
+        src = _NATIVE_DIR / "frame_copy.cpp"
+        stale = (not _LIB_PATH.exists()
+                 or (src.exists()
+                     and src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
+        if stale:
+            # (re)build: the library is never committed (it's -march=native,
+            # so a foreign prebuilt .so could SIGILL), and source edits must
+            # not be masked by a stale binary
             subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -73,14 +80,27 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _checked_src(buf: np.ndarray, required: int) -> np.ndarray | None:
+    """Contiguous byte view of ``buf`` iff it holds at least ``required``
+    bytes; a short buffer returns None so callers fall back to the numpy
+    unpackers, which raise a clean ValueError instead of letting the C side
+    read out of bounds."""
+    src = np.ascontiguousarray(buf).view(np.uint8).reshape(-1)
+    if src.nbytes < required:
+        return None
+    return src
+
+
 def nv12_split(buf: np.ndarray, w: int, h: int):
     lib = _load()
     if lib is None:
         return None
+    src = _checked_src(buf, w * h * 3 // 2)
+    if src is None:
+        return None
     y = np.empty((h, w), np.uint8)
     u = np.empty((h // 2, w // 2), np.uint8)
     v = np.empty((h // 2, w // 2), np.uint8)
-    src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1))
     lib.vrt_nv12_split(_ptr(src, ctypes.c_uint8), w, h,
                        _ptr(y, ctypes.c_uint8), _ptr(u, ctypes.c_uint8),
                        _ptr(v, ctypes.c_uint8))
@@ -92,10 +112,13 @@ def p010_split(buf: np.ndarray, w: int, h: int, subsampling_h: int = 2):
     if lib is None:
         return None
     ch = h // subsampling_h
+    src = _checked_src(buf, 2 * w * h + 2 * w * ch)
+    if src is None:
+        return None
+    src = src.view(np.uint16)
     y = np.empty((h, w), np.uint16)
     u = np.empty((ch, w // 2), np.uint16)
     v = np.empty((ch, w // 2), np.uint16)
-    src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint16)
     fn = lib.vrt_p010_split if subsampling_h == 2 else lib.vrt_p210_split
     fn(_ptr(src, ctypes.c_uint16), w, h, _ptr(y, ctypes.c_uint16),
        _ptr(u, ctypes.c_uint16), _ptr(v, ctypes.c_uint16))
@@ -107,28 +130,37 @@ def packed422_to_planar(buf: np.ndarray, w: int, h: int, kind: str):
     if lib is None:
         return None
     if kind in ("yuy2", "uyvy"):
+        src = _checked_src(buf, 2 * w * h)
+        if src is None:
+            return None
         y = np.empty((h, w), np.uint8)
         u = np.empty((h, w // 2), np.uint8)
         v = np.empty((h, w // 2), np.uint8)
-        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1))
         fn = lib.vrt_yuy2_to_planar if kind == "yuy2" else lib.vrt_uyvy_to_planar
         fn(_ptr(src, ctypes.c_uint8), w, h, _ptr(y, ctypes.c_uint8),
            _ptr(u, ctypes.c_uint8), _ptr(v, ctypes.c_uint8))
         return y, u, v
     if kind == "y210":
+        src = _checked_src(buf, 4 * w * h)
+        if src is None:
+            return None
+        src = src.view(np.uint16)
         y = np.empty((h, w), np.uint16)
         u = np.empty((h, w // 2), np.uint16)
         v = np.empty((h, w // 2), np.uint16)
-        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint16)
         lib.vrt_y210_to_planar(_ptr(src, ctypes.c_uint16), w, h,
                                _ptr(y, ctypes.c_uint16), _ptr(u, ctypes.c_uint16),
                                _ptr(v, ctypes.c_uint16))
         return y, u, v
     if kind == "v210":
+        # 128-byte-aligned rows: 6 px / 16 bytes (vrt_v210_to_planar)
+        src = _checked_src(buf, h * ((w + 47) // 48) * 128)
+        if src is None:
+            return None
+        src = src.view(np.uint32)
         y = np.empty((h, w), np.uint16)
         u = np.empty((h, w // 2), np.uint16)
         v = np.empty((h, w // 2), np.uint16)
-        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint32)
         lib.vrt_v210_to_planar(_ptr(src, ctypes.c_uint32), w, h,
                                _ptr(y, ctypes.c_uint16), _ptr(u, ctypes.c_uint16),
                                _ptr(v, ctypes.c_uint16))
@@ -141,19 +173,24 @@ def rgb_to_planar(buf: np.ndarray, w: int, h: int, kind: str):
     if lib is None:
         return None
     if kind in ("rgb24", "bgra32"):
+        src = _checked_src(buf, (3 if kind == "rgb24" else 4) * w * h)
+        if src is None:
+            return None
         r = np.empty((h, w), np.uint8)
         g = np.empty((h, w), np.uint8)
         b = np.empty((h, w), np.uint8)
-        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1))
         fn = lib.vrt_rgb24_to_planar if kind == "rgb24" else lib.vrt_bgra32_to_planar
         fn(_ptr(src, ctypes.c_uint8), w, h, _ptr(r, ctypes.c_uint8),
            _ptr(g, ctypes.c_uint8), _ptr(b, ctypes.c_uint8))
         return r, g, b
     if kind == "r210":
+        src = _checked_src(buf, 4 * w * h)
+        if src is None:
+            return None
+        src = src.view(np.uint32)
         r = np.empty((h, w), np.uint16)
         g = np.empty((h, w), np.uint16)
         b = np.empty((h, w), np.uint16)
-        src = np.ascontiguousarray(buf.view(np.uint8).reshape(-1)).view(np.uint32)
         lib.vrt_r210_to_planar(_ptr(src, ctypes.c_uint32), w, h,
                                _ptr(r, ctypes.c_uint16), _ptr(g, ctypes.c_uint16),
                                _ptr(b, ctypes.c_uint16))

@@ -63,9 +63,16 @@ class Y4MSource:
         self.format, self.chroma_location = _CSPACE[cspace]
         info = get_format_info(self.format)
         self.frame_bytes = info.buffer_size(self.width, self.height)
+        # the spec allows frame-level parameters ("FRAME Ixxx\n"); measure
+        # the first marker's actual length instead of assuming b"FRAME\n"
+        # (writers keep it constant per stream, which the seek math needs)
+        with open(self.path, "rb") as f:
+            f.seek(self._data_start)
+            first = f.readline()
+        self._marker_len = len(first) if first.startswith(b"FRAME") else 6
         import os
         payload = os.path.getsize(self.path) - self._data_start
-        self.num_frames = payload // (self.frame_bytes + 6)  # "FRAME\n"
+        self.num_frames = payload // (self.frame_bytes + self._marker_len)
 
     @property
     def fps(self) -> float:
@@ -97,7 +104,8 @@ class Y4MSource:
     def read_batch(self, start: int, count: int):
         frames = []
         with open(self.path, "rb") as f:
-            f.seek(self._data_start + start * (self.frame_bytes + 6))
+            f.seek(self._data_start
+                   + start * (self.frame_bytes + self._marker_len))
             for _ in range(count):
                 fr = self._read_frame(f)
                 if fr is None:

@@ -10,11 +10,28 @@ inside ``shard_map`` (see :func:`videorenderer_tpu.parallel.mesh.halo_exchange`)
 This is the framework's "sequence parallelism" analogue (SURVEY.md §5): the
 support radius of each separable filter is static, so the halo is exact and
 the collective volume is a few rows per shard per stage.
+
+Parity with the single-chip fused path (pipeline._make_fused_fn):
+
+ * the same integer-in prefix — raw uint8/uint16 planes stream from HBM,
+   UNORM normalization folds into the first matmul's weights, and on TPU
+   the banded split-bf16 Pallas kernels run per shard (one compiled kernel
+   serves every shard: per-shard weight bands are stacked host-side by
+   ``kernels.resize_pallas.pack_band_stack`` and selected with
+   ``jax.lax.axis_index`` inside shard_map);
+ * the ordered-dither pattern keeps its unsharded phase (each shard passes
+   its global row offset into ops.dither.ordered_dither), so sharded output
+   is bit-identical to the single-chip fused output — tests/test_spatial.py
+   asserts exact equality;
+ * ``src_rect`` crops fold into the axis maps (W locally, H by zero-embedding
+   the cropped rows into the full plane height), and ``dst.video_rect``
+   placement folds into the H output embedding + a post-dither row mask + a
+   W pad — the FillBlack semantics of ps_final_pass without gathering rows
+   across shards (the two-pass ResizeShaderPass placement,
+   Source/DX11VideoProcessor.cpp:3115-3199, under row sharding).
 """
 
 from __future__ import annotations
-
-
 
 import jax
 import jax.numpy as jnp
@@ -22,11 +39,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats import ColorSystem
+from ..ops import chroma as chroma_ops
+from ..ops import dither as dither_ops
 from ..ops import scale as scale_ops
 from ..pipeline import (PipelinePlan, _can_fuse, _compose, _corrections,
-                        _final_pass, _local_tonemap)
-from ..ops import chroma as chroma_ops
-from .mesh import spatial_resize_rows
+                        _local_tonemap, _vp_format_allowed)
+from .mesh import halo_exchange
 
 
 def required_halo(mat: np.ndarray, n_shards: int) -> int:
@@ -43,68 +61,215 @@ def required_halo(mat: np.ndarray, n_shards: int) -> int:
     return int(halo)
 
 
+def _embed(mat: np.ndarray, in_total: int | None = None, in_off: int = 0,
+           out_total: int | None = None, out_off: int = 0) -> np.ndarray:
+    """Zero-embed an (in, out) axis map into a larger (in_total, out_total):
+    input rows land at ``in_off``, output columns at ``out_off``.  Zero
+    columns make the corresponding output rows exact 0.0 (black fill) and
+    zero rows ignore the pixels cropped away by src_rect."""
+    h, w = mat.shape
+    it = in_total if in_total is not None else h
+    ot = out_total if out_total is not None else w
+    if (it, ot) == (h, w) and in_off == 0 and out_off == 0:
+        return np.asarray(mat)
+    out = np.zeros((it, ot), np.asarray(mat).dtype)
+    out[in_off:in_off + h, out_off:out_off + w] = mat
+    return out
+
+
+def _shard_row_mats(mat: np.ndarray, n: int, halo: int) -> list[np.ndarray]:
+    """Per-shard (hs_in + 2*halo, hs_out) blocks of a global (h_in, h_out)
+    row map: shard i's output rows against its halo-extended input rows
+    (out-of-range halo rows get zero weight — halo_exchange's edge-replicated
+    rows must not be double counted)."""
+    h_in, h_out = mat.shape
+    hs_in, hs_out = h_in // n, h_out // n
+    mats = []
+    for i in range(n):
+        lo = i * hs_in - halo
+        m = np.zeros((hs_in + 2 * halo, hs_out), mat.dtype)
+        g0, g1 = max(lo, 0), min(lo + hs_in + 2 * halo, h_in)
+        m[g0 - lo:g1 - lo] = mat[g0:g1, i * hs_out:(i + 1) * hs_out]
+        mats.append(m)
+    return mats
+
+
+class _RowResize:
+    """One H-axis contraction under row sharding: halo exchange + per-shard
+    banded matmul, with the weight bands selected by ``jax.lax.axis_index``
+    so a single compiled program serves every shard."""
+
+    def __init__(self, mat: np.ndarray | None, n: int, axis: str,
+                 use_pallas: bool, pre_scale: float | None = None):
+        self.axis = axis
+        self.mat = mat
+        self.pre_scale = pre_scale
+        if mat is None:
+            return
+        self.halo = required_halo(mat, n)
+        hs_in = mat.shape[0] // n
+        if self.halo > hs_in:
+            raise ValueError(
+                f"spatial sharding needs {self.halo} halo rows but each "
+                f"shard only holds {hs_in}; use fewer shards for this scale")
+        self.hs_out = mat.shape[1] // n
+        mats = _shard_row_mats(mat, n, self.halo)
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from ..kernels import resize_pallas as rp
+            (self._starts, self._whi, self._wlo, self._kb,
+             self._in_pad) = rp.pack_band_stack(mats, pre_scale=pre_scale)
+        else:
+            self._mats = np.stack(mats)  # (n, hs_in+2h, hs_out)
+
+    def __call__(self, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        """x: this shard's (..., hs_in, W) block (raw integer on the Pallas
+        path when pre_scale folds the normalization; float otherwise)."""
+        if self.mat is None:
+            if self.pre_scale is not None:
+                return x.astype(dtype) * jnp.asarray(self.pre_scale, dtype)
+            return x
+        idx = jax.lax.axis_index(self.axis)
+        ext = halo_exchange(x, self.halo, self.axis)
+        if self.use_pallas:
+            from ..kernels import resize_pallas as rp
+            pick = lambda a: jax.lax.dynamic_index_in_dim(
+                jnp.asarray(a), idx, axis=0, keepdims=False)
+            return rp.banded_resize_rows_packed(
+                ext, pick(self._starts), pick(self._whi), pick(self._wlo),
+                self.hs_out, self._in_pad)
+        m = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(self._mats, dtype), idx, axis=0, keepdims=False)
+        if self.pre_scale is not None:
+            ext = ext.astype(dtype) * jnp.asarray(self.pre_scale, dtype)
+        moved = jnp.moveaxis(ext, -2, -1)
+        out = jnp.matmul(moved, m, preferred_element_type=jnp.float32,
+                         precision=scale_ops.RESIZE_PRECISION)
+        return jnp.moveaxis(out, -1, -2)
+
+
 def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
                           axis: str = "spatial", dtype=jnp.float32):
     """Row-sharded version of the fused pipeline.
 
     Input planes are (..., H, W) sharded on H over ``mesh[axis]``; output is
-    (..., 3, H_out, W_out) sharded the same way.  Requires a fusable plan
-    (see pipeline._can_fuse) and H dims divisible by the mesh size.
+    (..., 3, dst.height, dst.width) sharded the same way, bit-identical to
+    the single-chip fused path.  Requires a fusable plan (pipeline._can_fuse)
+    and plane/surface heights divisible by the mesh size.
     """
     if not _can_fuse(plan):
-        raise ValueError("spatial sharding requires a fusable (linear-prefix) plan")
+        raise ValueError(
+            "spatial sharding requires a fusable (linear-prefix) plan: "
+            "vp_scaling order, separable scalers, no DoVi reshape")
     s = plan.settings
     src, dst = plan.src, plan.dst
     info = plan.info
     n = mesh.shape[axis]
+    use_pallas = (s.use_accel_backend and jax.default_backend() == "tpu"
+                  and _vp_format_allowed(s, info))
 
-    cx = scale_ops.select_scaler(src.width, dst.width, s.upscaling,
+    # --- geometry: src_rect crop and video_rect placement ------------------
+    l0, t0, r0, b0 = plan.src_rect or (0, 0, src.width, src.height)
+    crop_w, crop_h = r0 - l0, b0 - t0
+    vid_w, vid_h = dst.video_size
+    l1, t1, r1, b1 = dst.video_rect or (0, 0, dst.width, dst.height)
+    surf_w, surf_h = dst.width, dst.height
+
+    if src.height % n:
+        raise ValueError(f"source height {src.height} is not divisible by "
+                         f"the {n}-shard spatial mesh")
+    if surf_h % n:
+        raise ValueError(f"output height {surf_h} is not divisible by "
+                         f"the {n}-shard spatial mesh")
+    dw, dh = info.chroma_div
+    if info.cs_type == ColorSystem.YUV and (src.height // dh) % n:
+        raise ValueError(f"chroma height {src.height // dh} is not divisible "
+                         f"by the {n}-shard spatial mesh")
+
+    # --- axis maps, exactly as _make_fused_fn builds them ------------------
+    cx = scale_ops.select_scaler(crop_w, vid_w, s.upscaling,
                                  s.downscaling, s.interpolate_at_50pct)
-    cy = scale_ops.select_scaler(src.height, dst.height, s.upscaling,
+    cy = scale_ops.select_scaler(crop_h, vid_h, s.upscaling,
                                  s.downscaling, s.interpolate_at_50pct)
-    wx = scale_ops.build_axis_matrix(cx, src.width, dst.width)
-    wy = scale_ops.build_axis_matrix(cy, src.height, dst.height)
-    if wy is None:
-        wy = np.eye(src.height)
+    wx = scale_ops.build_axis_matrix(cx, crop_w, vid_w)
+    wy = scale_ops.build_axis_matrix(cy, crop_h, vid_h)
+
+    blend = (s.deint_blend and src.interlaced and info.subsampling == 420
+             and info.cs_type == ColorSystem.YUV)
     wy_luma = wy
-    if (s.deint_blend and src.interlaced and info.subsampling == 420
-            and info.cs_type == ColorSystem.YUV):
-        wy_luma = _compose(chroma_ops.blend_deinterlace_matrix(src.height), wy)
+    if blend:
+        wy_luma = _compose(chroma_ops.blend_deinterlace_matrix(crop_h), wy)
 
     if info.cs_type == ColorSystem.YUV:
-        dw, dh = info.chroma_div
         ux, uy = chroma_ops.chroma_upsample_matrices(
-            src.width // dw, src.height // dh, info.subsampling,
+            crop_w // dw, crop_h // dh, info.subsampling,
             s.chroma_scaling, src.chroma_location)
         cwx = _compose(ux, wx)
-        cwy = _compose(uy, wy) if uy is not None else wy
-        if cwy is None:
-            cwy = np.eye(src.height // dh)
+        cwy = _compose(uy, wy)
     else:
-        cwx, cwy = wx, wy
+        cwx = cwy = None
+
+    # H maps gain the src_rect input embedding (cropped rows sit at t0 in the
+    # full sharded plane) and the video_rect output embedding (video rows sit
+    # at t1 in the surface; zero columns produce the black fill).  An
+    # identity map materializes whenever embedding or sharding itself makes
+    # the H contraction non-trivial.
+    embed_h = plan.src_rect is not None or dst.video_rect is not None
+    def h_map(m, in_full, in_off, in_vid):
+        if m is None and not embed_h:
+            return None
+        if m is None:
+            m = np.eye(in_vid)
+        return _embed(np.asarray(m), in_total=in_full, in_off=in_off,
+                      out_total=surf_h, out_off=t1)
+
+    my_luma = h_map(wy_luma, src.height, t0, crop_h)
+    my_chroma = h_map(cwy, src.height // dh, t0 // dh, crop_h // dh) \
+        if info.cs_type == ColorSystem.YUV else None
 
     norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
-    halo_y = required_halo(np.asarray(wy_luma), n)
-    halo_c = required_halo(np.asarray(cwy), n)
+
+    # On the Pallas path the UNORM normalization folds into the first matmul
+    # (W when present, else the per-shard H bands) so integer planes stream
+    # straight from HBM — same folding as _fused_apply2d.
+    ry_luma = _RowResize(my_luma, n, axis, use_pallas,
+                         pre_scale=None if wx is not None else norm)
+    ry_chroma = (_RowResize(my_chroma, n, axis, use_pallas,
+                            pre_scale=None if cwx is not None else norm)
+                 if info.cs_type == ColorSystem.YUV else None)
+
+    hs_surf = surf_h // n
+    has_vrect = dst.video_rect is not None
+
+    def apply_w(p, mx, x_lo, x_hi):
+        """W-axis pass on this shard's raw rows: crop columns locally, then
+        the banded kernel (normalization folded) or the dense fallback."""
+        p = p[..., x_lo:x_hi]
+        if mx is None:
+            return p  # normalization folds into the H pass
+        if use_pallas:
+            from ..kernels import resize_pallas as rp
+            return rp.banded_resize_last_axis(p, np.asarray(mx, np.float32),
+                                              pre_scale=norm)
+        x = p.astype(dtype) * jnp.asarray(norm, dtype)
+        return scale_ops.resize_axis(x, mx, -1)
 
     def shard_fn(*planes):
-        def apply2d(p, mx, my, halo):
-            x = p.astype(dtype) * jnp.asarray(norm, dtype)
-            if mx is not None:
-                x = scale_ops.resize_axis(x, mx, -1)
-            return spatial_resize_rows(x, np.asarray(my), halo, axis)
-
+        idx = jax.lax.axis_index(axis)
         if info.cs_type == ColorSystem.GRAY:
-            y = apply2d(planes[0], wx, wy, halo_y)
+            y = ry_luma(apply_w(planes[0], wx, l0, r0), dtype)
             m, c = plan.cmat_m, plan.cmat_c
             rgb = jnp.stack([y * m[i, 0] + c[i] for i in range(3)], axis=-3)
         else:
             if info.cs_type == ColorSystem.YUV:
-                comps = (apply2d(planes[0], wx, wy_luma, halo_y),
-                         apply2d(planes[1], cwx, cwy, halo_c),
-                         apply2d(planes[2], cwx, cwy, halo_c))
+                comps = (ry_luma(apply_w(planes[0], wx, l0, r0), dtype),
+                         ry_chroma(apply_w(planes[1], cwx, l0 // dw, r0 // dw),
+                                   dtype),
+                         ry_chroma(apply_w(planes[2], cwx, l0 // dw, r0 // dw),
+                                   dtype))
             else:
-                comps = tuple(apply2d(p, wx, wy, halo_y) for p in planes)
+                comps = tuple(ry_luma(apply_w(p, wx, l0, r0), dtype)
+                              for p in planes)
             if plan.apply_matrix:
                 m = jnp.asarray(plan.cmat_m, dtype)
                 c = jnp.asarray(plan.cmat_c, dtype)
@@ -116,9 +281,29 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
         rgb = _corrections(plan, rgb)
         if plan.local_tonemap:
             rgb = _local_tonemap(plan, rgb)
-        return _final_pass(plan, rgb)
 
-    from jax.experimental.shard_map import shard_map
+        # final pass, ps_final_pass.hlsl semantics under sharding: dither in
+        # video-local pattern coordinates (global surface row minus the rect
+        # top; columns are video-local until the W pad below), then FillBlack
+        # rows outside the rect and pad the columns.
+        db = plan.dither_bits
+        row0 = idx * hs_surf  # global surface row of local row 0
+        if db is not None and db != 0:
+            rgb = jnp.clip(rgb, 0.0, 1.0)
+            if db < 0:
+                rgb = dither_ops.quantize(rgb, -db)
+            else:
+                rgb = dither_ops.ordered_dither(rgb, db,
+                                                row_offset=row0 - t1)
+        if has_vrect:
+            gr = row0 + jnp.arange(hs_surf)
+            mask = ((gr >= t1) & (gr < b1)).astype(rgb.dtype)
+            rgb = rgb * mask[:, None]
+            rgb = jnp.pad(rgb, [(0, 0)] * (rgb.ndim - 1)
+                          + [(l1, surf_w - r1)])
+        return rgb
+
+    from jax import shard_map
 
     # planes are (..., H, W): shard the H axis (second-to-last)
     def spec_for(ndim):
@@ -129,8 +314,10 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
     def fn(planes):
         specs = tuple(spec_for(p.ndim) for p in planes)
         out_spec = spec_for(planes[0].ndim + 1)
+        # check_vma=False: pallas_call outputs can't declare their mesh-axis
+        # variance, so the per-shard banded kernels fail the VMA check
         smfn = shard_map(shard_fn, mesh=mesh, in_specs=specs,
-                         out_specs=out_spec)
+                         out_specs=out_spec, check_vma=False)
         return smfn(*planes)
 
     return fn
