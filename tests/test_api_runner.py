@@ -330,3 +330,92 @@ def test_videohdr_in_renderer():
     out = np.asarray(vr.process_frame(_nv12_planes(32, 16)))
     assert out.shape == (3, 16, 32)
     assert np.all((out >= 0) & (out <= 1))
+
+
+def test_frame_step():
+    """IKsPropertySet frame-step (Source/VideoRenderer.cpp:777-785): N more
+    frames, then EC_STEP_COMPLETE."""
+    vr = _open_renderer(32, 16)
+    assert vr.can_step()
+    vr.frame_step(2)
+    vr.process_frame(_nv12_planes(32, 16))
+    assert not vr.step_completed()
+    vr.process_frame(_nv12_planes(32, 16))
+    assert vr.step_completed()
+    assert not vr.step_completed()  # poll-and-clear
+    events = []
+    vr._on_step_complete = lambda: events.append(1)
+    vr.frame_step()
+    vr.process_frame(_nv12_planes(32, 16))
+    assert events == [1]
+    vr.frame_step(5)
+    vr.cancel_step()
+    vr.process_frame(_nv12_planes(32, 16))
+    assert not vr.step_completed()
+    with pytest.raises(ValueError):
+        vr.frame_step(0)
+
+
+def test_stereo3d_subtitle_offset():
+    """MediaSideData3DOffset shifts subtitle placement only while the
+    half-OU -> interlace transform is active
+    (Source/DX11VideoProcessor.cpp:2267-2274, 3289-3290)."""
+    w, h = 32, 16
+    bmp = np.ones((3, 4, 4), np.float32)
+    alpha = np.ones((4, 4), np.float32)
+
+    def out_with(transform, offset):
+        vr = _open_renderer(w, h, use_dither=False)
+        vr.flt_set("stereo3dTransform", transform)
+        vr.set_stereo3d_offset(offset)
+        vr.set_alpha_bitmap(bmp, alpha, x=8, y=4)
+        return np.asarray(vr.process_frame(_nv12_planes(w, h), time=0.0))
+
+    base = out_with(0, 6)       # transform off: offset ignored
+    shifted = out_with(1, 6)    # transform on: bitmap lands at x=14
+    plain = out_with(0, 0)
+    np.testing.assert_array_equal(base, plain)
+    assert not np.array_equal(shifted[:, 4:8, 8:12], base[:, 4:8, 8:12])
+    np.testing.assert_array_equal(shifted[:, 4:8, 14:18],
+                                  base[:, 4:8, 8:12])
+
+
+def test_output_signal_info_roundtrip(tmp_path):
+    """PQ passthrough: the sink sidecar carries colorspace/transfer + HDR10
+    mastering/CLL out, identical on read-back (VERDICT r1 item 7; the
+    SetColorSpace1/SetHDRMetaData analogue)."""
+    from videorenderer_tpu.csputils import Levels, Primaries, TRC
+    from videorenderer_tpu.io.raw import read_sink_signal_info
+    from videorenderer_tpu.pipeline import HDR10Metadata
+
+    hdr10 = HDR10Metadata(mastering_min_nits=0.001,
+                          mastering_max_nits=4000.0,
+                          max_cll=3500.0, max_fall=800.0)
+    vr = VideoRenderer(Settings(hdr_passthrough=True, convert_to_sdr=False))
+    src = SourceDescriptor(format=ColorFormat.P010, width=32, height=16,
+                           matrix=CSP.BT_2020_NC, levels=Levels.TV,
+                           primaries=Primaries.BT_2020, transfer=TRC.PQ,
+                           hdr10=hdr10)
+    dst = OutputDescriptor(width=32, height=16, bits=10, hdr=True)
+    vr.open(src, dst)
+    info = vr.get_output_signal_info()
+    assert info.transfer == "PQ" and info.primaries == "BT_2020"
+    assert info.hdr10 == hdr10
+
+    path = str(tmp_path / "out.rgb10")
+    with RawVideoSink(path, bits=10, signal_info=info) as sink:
+        planes = (np.full((16, 32), 600 << 6, np.uint16),
+                  np.full((8, 16), 512 << 6, np.uint16),
+                  np.full((8, 16), 512 << 6, np.uint16))
+        sink.present(vr.process_frame(planes))
+    back = read_sink_signal_info(path)
+    assert back.hdr10 == hdr10
+    assert back.transfer == "PQ" and back.primaries == "BT_2020"
+    assert (back.width, back.height, back.bits) == (32, 16, 10)
+
+    # SDR tone-mapped output reports sRGB/709 and no HDR10 block
+    vr2 = VideoRenderer(Settings(convert_to_sdr=True))
+    vr2.open(src, OutputDescriptor(width=32, height=16, bits=8))
+    info2 = vr2.get_output_signal_info()
+    assert info2.transfer == "SRGB" and info2.primaries == "BT_709"
+    assert info2.hdr10 is None

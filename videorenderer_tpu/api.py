@@ -60,6 +60,11 @@ class VideoRenderer:
         self._alpha_bitmap = None          # (rgb (3,h,w), alpha (h,w), x, y)
         self._superres = None              # (params, SuperResConfig)
         self._videohdr = None              # (params, VideoHDRConfig)
+        self._stereo3d_offset = 4          # MediaSideData3DOffset (default 4,
+                                           # Source/VideoProcessor.h:162)
+        self._stepping = 0                 # armed frame-step counter
+        self._step_complete = False
+        self._on_step_complete = None      # optional EC_STEP_COMPLETE cb
         self.metrics = Metrics()
 
     # -- IVideoRenderer -------------------------------------------------------
@@ -201,6 +206,30 @@ class VideoRenderer:
         self._dst = dst
         self._rebuild()
 
+    def get_output_signal_info(self):
+        """What the output pixels are — colorspace/transfer + HDR10
+        mastering/CLL metadata (the SetColorSpace1/SetHDRMetaData state,
+        Source/DX11VideoProcessor.cpp:2629-2739).  Pass to a sink (e.g.
+        RawVideoSink(signal_info=...)) so the metadata rides with the
+        pixels.  Note: with 90/270 rotation the plan runs at swapped dims;
+        report the real surface."""
+        from .pipeline import output_signal_info
+        import dataclasses as _dc
+        info = output_signal_info(self._plan)
+        # the plan may run at internal dims (rotation swap, SuperRes 1:1);
+        # the signal info describes the real surface
+        info = _dc.replace(info, width=self._dst.width,
+                           height=self._dst.height)
+        if self._videohdr_engaged():
+            # the net emits PQ/BT.2020 (RTX Video HDR analogue)
+            from .csputils import Primaries, TRC
+            from .pipeline import HDR10Metadata
+            info = _dc.replace(info, primaries=Primaries.BT_2020.name,
+                               transfer=TRC.PQ.name,
+                               bits=self._dst.bits,
+                               hdr10=info.hdr10 or HDR10Metadata())
+        return info
+
     def _superres_engaged(self) -> bool:
         from .models.superres import superres_engages
         if self._superres is None:
@@ -296,6 +325,14 @@ class VideoRenderer:
             cls = SubPicQueue if threaded else SubPicQueueNoThread
             self._subpic_queue = cls(provider)
 
+    def set_stereo3d_offset(self, pixels: int) -> None:
+        """MediaSideData3DOffset analogue
+        (Source/DX11VideoProcessor.cpp:2267-2274): horizontal subtitle/OSD
+        shift for stereo content; applied only while the Half-OverUnder ->
+        Interlace transform is active, like the reference's Render11 call
+        (Source/DX11VideoProcessor.cpp:3289-3290)."""
+        self._stereo3d_offset = int(pixels)
+
     def set_alpha_bitmap(self, rgb, alpha, x: int = 0, y: int = 0) -> None:
         """IMFVideoMixerBitmap::SetAlphaBitmap analogue
         (Source/DX11VideoProcessor.cpp:4553-4623); pass rgb=None to clear."""
@@ -316,14 +353,18 @@ class VideoRenderer:
                                         self.settings.hdr_osd_brightness)
             return jnp.asarray(rgb)
 
+        # stereo 3D: shift subtitles horizontally by the side-data offset
+        # while the half-OU -> interlace transform is active
+        xoff = (self._stereo3d_offset
+                if self._stereo3d_transform == 1 else 0)
         if self._subpic_queue is not None and time is not None:
             for p in self._subpic_queue.lookup(time):
                 out = blend_in_rect(out, prep(p.rgb), jnp.asarray(p.alpha),
-                                    x=p.x, y=p.y)
+                                    x=p.x + xoff, y=p.y)
         if self._alpha_bitmap is not None:
             rgb, alpha, x, y = self._alpha_bitmap
             out = blend_in_rect(out, prep(rgb), jnp.asarray(alpha),
-                                x=x, y=y)
+                                x=x + xoff, y=y)
         if self.settings.show_stats:
             from .osd import render_stats_overlay
             rgb, alpha = render_stats_overlay(
@@ -366,7 +407,39 @@ class VideoRenderer:
         self.metrics.draw_stats.frame_drawn()
         self._last_input = planes
         self._last_output = out
+        if self._stepping > 0:
+            self._stepping -= 1
+            if self._stepping == 0:
+                # EC_STEP_COMPLETE analogue (Source/VideoRenderer.cpp:510-512)
+                self._step_complete = True
+                if self._on_step_complete is not None:
+                    self._on_step_complete()
         return out
+
+    # -- frame stepping (IKsPropertySet AM_KSPROPSETID_FrameStep,
+    #    Source/VideoRenderer.cpp:777-785) ------------------------------------
+
+    def frame_step(self, frames: int = 1) -> None:
+        """Arm a frame-step: after ``frames`` more processed frames the step
+        completes (AM_PROPERTY_FRAMESTEP_STEP; the graph would then pause)."""
+        if frames < 1:
+            raise ValueError("frames must be >= 1")
+        self._stepping = int(frames)
+        self._step_complete = False
+
+    def can_step(self) -> bool:
+        """AM_PROPERTY_FRAMESTEP_CANSTEP(MULTIPLE): always supported."""
+        return True
+
+    def cancel_step(self) -> None:
+        self._stepping = 0
+        self._step_complete = False
+
+    def step_completed(self) -> bool:
+        """Poll-and-clear the EC_STEP_COMPLETE notification."""
+        done = self._step_complete
+        self._step_complete = False
+        return done
 
     def _run(self, planes, time):
         out = self._fn(planes)

@@ -98,11 +98,18 @@ class PrefetchingSource:
 
 class RawVideoSink:
     """Write processed (…,3,H,W) float frames to a raw file in RGB8 /
-    RGB10 (A2R10G10B10 dwords) / RGB16 — the Present analogue."""
+    RGB10 (A2R10G10B10 dwords) / RGB16 — the Present analogue.
 
-    def __init__(self, path: str, bits: int = 8):
+    ``signal_info`` (pipeline.OutputSignalInfo or its dict) is persisted as
+    a ``<path>.json`` sidecar on close — the SetColorSpace1/SetHDRMetaData
+    analogue (Source/DX11VideoProcessor.cpp:2629-2739): raw RGB files carry
+    no header, so the colorspace/transfer + HDR10 mastering/CLL tags ride
+    alongside for the downstream consumer."""
+
+    def __init__(self, path: str, bits: int = 8, signal_info=None):
         self.path = path
         self.bits = bits
+        self.signal_info = signal_info
         self._f = open(path, "wb")
         self.frames = 0
 
@@ -121,9 +128,24 @@ class RawVideoSink:
 
     def close(self) -> None:
         self._f.close()
+        if self.signal_info is not None:
+            import json
+            info = self.signal_info
+            d = info if isinstance(info, dict) else info.to_dict()
+            d = dict(d, frames=self.frames)
+            with open(self.path + ".json", "w") as f:
+                json.dump(d, f, indent=1)
 
     def __enter__(self):
         return self
 
     def __exit__(self, *a):
         self.close()
+
+
+def read_sink_signal_info(path: str):
+    """Load the OutputSignalInfo sidecar written by RawVideoSink."""
+    import json
+    from ..pipeline import OutputSignalInfo
+    with open(path + ".json") as f:
+        return OutputSignalInfo.from_dict(json.load(f))

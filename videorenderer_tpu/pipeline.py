@@ -83,6 +83,11 @@ class SourceDescriptor:
     # Source/DX11VideoProcessor.cpp:2276-2537, Source/Shaders.cpp:531-859).
     dovi: "object | None" = None            # ops.dovi.DoviMetadata
     dovi_trims: "object | None" = None      # ops.tonemap.DoviTrims
+    # ST 2094-10 extension blocks (L1/L2/L3/L6 + ColorMetadata luminance,
+    # ops.dovi_ext.DoviExtensions): resolved at plan time into tone-map
+    # params / trims / output HDR10 metadata exactly as CopySample does
+    # (Source/DX11VideoProcessor.cpp:2357-2500)
+    dovi_ext: "object | None" = None
     # source crop rectangle (left, top, right, bottom) — the IBasicVideo
     # SetSourcePosition analogue; None = full frame
     src_rect: tuple[int, int, int, int] | None = None
@@ -167,7 +172,14 @@ class PipelinePlan:
     dither_bits: int | None
     dovi: "object | None" = None        # ops.dovi.DoviMetadata
     dovi_trims: "object | None" = None  # ops.tonemap.DoviTrims
+    dovi_ext: "object | None" = None    # ops.dovi_ext.DoviExtensions
     src_rect: tuple[int, int, int, int] | None = None
+    # resolved local-tone-map parameters + (possibly L1-upgraded) operator
+    tonemap_params: "object | None" = None   # ops.tonemap.HDRParams
+    tonemap_type: int = 0
+    # output-side HDR10 static metadata (swap-chain SetHDRMetaData analogue,
+    # Source/DX11VideoProcessor.cpp:2629-2739) — what a sink should program
+    output_hdr10: HDR10Metadata | None = None
 
 
 def _build_cmat(src: SourceDescriptor, info: FormatInfo) -> tuple[np.ndarray, np.ndarray, bool]:
@@ -219,6 +231,13 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
     is_hlg = src.transfer == TRC.HLG and dovi is None
     bt2020 = src.primaries == Primaries.BT_2020
 
+    dovi_trims = src.dovi_trims
+    dovi_ext = src.dovi_ext
+    if dovi_ext is not None and dovi_trims is None:
+        from .ops import dovi_ext as dovi_ext_ops
+        dovi_trims = dovi_ext_ops.select_l2_trims(
+            dovi_ext, float(settings.hdr_display_max_nits))
+
     convert_to_sdr = (not dst.hdr) and settings.convert_to_sdr and (
         is_pq or is_hlg or dovi is not None)
     hlg_to_pq = dst.hdr and settings.hdr_passthrough and is_hlg
@@ -230,7 +249,28 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
         TRC.GAMMA26: 2.6, TRC.GAMMA28: 2.8,
     }.get(src.transfer, 2.2)
     local_tonemap = (dst.hdr and settings.hdr_local_tone_mapping
-                     and (is_pq or is_hlg))
+                     and (is_pq or is_hlg or dovi is not None))
+
+    # resolve the tone-map parameter block once: L1 (+L3) extensions feed
+    # min/max/maxCLL=max/maxFALL=avg and upgrade type 5 -> 6; otherwise the
+    # (DoVi-merged) HDR10 mastering metadata applies
+    # (Source/DX11VideoProcessor.cpp:2728-2736)
+    tm_type = int(settings.hdr_local_tone_mapping_type)
+    output_hdr10 = src.hdr10 if dst.hdr else None
+    if dovi_ext is not None:
+        from .ops import dovi_ext as dovi_ext_ops
+        tm_params, tm_type = dovi_ext_ops.hdr_params_from_extensions(
+            dovi_ext, src.hdr10, float(settings.hdr_display_max_nits),
+            tm_type)
+        if dst.hdr:
+            output_hdr10 = dovi_ext_ops.merge_hdr10(src.hdr10, dovi_ext)
+    else:
+        h = src.hdr10 or HDR10Metadata()
+        tm_params = tonemap_ops.HDRParams(
+            mastering_min_nits=h.mastering_min_nits,
+            mastering_max_nits=h.mastering_max_nits,
+            max_cll=h.max_cll, max_fall=h.max_fall,
+            display_max_nits=float(settings.hdr_display_max_nits))
 
     if src.src_rect is not None and info.cs_type == ColorSystem.YUV:
         dw, dh = info.chroma_div
@@ -253,8 +293,74 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
         convert_to_sdr=convert_to_sdr, hlg_to_pq=hlg_to_pq,
         fix_bt2020_sdr=fix_bt2020_sdr, sdr_gamma=sdr_gamma,
         local_tonemap=local_tonemap, dither_bits=dither_bits,
-        dovi=dovi, dovi_trims=src.dovi_trims, src_rect=src.src_rect,
+        dovi=dovi, dovi_trims=dovi_trims, dovi_ext=dovi_ext,
+        src_rect=src.src_rect, tonemap_params=tm_params,
+        tonemap_type=tm_type, output_hdr10=output_hdr10,
     )
+
+
+@dataclass(frozen=True)
+class OutputSignalInfo:
+    """What the output pixels *are* — the swap-chain colorspace + HDR10
+    metadata the reference programs every present
+    (SetColorSpace1/SetHDRMetaData, Source/DX11VideoProcessor.cpp:2629-2739).
+    Sinks persist this next to the pixels so a downstream consumer can
+    display them correctly."""
+
+    width: int
+    height: int
+    bits: int
+    primaries: str        # Primaries name
+    transfer: str         # TRC name ("PQ" for HDR out)
+    matrix: str = "RGB"
+    range: str = "full"
+    hdr10: HDR10Metadata | None = None
+
+    def to_dict(self) -> dict:
+        d = {"width": self.width, "height": self.height, "bits": self.bits,
+             "primaries": self.primaries, "transfer": self.transfer,
+             "matrix": self.matrix, "range": self.range}
+        if self.hdr10 is not None:
+            d["hdr10"] = {
+                "mastering_min_nits": self.hdr10.mastering_min_nits,
+                "mastering_max_nits": self.hdr10.mastering_max_nits,
+                "max_cll": self.hdr10.max_cll,
+                "max_fall": self.hdr10.max_fall,
+            }
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "OutputSignalInfo":
+        h = d.get("hdr10")
+        return cls(width=d["width"], height=d["height"], bits=d["bits"],
+                   primaries=d["primaries"], transfer=d["transfer"],
+                   matrix=d.get("matrix", "RGB"),
+                   range=d.get("range", "full"),
+                   hdr10=HDR10Metadata(**h) if h else None)
+
+
+def output_signal_info(plan: PipelinePlan) -> OutputSignalInfo:
+    """Resolve the output colorspace/transfer + HDR10 metadata from the plan:
+
+     * HDR out: RGB full G2084 P2020 (the reference's fixed HDR swap-chain
+       colorspace) + the (DoVi-merged) mastering/CLL metadata;
+     * tone-mapped / BT.2020-fixed SDR: sRGB-like gamma in BT.709;
+     * plain SDR: the source transfer/primaries pass through (the pipeline
+       only applies the matrix + resize).
+    """
+    dst = plan.dst
+    if dst.hdr:
+        return OutputSignalInfo(
+            width=dst.width, height=dst.height, bits=dst.bits,
+            primaries=Primaries.BT_2020.name, transfer=TRC.PQ.name,
+            hdr10=plan.output_hdr10 or HDR10Metadata())
+    if plan.convert_to_sdr or plan.fix_bt2020_sdr:
+        return OutputSignalInfo(
+            width=dst.width, height=dst.height, bits=dst.bits,
+            primaries=Primaries.BT_709.name, transfer=TRC.SRGB.name)
+    return OutputSignalInfo(
+        width=dst.width, height=dst.height, bits=dst.bits,
+        primaries=plan.src.primaries.name, transfer=plan.src.transfer.name)
 
 
 # ---------------------------------------------------------------------------
@@ -346,11 +452,14 @@ def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
     return rgb
 
 
-def _corrections(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
+def _corrections(plan: PipelinePlan, rgb: jnp.ndarray,
+                 trims=None) -> jnp.ndarray:
     """Post-scale correction shaders (selection in InitMediaType,
     Source/DX11VideoProcessor.cpp:1896-1930)."""
     s = plan.settings
     axis = -3
+    if trims is None:
+        trims = plan.dovi_trims
     if plan.convert_to_sdr:
         # ps_convert_pq_to_sdr.hlsl / HLG variant: -> linear(SDR-relative) ->
         # Hable -> 2020->709 -> sRGB-ish gamma
@@ -363,7 +472,7 @@ def _corrections(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
         if plan.dovi is not None and plan.dovi_trims is not None \
                 and plan.dovi_trims.l2_enabled:
             # L2 trims on the PQ signal (Source/Shaders.cpp:873-877)
-            x = tonemap_ops.dolby_vision_trims(x, plan.dovi_trims, axis=axis,
+            x = tonemap_ops.dolby_vision_trims(x, trims, axis=axis,
                                                pq_input=True)
         x = transfer_ops.st2084_to_linear(x, luminance_scale)
         x = tonemap_ops.tonemap_hable_sdr(x)
@@ -388,17 +497,27 @@ def _corrections(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
     return rgb
 
 
-def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
-    h = plan.src.hdr10 or HDR10Metadata()
-    params = tonemap_ops.HDRParams(
-        mastering_min_nits=h.mastering_min_nits,
-        mastering_max_nits=h.mastering_max_nits,
-        max_cll=h.max_cll, max_fall=h.max_fall,
-        display_max_nits=float(plan.settings.hdr_display_max_nits),
-    )
+def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray,
+                   trims=None) -> jnp.ndarray:
     return tonemap_ops.local_tonemap_pq(
-        rgb, int(plan.settings.hdr_local_tone_mapping_type), params,
-        trims=plan.dovi_trims, axis=-3)
+        rgb, plan.tonemap_type, plan.tonemap_params,
+        trims=trims if trims is not None else plan.dovi_trims, axis=-3)
+
+
+def _resolve_rt_trims(plan: PipelinePlan, rt: dict | None):
+    """Serving-mode L2 trims: rt["l2_trims"] scalars override the plan's
+    static DoviTrims (the stage must exist statically — plan with l2-enabled
+    trims — for per-scene values to flow in without retracing, the way the
+    reference re-uploads the DoVi dynamic cbuffer per sample,
+    Source/DX11VideoProcessor.cpp:954-983)."""
+    tr = rt.get("l2_trims") if rt else None
+    if tr is None:
+        return plan.dovi_trims
+    return tonemap_ops.DoviTrims(
+        chroma_weight=tr["chroma_weight"],
+        saturation_gain=tr["saturation_gain"],
+        trim_slope=tr["trim_slope"], trim_offset=tr["trim_offset"],
+        trim_power=tr["trim_power"], l2_enabled=True)
 
 
 def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray,
@@ -578,15 +697,15 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
                      + m[i, 2] * comps[2] + c[i] for i in range(3)], axis=-3)
             else:
                 rgb = jnp.stack(comps, axis=-3)
-        rgb = _corrections(plan, rgb)
+        trims = _resolve_rt_trims(plan, rt)
+        rgb = _corrections(plan, rgb, trims=trims)
         if plan.local_tonemap:
             hdr = rt.get("hdr")
             if hdr is not None:
                 rgb = tonemap_ops.local_tonemap_pq_rt(
-                    rgb, int(plan.settings.hdr_local_tone_mapping_type), hdr,
-                    trims=plan.dovi_trims, axis=-3)
+                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
             else:
-                rgb = _local_tonemap(plan, rgb)
+                rgb = _local_tonemap(plan, rgb, trims=trims)
         return _final_pass(plan, rgb)
 
     if with_rt:
@@ -659,23 +778,23 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
         rgb = _convert_color(plan, planes, dtype,
                              rt_curves=rt.get("dovi_curves"),
                              rt_cmat=rt.get("cmat"))
+        trims = _resolve_rt_trims(plan, rt)
         if not s.vp_scaling:
-            rgb = _corrections(plan, rgb)
+            rgb = _corrections(plan, rgb, trims=trims)
         vid_w, vid_h = dst.video_size
         rgb = scale_ops.resize_plane(
             rgb, vid_h, vid_w,
             upscaling=s.upscaling, downscaling=s.downscaling,
             interpolate_at_50pct=s.interpolate_at_50pct)
         if s.vp_scaling:
-            rgb = _corrections(plan, rgb)
+            rgb = _corrections(plan, rgb, trims=trims)
         if plan.local_tonemap:
             hdr = rt.get("hdr")
             if hdr is not None:
                 rgb = tonemap_ops.local_tonemap_pq_rt(
-                    rgb, int(s.hdr_local_tone_mapping_type), hdr,
-                    trims=plan.dovi_trims, axis=-3)
+                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
             else:
-                rgb = _local_tonemap(plan, rgb)
+                rgb = _local_tonemap(plan, rgb, trims=trims)
         return _final_pass(plan, rgb)
 
     return fn
