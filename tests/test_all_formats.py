@@ -61,3 +61,64 @@ def test_422_gray_ramp_preserved(fmt):
     np.testing.assert_allclose(out[1], out[2], atol=0.02)
     # luma ramp monotone along W
     assert np.all(np.diff(out[0, 4]) >= -1e-6)
+
+
+def _pad_buffer(fmt, tight, w, h, pad):
+    """Inject `pad` bytes of row padding per segment into a tight buffer."""
+    info = formats.get_format_info(fmt)
+    a = np.frombuffer(tight, np.uint8)
+    rng = np.random.default_rng(99)
+    parts, off = [], 0
+    for rows, trow, div in formats.plane_segments(info, w, h):
+        prow = trow + pad // div
+        seg = np.empty((rows, prow), np.uint8)
+        seg[:] = rng.integers(0, 256, (rows, prow), np.uint8)  # junk padding
+        seg[:, :trow] = a[off:off + rows * trow].reshape(rows, trow)
+        parts.append(seg.reshape(-1))
+        off += rows * trow
+    pitch = formats.plane_segments(info, w, h)[0][1] + pad
+    return np.concatenate(parts).tobytes(), pitch
+
+
+@pytest.mark.parametrize("fmt", ALL, ids=[f.name for f in ALL])
+def test_unpack_pitched_matches_tight(fmt):
+    """Padded-stride (pitched) buffers unpack identically to tight ones for
+    every registry format — srcPitch semantics of the reference copiers
+    (Source/Helper.cpp:414-428, MemCopyToTexSrcVideo per-plane pitch rules)."""
+    w, h = 48, 16
+    info = formats.get_format_info(fmt)
+    nbytes = sum(r * t for r, t, _ in formats.plane_segments(info, w, h))
+    rng = np.random.default_rng(int(fmt) + 1000)
+    tight = rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+
+    ref = formats.unpack_frame(fmt, tight, w, h)
+    # pad must keep chroma pitches integral for planar formats (pad/div)
+    padded, pitch = _pad_buffer(fmt, tight, w, h, pad=64)
+    got = formats.unpack_frame(fmt, padded, w, h, pitch=pitch)
+    for a, b in zip(got.planes, ref.planes):
+        np.testing.assert_array_equal(a, b)
+    # tight pitch passed explicitly is a no-op
+    got2 = formats.unpack_frame(fmt, tight, w, h,
+                                pitch=formats.default_pitch(info, w))
+    for a, b in zip(got2.planes, ref.planes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_unpack_negative_pitch_bottom_up():
+    """Negative pitch = bottom-up DIB rows (Source/DX11VideoProcessor.cpp:
+    1245-1248): the unpacked image is the vertical flip of the stored rows."""
+    w, h = 8, 4
+    rng = np.random.default_rng(7)
+    tight = rng.integers(0, 256, w * h * 3, np.uint8).tobytes()
+    top_down = formats.unpack_frame(ColorFormat.RGB24, tight, w, h)
+    bottom_up = formats.unpack_frame(ColorFormat.RGB24, tight, w, h,
+                                     pitch=-(w * 3))
+    for a, b in zip(bottom_up.planes, top_down.planes):
+        np.testing.assert_array_equal(a, b[::-1])
+
+
+def test_pitched_errors():
+    with pytest.raises(ValueError, match="too small"):
+        formats.unpack_frame(ColorFormat.NV12, b"\0" * 100, 48, 16, pitch=64)
+    with pytest.raises(ValueError, match="pitch"):
+        formats.unpack_frame(ColorFormat.NV12, b"\0" * 4608, 48, 16, pitch=32)

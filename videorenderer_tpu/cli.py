@@ -96,7 +96,8 @@ def cmd_process(args) -> int:
         from .io.srt import load_srt
         vr.set_subtitle_provider(load_srt(args.srt), threaded=False)
 
-    source = y4m if y4m is not None else RawVideoSource(args.input, src_fmt, w, h)
+    source = y4m if y4m is not None else RawVideoSource(
+        args.input, src_fmt, w, h, pitch=getattr(args, "pitch", None))
     n = len(source)
     if n == 0:
         print("no frames in input", file=sys.stderr)
@@ -195,6 +196,9 @@ def main(argv=None) -> int:
     pp.add_argument("--format", default=None,
                     help="e.g. NV12, P010, YUY2 (auto for .y4m input)")
     pp.add_argument("--size", default=None, help="WxH (auto for .y4m)")
+    pp.add_argument("--pitch", type=int, default=None,
+                    help="bytes per luma row for padded-stride raw input "
+                         "(negative = bottom-up rows)")
     pp.add_argument("--out", required=True)
     pp.add_argument("--out-size", default=None)
     pp.add_argument("--out-bits", type=int, default=8, choices=(8, 10, 16))

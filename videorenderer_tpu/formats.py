@@ -238,6 +238,95 @@ def _unpack_planar(buf, w, h, dtype, div_w, div_h, order=(0, 1, 2)):
     return tuple(planes[i] for i in order)
 
 
+# ---------------------------------------------------------------------------
+# pitched (strided) buffers — real decoder output pads rows to alignment
+# boundaries; the reference negotiates the pitch and every copier honors it
+# (srcPitch through GetCopyPlaneFunction, Source/Helper.cpp:377-428;
+# per-plane pitch rules in MemCopyToTexSrcVideo,
+# Source/DX11VideoProcessor.cpp:1213-1252)
+# ---------------------------------------------------------------------------
+
+# formats whose buffer is luma rows followed by interleaved-chroma rows at
+# the same pitch
+_BIPLANAR = frozenset({ColorFormat.NV12, ColorFormat.P010, ColorFormat.P016,
+                       ColorFormat.P210, ColorFormat.P216})
+# three separate planes; chroma pitch = luma pitch / div_chroma_w
+_PLANAR3 = frozenset({
+    ColorFormat.YV12, ColorFormat.YV16, ColorFormat.YV24,
+    ColorFormat.YUV420P8, ColorFormat.YUV422P8, ColorFormat.YUV444P8,
+    ColorFormat.YUV420P10, ColorFormat.YUV420P16,
+    ColorFormat.YUV422P10, ColorFormat.YUV422P16,
+    ColorFormat.YUV444P10, ColorFormat.YUV444P16,
+    ColorFormat.GBRP8, ColorFormat.GBRP10, ColorFormat.GBRP16,
+})
+
+
+def plane_segments(info: FormatInfo, w: int, h: int) -> list[tuple[int, int, int]]:
+    """Pitched-buffer row structure: [(rows, tight_row_bytes, pitch_div)]
+    per stored plane, where a segment's actual pitch is the negotiated luma
+    pitch // pitch_div (the MemCopyToTexSrcVideo rules)."""
+    f = info.cformat
+    it = int(info.pack_size)
+    if f in _BIPLANAR:
+        dh = info.chroma_div[1]
+        return [(h, w * it, 1), (h // dh, w * it, 1)]
+    if f in _PLANAR3:
+        dw, dh = info.chroma_div
+        cw, ch = w // dw, h // dh
+        return [(h, w * it, 1), (ch, cw * it, dw), (ch, cw * it, dw)]
+    if f == ColorFormat.V210:
+        return [(h, ((w + 47) // 48) * 128, 1)]
+    return [(h, int(w * info.pack_size), 1)]
+
+
+def default_pitch(info: FormatInfo, w: int) -> int:
+    """Tightly-packed luma/packed-row pitch in bytes."""
+    return plane_segments(info, w, 1)[0][1]
+
+
+def repitch(fmt: ColorFormat, buf, w: int, h: int, pitch: int) -> np.ndarray:
+    """Strip row padding from a pitched frame buffer -> tightly-packed bytes
+    the unpackers consume.  Negative pitch = bottom-up rows (DIB RGB
+    convention; the reference starts at ``srcData + srcPitch*(1 - lines)``,
+    Source/DX11VideoProcessor.cpp:1245-1248)."""
+    info = FORMATS[fmt]
+    a = _as_u8(buf)
+    segs = plane_segments(info, w, h)
+    if pitch < 0:
+        if len(segs) != 1:
+            raise ValueError("negative (bottom-up) pitch is only defined "
+                             "for packed single-plane formats")
+        rows, tight, _ = segs[0]
+        p = -pitch
+        if p < tight:
+            raise ValueError(f"|pitch| {p} < row size {tight}")
+        if a.size < p * (rows - 1) + tight:
+            raise ValueError("buffer too small for pitched frame")
+        view = np.lib.stride_tricks.as_strided(a, shape=(rows, tight),
+                                               strides=(p, 1))
+        return np.ascontiguousarray(view[::-1]).reshape(-1)
+    parts = []
+    off = 0
+    for rows, tight, div in segs:
+        p = pitch // div
+        if p < tight:
+            raise ValueError(f"pitch {pitch} too small: plane rows need "
+                             f"{tight * div} bytes")
+        if a.size < off + p * (rows - 1) + tight:
+            raise ValueError("buffer too small for pitched frame")
+        view = np.lib.stride_tricks.as_strided(a[off:], shape=(rows, tight),
+                                               strides=(p, 1))
+        parts.append(np.ascontiguousarray(view).reshape(-1))
+        off += p * rows
+    return np.concatenate(parts)
+
+
+def pitched_buffer_size(fmt: ColorFormat, w: int, h: int, pitch: int) -> int:
+    """Total bytes of one frame at the given luma pitch."""
+    return sum((abs(pitch) // div) * rows
+               for rows, _, div in plane_segments(FORMATS[fmt], w, h))
+
+
 # Native (C++) repack acceleration — the SIMD-copier dispatch analogue.
 # Set False to force the pure-numpy path.
 USE_NATIVE = True
@@ -278,17 +367,25 @@ def _try_native(fmt: ColorFormat, buf, w: int, h: int):
     return None
 
 
-def unpack_frame(fmt: ColorFormat, buf: bytes | np.ndarray, width: int, height: int) -> PlanarFrame:
+def unpack_frame(fmt: ColorFormat, buf: bytes | np.ndarray, width: int,
+                 height: int, pitch: int | None = None) -> PlanarFrame:
     """Unpack raw frame bytes into canonical planes.
 
     Replacement for the copy-function dispatch ``GetCopyPlaneFunction``
     (Source/Helper.cpp:377-412) plus the per-format ``MemCopyToTexSrcVideo``
     plane split (Source/DX11VideoProcessor.cpp:1213-1252).  Hot formats
     dispatch to the native C++ library when built; numpy otherwise.
+
+    ``pitch``: bytes per luma/packed row when the buffer has padded strides
+    (real decoder output); None or the tight pitch means packed rows.
+    Negative = bottom-up rows (DIB RGB).
     """
     info = FORMATS[fmt]
     w, h = width, height
     F = ColorFormat
+
+    if pitch is not None and pitch != default_pitch(info, w):
+        buf = repitch(fmt, buf, w, h, pitch)
 
     native_planes = _try_native(fmt, buf, w, h)
     if native_planes is not None:

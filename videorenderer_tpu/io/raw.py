@@ -22,16 +22,25 @@ from ..formats import (ColorFormat, PlanarFrame, get_format_info, pack_rgb8,
 @dataclass
 class RawVideoSource:
     """Iterate PlanarFrames from a raw (headerless) video file —
-    the analogue of the upstream decoder connection."""
+    the analogue of the upstream decoder connection.
+
+    ``pitch``: bytes per luma/packed row for padded-stride files (decoder
+    dumps); None = tightly packed."""
 
     path: str
     format: ColorFormat
     width: int
     height: int
+    pitch: int | None = None
 
     def __post_init__(self):
+        from ..formats import pitched_buffer_size
         self.info = get_format_info(self.format)
-        self.frame_bytes = self.info.buffer_size(self.width, self.height)
+        if self.pitch is not None:
+            self.frame_bytes = pitched_buffer_size(
+                self.format, self.width, self.height, self.pitch)
+        else:
+            self.frame_bytes = self.info.buffer_size(self.width, self.height)
         self.num_frames = os.path.getsize(self.path) // self.frame_bytes
 
     def __len__(self) -> int:
@@ -43,7 +52,8 @@ class RawVideoSource:
                 buf = f.read(self.frame_bytes)
                 if len(buf) < self.frame_bytes:
                     return
-                yield unpack_frame(self.format, buf, self.width, self.height)
+                yield unpack_frame(self.format, buf, self.width, self.height,
+                                   pitch=self.pitch)
 
     def read_batch(self, start: int, count: int) -> tuple[np.ndarray, ...]:
         """Stacked plane arrays (count, ...) for batched processing."""
@@ -55,7 +65,7 @@ class RawVideoSource:
                 if len(buf) < self.frame_bytes:
                     break
                 frames.append(unpack_frame(self.format, buf, self.width,
-                                           self.height))
+                                           self.height, pitch=self.pitch))
         if not frames:
             raise EOFError("no frames")
         return tuple(np.stack([fr.planes[i] for fr in frames])
