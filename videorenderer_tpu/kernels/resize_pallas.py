@@ -77,7 +77,7 @@ def _pack_band(mat: np.ndarray, kb_align: int = 128,
 
 def pack_band_for(mat: np.ndarray, kb_align: int = 128):
     """Cached :func:`_pack_band` (matrices are interned per plan)."""
-    key = (id(mat), mat.shape)
+    key = (id(mat), mat.shape, kb_align)
     cached = _band_cache.get(key)
     if cached is not None:
         return cached
@@ -96,11 +96,12 @@ def pack_band_stack(mats, pre_scale: float | None = None):
     """
     kb = 0
     for m in mats:
-        kb = max(kb, _pack_band(np.asarray(m))[2])
+        kb = max(kb, _pack_band(np.asarray(m), kb_align=ROWS_KB_ALIGN)[2])
     starts_l, hi_l, lo_l = [], [], []
     in_pad = None
     for m in mats:
-        s, bands, _, in_pad = _pack_band(np.asarray(m), kb_force=kb)
+        s, bands, _, in_pad = _pack_band(np.asarray(m),
+                                         kb_align=ROWS_KB_ALIGN, kb_force=kb)
         if pre_scale is not None:
             bands = bands * np.float32(pre_scale)
         bt = np.ascontiguousarray(np.swapaxes(bands, 1, 2))  # (J, 128, KB)
@@ -234,13 +235,20 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
     return out.reshape(lead + (w_out,))
 
 
+# The H-axis window slices live in the SUBLANE dim, where Mosaic only needs
+# 16-alignment (bf16 tile is (16, 128)) — unlike the W kernel's lane-dim
+# slices (128).  Narrower windows cut the per-output-tile K (and so MXU
+# work) by ~30% for 2:1 downscales vs 128-aligned packing.
+ROWS_KB_ALIGN = 16
+
+
 def _kernel_rows(starts_ref, x_ref, whi_ref, wlo_ref, o_ref, hi_ref, lo_ref):
     xf = _to_f32(x_ref[0])
     hi_ref[:] = xf.astype(jnp.bfloat16)
     lo_ref[:] = (xf - hi_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
     kb = whi_ref.shape[2]
     for jr in range(whi_ref.shape[0]):
-        start = pl.multiple_of(starts_ref[jr], 128)
+        start = pl.multiple_of(starts_ref[jr], ROWS_KB_ALIGN)
         o_ref[0, jr * TILE_N:(jr + 1) * TILE_N, :] = _dot3(
             hi_ref[pl.ds(start, kb), :], lo_ref[pl.ds(start, kb), :],
             whi_ref[jr], wlo_ref[jr], left=True)
@@ -253,7 +261,7 @@ def banded_resize_rows(x: jnp.ndarray, mat: np.ndarray,
     transposed weight band over a full-height column stripe in VMEM."""
     h_in, h_out = mat.shape
     assert x.shape[-2] == h_in
-    starts, bands, kb, h_in_pad = pack_band_for(mat)
+    starts, bands, kb, h_in_pad = pack_band_for(mat, kb_align=ROWS_KB_ALIGN)
     if pre_scale is not None:
         bands = bands * np.float32(pre_scale)
     bands_t = np.ascontiguousarray(np.swapaxes(bands, 1, 2))  # (J, 128, KB)

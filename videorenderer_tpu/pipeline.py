@@ -557,17 +557,10 @@ def _vp_format_allowed(s: Settings, info: FormatInfo) -> bool:
     return s.vp_formats.other
 
 
-def _can_fuse(plan: PipelinePlan) -> bool:
-    """The fused linear-resample path applies when everything between plane
-    normalization and the first nonlinearity is linear: chroma upsample,
-    (blend deinterlace), color matrix, separable resize.  That is the
-    VP-order pipeline with a separable scaler; Jinc2 (non-separable 2D) and
-    the shader-order (corrections before resize) fall back."""
+def _separable_geometry(plan: PipelinePlan) -> bool:
+    """True when every resize pass is a separable axis matrix (Jinc2's 2D
+    one-pass shader is the only non-separable case)."""
     s = plan.settings
-    if not s.vp_scaling:
-        return False
-    if plan.dovi is not None:
-        return False  # the reshape is nonlinear in the ycc signal
     src, dst = plan.src, plan.dst
     h, w = src.height, src.width
     if plan.src_rect is not None:
@@ -577,14 +570,45 @@ def _can_fuse(plan: PipelinePlan) -> bool:
     if s.upscaling == Upscaling.JINC2:
         rx, ry = scale_ops.jinc2_passes(h, w, dh, dw, s.interpolate_at_50pct)
         if "up" in (rx, ry):
-            return False  # the 2D Jinc2 pass is non-separable
+            return False
     return True
 
 
-def _fused_apply2d(x_raw, mx, my, use_pallas: bool, norm: float, dtype):
-    """Apply optional (in,out) matrices along W then H to a *raw* integer
-    plane.  On the Pallas path the UNORM normalization folds into the first
-    matmul's weights so the integer data streams straight from HBM."""
+def _can_fuse(plan: PipelinePlan) -> bool:
+    """The fused linear-resample path applies when everything between plane
+    normalization and the first nonlinearity is linear: chroma upsample,
+    (blend deinterlace), color matrix, separable resize.  That is the
+    VP-order pipeline with a separable scaler; Jinc2 (non-separable 2D) and
+    the shader-order (corrections before resize) fall back.  DoVi plans take
+    the split-fused path instead (:func:`_can_split_fuse`) — the reshape is
+    nonlinear in the ycc signal, so the resample can't cross it."""
+    s = plan.settings
+    if not s.vp_scaling:
+        return False
+    if plan.dovi is not None:
+        return False
+    return _separable_geometry(plan)
+
+
+def _can_split_fuse(plan: PipelinePlan) -> bool:
+    """DoVi variant of the fused path: the linear prefix splits at the
+    reshape — integer-in banded kernels upsample chroma to *source*
+    resolution, the reshape/matrix/LMS chain runs there (as the reference's
+    convert pass does), and the banded kernels resize the RGB to output
+    resolution.  Requires the VP-order pipeline, separable scalers, and a
+    planar-YUV source (DoVi RPUs describe ycc signals)."""
+    s = plan.settings
+    return (s.vp_scaling and plan.dovi is not None
+            and plan.info.cs_type == ColorSystem.YUV
+            and _separable_geometry(plan))
+
+
+def _fused_apply2d(x_raw, mx, my, use_pallas: bool, norm: float | None,
+                   dtype):
+    """Apply optional (in,out) matrices along W then H to a plane — raw
+    integer input when ``norm`` is set (the UNORM normalization folds into
+    the first matmul's weights on the Pallas path so integer data streams
+    straight from HBM), or already-float input with ``norm=None``."""
     from .kernels import resize_pallas as rp
 
     # Note: a shifted-FMA "stencil" form for narrow diagonal bands
@@ -601,9 +625,12 @@ def _fused_apply2d(x_raw, mx, my, use_pallas: bool, norm: float, dtype):
         if my is not None:
             return rp.banded_resize_rows(x_raw, np.asarray(my, np.float32),
                                          pre_scale=norm)
+        if norm is None:
+            return x_raw
         return x_raw.astype(dtype) * jnp.asarray(norm, dtype)
 
-    x = x_raw.astype(dtype) * jnp.asarray(norm, dtype)
+    x = x_raw if norm is None else (x_raw.astype(dtype)
+                                    * jnp.asarray(norm, dtype))
     if mx is not None:
         x = scale_ops.resize_axis(x, mx, -1)
     if my is not None:
@@ -713,6 +740,99 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
     return lambda planes: fn(planes)
 
 
+def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
+                        with_rt: bool = False):
+    """DoVi split-fused pipeline: the fusion splits at the (nonlinear)
+    reshape.  Stage A streams the raw integer planes through the banded
+    kernels once — normalization folded into the chroma-upsample weights —
+    producing full-source-res ycc; the reshape (static curves or runtime
+    ``rt["dovi_curves"]``), RPU matrix and LMS PQ round-trip run there
+    exactly as the reference's convert pass (Source/Shaders.cpp:809-859);
+    stage B resizes R,G,B with the banded kernels.  This keeps DoVi serving
+    on the fast path instead of the dense staged matmuls."""
+    s = plan.settings
+    src, dst = plan.src, plan.dst
+    info = plan.info
+    use_pallas = (s.use_accel_backend and jax.default_backend() == "tpu"
+                  and _vp_format_allowed(s, info))
+
+    src_w, src_h = src.width, src.height
+    if plan.src_rect is not None:
+        l, t, r, b = plan.src_rect
+        src_w, src_h = r - l, b - t
+    vid_w, vid_h = dst.video_size
+
+    dw, dh = info.chroma_div
+    ux, uy = chroma_ops.chroma_upsample_matrices(
+        src_w // dw, src_h // dh, info.subsampling,
+        s.chroma_scaling, src.chroma_location)
+
+    blend = (s.deint_blend and src.interlaced and info.subsampling == 420)
+    by = chroma_ops.blend_deinterlace_matrix(src_h) if blend else None
+
+    cx = scale_ops.select_scaler(src_w, vid_w, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    cy = scale_ops.select_scaler(src_h, vid_h, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    wx = scale_ops.build_axis_matrix(cx, src_w, vid_w)
+    wy = scale_ops.build_axis_matrix(cy, src_h, vid_h)
+
+    norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
+
+    def fn(planes, rt=None):
+        from .ops import dovi as dovi_ops
+        rt = rt or {}
+        planes = _crop_planes(plan, planes)
+        app = lambda p, a, b, ps: _fused_apply2d(p, a, b, use_pallas, ps,
+                                                 dtype)
+        # stage A: integer planes -> source-res float ycc
+        y = app(planes[0], None, by, norm)
+        u = app(planes[1], ux, uy, norm)
+        v = app(planes[2], ux, uy, norm)
+        comps = jnp.stack([y, u, v], axis=-3)
+
+        rt_curves = rt.get("dovi_curves")
+        if rt_curves is not None:
+            comps = dovi_ops.reshape_dynamic(comps, rt_curves, axis=-3)
+        else:
+            comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
+
+        rt_cmat = rt.get("cmat")
+        if rt_cmat is not None:
+            m = jnp.asarray(rt_cmat["m"], dtype)
+            c = jnp.asarray(rt_cmat["c"], dtype)
+        else:
+            m = jnp.asarray(plan.cmat_m, dtype)
+            c = jnp.asarray(plan.cmat_c, dtype)
+        yc = comps[..., 0, :, :]
+        uc = comps[..., 1, :, :]
+        vc = comps[..., 2, :, :]
+        rgb = [m[i, 0] * yc + m[i, 1] * uc + m[i, 2] * vc + c[i]
+               for i in range(3)]
+        rgb = dovi_ops.apply_lms_matrix(jnp.stack(rgb, axis=-3), plan.dovi,
+                                        axis=-3)
+
+        # stage B: banded resize of the PQ-encoded RGB to output res
+        if wx is not None or wy is not None:
+            rgb = jnp.stack([app(rgb[..., i, :, :], wx, wy, None)
+                             for i in range(3)], axis=-3)
+
+        trims = _resolve_rt_trims(plan, rt)
+        rgb = _corrections(plan, rgb, trims=trims)
+        if plan.local_tonemap:
+            hdr = rt.get("hdr")
+            if hdr is not None:
+                rgb = tonemap_ops.local_tonemap_pq_rt(
+                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
+            else:
+                rgb = _local_tonemap(plan, rgb, trims=trims)
+        return _final_pass(plan, rgb)
+
+    if with_rt:
+        return fn
+    return lambda planes: fn(planes)
+
+
 def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = None):
     """Build the per-frame processing function (unjitted).
 
@@ -727,8 +847,10 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
     dst = plan.dst
 
     if fused is None:
-        fused = _can_fuse(plan)
+        fused = _can_fuse(plan) or _can_split_fuse(plan)
     if fused:
+        if plan.dovi is not None:
+            return _make_dovi_fused_fn(plan, dtype)
         return _make_fused_fn(plan, dtype)
 
     def fn(planes):
@@ -770,9 +892,13 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
     dst = plan.dst
 
     if _can_fuse(plan):
-        # the fused linear-prefix path supports the cmat/hdr runtime hooks
-        # directly (DoVi curves imply the staged path via _can_fuse)
+        # the fused linear-prefix path supports the cmat/hdr/l2_trims
+        # runtime hooks directly
         return _make_fused_fn(plan, dtype, with_rt=True)
+    if _can_split_fuse(plan):
+        # DoVi serving: split-fused path with runtime reshape curves —
+        # per-scene RPU updates stay on the banded kernels
+        return _make_dovi_fused_fn(plan, dtype, with_rt=True)
 
     def fn(planes, rt):
         rgb = _convert_color(plan, planes, dtype,
