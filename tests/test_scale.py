@@ -179,3 +179,31 @@ def test_lanczos3_reference_bug_compat():
                                  reference_bug_compat=True)
     assert not np.allclose(fixed, buggy)
     np.testing.assert_allclose(buggy.sum(axis=0), 1.0, atol=1e-9)
+
+
+def test_jinc2_lowrank_matches_gather():
+    """The low-rank separable (MXU) formulation == the general gather
+    formulation, rational and irrational-period scales alike."""
+    from videorenderer_tpu.ops.scale import _jinc2_lowrank
+    rng = np.random.default_rng(10)
+    x = rng.random((2, 24, 32)).astype(np.float32)
+    for (oh, ow) in [(48, 64), (36, 48), (37, 53), (24, 61)]:
+        lr = np.asarray(_jinc2_lowrank(jnp.asarray(x), oh, ow))
+        slow = np.asarray(scale._jinc2_gather(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(lr, slow, atol=2e-5)
+
+
+def test_jinc2_lowrank_normalization_vectors():
+    """wsum factorization == the true per-pixel weight sums."""
+    from videorenderer_tpu.ops.scale import (_jinc2_g, _jinc2_tap_data,
+                                             jinc2_lr_matrices)
+    in_h, out_h, in_w, out_w = 20, 47, 30, 29
+    _, _, ay, bx = jinc2_lr_matrices(in_h, out_h, in_w, out_w)
+    _, fy = _jinc2_tap_data(in_h, out_h)
+    _, fx = _jinc2_tap_data(in_w, out_w)
+    offs = np.arange(4) - 1
+    for y in (0, 11, 46):
+        for x in (0, 17, 28):
+            w = _jinc2_g((fy[y] - offs)[:, None] ** 2
+                         + (fx[x] - offs)[None, :] ** 2)
+            np.testing.assert_allclose(ay[y] @ bx[x], w.sum(), rtol=1e-6)

@@ -328,3 +328,191 @@ def banded_resize_axis(x: jnp.ndarray, mat: np.ndarray, axis: int,
     if axis in (-2, x.ndim - 2):
         return banded_resize_rows(x, mat, pre_scale)
     raise ValueError(f"unsupported axis {axis}")
+
+
+# ---------------------------------------------------------------------------
+# fused 3-plane H-resize + color-matrix + tail kernel
+# ---------------------------------------------------------------------------
+#
+# Profiling the headline chain (4K HDR10->SDR) showed every elementwise
+# XLA pass over the output-size array costs ~220 us/frame at batch 64 —
+# bandwidth/pass-count bound, not compute bound: cmat mix 298 us, the
+# PQ->tonemap->gamut->gamma->dither tail 451 us, vs 526 us for ALL the
+# banded resizes.  This kernel removes those passes entirely: one grid
+# walks column stripes of the three W-passed planes, performs each plane's
+# banded H matmul in VMEM, then applies the color matrix and the plan's
+# entire nonlinear tail (a traced `epilogue` closure — trace-as-codegen,
+# like the pipeline itself) and writes only the final output.  Per frame
+# the HBM traffic drops from ~8 output-size passes to read-3-planes +
+# write-1-result.
+
+
+def _split_stripe(xf, hi_ref, lo_ref):
+    hi_ref[:] = xf.astype(jnp.bfloat16)
+    lo_ref[:] = (xf - hi_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
+                       y_scale: float | None, c_scale: float | None):
+    """Kernel factory: per grid step convert/split each plane's column
+    stripe once, loop the output row tiles running the banded H dot per
+    plane (or a direct slice when that plane has no H matrix), apply the
+    epilogue to the (3, 128, tile_w) block and write the final tile."""
+
+    def kernel(sy_ref, sc_ref, *refs):
+        i = 0
+        y_ref, u_ref, v_ref = refs[0], refs[1], refs[2]
+        i = 3
+        if has_y:
+            wyh, wyl = refs[i], refs[i + 1]
+            i += 2
+        if has_c:
+            wch, wcl = refs[i], refs[i + 1]
+            i += 2
+        o_ref = refs[i]
+        scr = refs[i + 1:]
+        si = 0
+        if has_y:
+            yhi, ylo = scr[si], scr[si + 1]
+            si += 2
+            _split_stripe(_to_f32(y_ref[0]), yhi, ylo)
+            kby = wyh.shape[2]
+        if has_c:
+            uhi, ulo = scr[si], scr[si + 1]
+            vhi, vlo = scr[si + 2], scr[si + 3]
+            si += 4
+            _split_stripe(_to_f32(u_ref[0]), uhi, ulo)
+            _split_stripe(_to_f32(v_ref[0]), vhi, vlo)
+            kbc = wch.shape[2]
+
+        for jr in range(n_tiles):
+            if has_y:
+                ys = pl.multiple_of(sy_ref[jr], ROWS_KB_ALIGN)
+                y = _dot3(yhi[pl.ds(ys, kby)], ylo[pl.ds(ys, kby)],
+                          wyh[jr], wyl[jr], left=True)
+            else:
+                y = _to_f32(y_ref[0, pl.ds(jr * TILE_N, TILE_N), :])
+                if y_scale is not None:
+                    y = y * jnp.float32(y_scale)
+            if has_c:
+                cs = pl.multiple_of(sc_ref[jr], ROWS_KB_ALIGN)
+                u = _dot3(uhi[pl.ds(cs, kbc)], ulo[pl.ds(cs, kbc)],
+                          wch[jr], wcl[jr], left=True)
+                v = _dot3(vhi[pl.ds(cs, kbc)], vlo[pl.ds(cs, kbc)],
+                          wch[jr], wcl[jr], left=True)
+            else:
+                u = _to_f32(u_ref[0, pl.ds(jr * TILE_N, TILE_N), :])
+                v = _to_f32(v_ref[0, pl.ds(jr * TILE_N, TILE_N), :])
+                if c_scale is not None:
+                    u = u * jnp.float32(c_scale)
+                    v = v * jnp.float32(c_scale)
+            rgb = epilogue(y, u, v)
+            o_ref[0, :, pl.ds(jr * TILE_N, TILE_N), :] = rgb
+
+    return kernel
+
+
+def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+               my_y: np.ndarray | None, my_c: np.ndarray | None,
+               h_out: int, epilogue,
+               y_scale: float | None = None,
+               c_scale: float | None = None) -> jnp.ndarray:
+    """H-resize the (luma, chroma, chroma) planes, mix and run the tail.
+
+    ``y``: (..., Hy, W); ``u``/``v``: (..., Hc, W) — float32 (W-passed) or
+    raw integer planes.  ``my_y`` (Hy, h_out) / ``my_c`` (Hc, h_out): banded
+    H matrices, or None when that plane needs no H resize (then Hy/Hc must
+    equal h_out and ``y_scale``/``c_scale`` normalize raw integers).
+    ``epilogue``: traced fn (y, u, v) each (128, tile_w) f32 ->
+    (3, 128, tile_w) f32 — the color matrix + corrections + tone map +
+    dither chain.  Returns (..., 3, h_out, W) float32.
+    """
+    lead = y.shape[:-2]
+    l = int(np.prod(lead)) if lead else 1
+    w = y.shape[-1]
+    assert u.shape[-1] == w and v.shape[-1] == w
+    hy, hc = y.shape[-2], u.shape[-2]
+    n_tiles = _round_up(h_out, TILE_N) // TILE_N
+    h_out_pad = n_tiles * TILE_N
+
+    def prep(mat, h_in, pre_scale):
+        if mat is None:
+            return None, max(_round_up(h_in, ROWS_KB_ALIGN), h_out_pad)
+        starts, bands, kb, h_pad = pack_band_for(mat, kb_align=ROWS_KB_ALIGN)
+        if pre_scale is not None:
+            bands = bands * np.float32(pre_scale)
+        bt = np.ascontiguousarray(np.swapaxes(bands, 1, 2))
+        w_hi, w_lo = _split_bf16(bt)
+        return (starts, w_hi, w_lo, kb), h_pad
+
+    y_pack, hy_pad = prep(my_y, hy, y_scale)
+    c_pack, hc_pad = prep(my_c, hc, c_scale)
+    if my_y is not None:
+        y_scale = None     # folded into the weights
+    if my_c is not None:
+        c_scale = None
+
+    def prep_plane(p, h_in, h_pad, tile_w, w_pad):
+        p3 = p.reshape(l, h_in, w)
+        if p3.dtype not in (jnp.uint8.dtype, jnp.uint16.dtype,
+                            jnp.float32.dtype):
+            p3 = p3.astype(jnp.float32)
+        if h_pad != h_in or w_pad != w:
+            p3 = jnp.pad(p3, ((0, 0), (0, h_pad - h_in), (0, w_pad - w)))
+        return p3
+
+    # VMEM: stripes f32 + bf16 hi/lo for planes with matrices, the out
+    # block and the weight bands — tile_w 128 keeps it ~12 MB at 4K.
+    tile_w = 128
+    w_pad = _round_up(w, tile_w)
+    y3 = prep_plane(y, hy, hy_pad, tile_w, w_pad)
+    u3 = prep_plane(u, hc, hc_pad, tile_w, w_pad)
+    v3 = prep_plane(v, hc, hc_pad, tile_w, w_pad)
+
+    imap3 = lambda b, wt, s1, s2: (b, 0, wt)
+    in_specs = [
+        pl.BlockSpec((1, hy_pad, tile_w), imap3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hc_pad, tile_w), imap3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hc_pad, tile_w), imap3, memory_space=pltpu.VMEM),
+    ]
+    inputs = [y3, u3, v3]
+    scratch = []
+    wmap = lambda b, wt, s1, s2: (0, 0, 0)
+    if y_pack is not None:
+        starts_y, wyh, wyl, kby = y_pack
+        in_specs += [pl.BlockSpec((n_tiles, TILE_N, kby), wmap,
+                                  memory_space=pltpu.VMEM)] * 2
+        inputs += [jnp.asarray(wyh), jnp.asarray(wyl)]
+        scratch += [pltpu.VMEM((hy_pad, tile_w), jnp.bfloat16)] * 2
+        sy = np.asarray(starts_y, np.int32)
+    else:
+        sy = np.zeros(n_tiles, np.int32)
+    if c_pack is not None:
+        starts_c, wch, wcl, kbc = c_pack
+        in_specs += [pl.BlockSpec((n_tiles, TILE_N, kbc), wmap,
+                                  memory_space=pltpu.VMEM)] * 2
+        inputs += [jnp.asarray(wch), jnp.asarray(wcl)]
+        scratch += [pltpu.VMEM((hc_pad, tile_w), jnp.bfloat16)] * 4
+        sc = np.asarray(starts_c, np.int32)
+    else:
+        sc = np.zeros(n_tiles, np.int32)
+
+    kernel = _make_rows3_kernel(n_tiles, y_pack is not None,
+                                c_pack is not None, epilogue,
+                                y_scale, c_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(l, w_pad // tile_w),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 3, h_out_pad, tile_w),
+                                   lambda b, wt, s1, s2: (b, 0, 0, wt),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((l, 3, h_out_pad, w_pad), jnp.float32),
+    )(jnp.asarray(sy), jnp.asarray(sc), *inputs)
+
+    out = out[:, :, :h_out, :w]
+    return out.reshape(lead + (3, h_out, w))

@@ -35,6 +35,14 @@ def bayer_matrix(n: int = DITHER_SIZE) -> np.ndarray:
     return ((m.astype(np.float64) + 0.5) / (n * n)).astype(np.float32)
 
 
+def _requantize(codes: jnp.ndarray, q: float) -> jnp.ndarray:
+    """codes/q via reciprocal multiply so XLA and Mosaic (Pallas) lower it
+    identically (their f32 division rounding differs in the last ulp, which
+    broke bit-equality between the fused-kernel and staged paths); the
+    clamp restores the exact 1.0 endpoint (q * (1/q) rounds up)."""
+    return jnp.minimum(codes * np.float32(1.0 / q), 1.0)
+
+
 def _tile_to(pattern: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     ph, pw = pattern.shape
     reps = ((h + ph - 1) // ph, (w + pw - 1) // pw)
@@ -66,7 +74,33 @@ def ordered_dither(img: jnp.ndarray, bits: int,
     else:
         pat = jnp.roll(pat, -(row_offset % DITHER_SIZE), axis=0)
     d = _tile_to(pat, h, w).astype(img.dtype)
-    return jnp.floor(img * q + d) / q
+    return _requantize(jnp.floor(img * q + d), q)
+
+
+def bayer_field(h: int, w: int, row0: int = 0, col0: int = 0) -> jnp.ndarray:
+    """The 32x32 Bayer pattern tiled to (h, w), computed from iota bit math
+    (no array constant — required inside Pallas kernels, which may not
+    capture tensor constants).  Bit-identical to tiling
+    :func:`bayer_matrix`: digit b of the base-4 value is
+    ``2*bit_b(i^j) + bit_b(i)`` with weight ``4**(4-b)``."""
+    ii = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0) & (DITHER_SIZE - 1)
+    jj = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + col0) & (DITHER_SIZE - 1)
+    x = jnp.bitwise_xor(ii, jj)
+    v = jnp.zeros((h, w), jnp.int32)
+    for b in range(5):
+        digit = ((x >> b) & 1) * 2 + ((ii >> b) & 1)
+        v = v + (digit << (2 * (4 - b)))
+    return (v.astype(jnp.float32) + 0.5) / float(DITHER_SIZE * DITHER_SIZE)
+
+
+def ordered_dither_iota(img: jnp.ndarray, bits: int,
+                        row0: int = 0, col0: int = 0) -> jnp.ndarray:
+    """:func:`ordered_dither` with the pattern generated in-register
+    (kernel-safe; same quantization rule and values)."""
+    q = float(2 ** bits - 1)
+    h, w = img.shape[-2], img.shape[-1]
+    d = bayer_field(h, w, row0, col0).astype(img.dtype)
+    return _requantize(jnp.floor(img * q + d), q)
 
 
 def random_dither(img: jnp.ndarray, bits: int, key: jax.Array) -> jnp.ndarray:
@@ -74,11 +108,11 @@ def random_dither(img: jnp.ndarray, bits: int, key: jax.Array) -> jnp.ndarray:
     same quantization rule with U[0,1) noise instead of the tiled pattern."""
     q = float(2 ** bits - 1)
     noise = jax.random.uniform(key, img.shape, dtype=img.dtype)
-    return jnp.floor(img * q + noise) / q
+    return _requantize(jnp.floor(img * q + noise), q)
 
 
 def quantize(img: jnp.ndarray, bits: int) -> jnp.ndarray:
     """Plain round-to-nearest quantization (dither disabled,
     Settings.use_dither == False path)."""
     q = float(2 ** bits - 1)
-    return jnp.round(img * q) / q
+    return _requantize(jnp.round(img * q), q)

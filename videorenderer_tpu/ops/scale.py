@@ -490,16 +490,142 @@ def jinc2_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     weight sum; anti-ringing lerps toward the clamp against the center 2x2
     min/max with strength 0.8.
 
-    For rational scale factors with small phase periods the phase-decomposed
-    fast path (:func:`_jinc2_phases`) replaces the 16 gathers with static
-    strided slices.
+    Dispatch: on TPU (and for any scale whose phase period exceeds the
+    phase-decomposition limit) the low-rank separable formulation
+    (:func:`_jinc2_lowrank`) runs the 2D resample as ~5 pairs of banded
+    MXU matmuls; on CPU with small rational periods the phase-decomposed
+    shifted-FMA path (:func:`_jinc2_phases`) is exact and fast enough.
     """
     h, w = x.shape[-2], x.shape[-1]
     qy, py = _phase_period(h, out_h)
     qx, px = _phase_period(w, out_w)
-    if qy <= 8 and qx <= 8:
+    if jax.default_backend() != "tpu" and qy <= 8 and qx <= 8:
         return _jinc2_phases(x, out_h, out_w, qy, py, qx, px)
-    return _jinc2_gather(x, out_h, out_w)
+    return _jinc2_lowrank(x, out_h, out_w,
+                          use_banded=jax.default_backend() == "tpu")
+
+
+# ---------------------------------------------------------------------------
+# low-rank separable Jinc2: the TPU-idiomatic (MXU) formulation
+# ---------------------------------------------------------------------------
+#
+# The 2D Jinc2 weight field is a function of a SUM: w(y,jo,x,io) =
+# g(dy^2 + dx^2) with g(s) = sin(sqrt(s)*wa)*sin(sqrt(s)*wb)/s.  Kernels of
+# the form g(a+b) on a compact domain have rapidly-decaying singular values
+# (g is analytic); numerically g on [0,4]^2 is rank 5 to ~8e-8 relative and
+# rank 6 to ~2e-10.  Expanding g(a+b) ~= sum_k phi_k(a) psi_k(b) turns the
+# non-separable 2D resample into a SUM OF ~5 SEPARABLE RESIZES, each a pair
+# of banded weight matrices on the MXU — replacing both the 16-gather path
+# and the per-phase shifted-FMA path (an XLA lhs-dilated-conv formulation
+# was also measured: 3.1 f/s vs 206 for phases — dilated convs do not map
+# to the TPU).  The phase-pair weight normalization 1/wsum(y,x) factors the
+# same way (wsum = sum_k ay_k (x) bx_k, an outer product), and the
+# anti-ringing min/max over the center 2x2 taps is separable by axis.
+
+_JINC2_RANK = 5
+_JINC2_GRID_N = 1024
+
+
+def _jinc2_g(d2: np.ndarray) -> np.ndarray:
+    wa = _JINC2_WINDOW_SINC * np.pi
+    wb = _JINC2_SINC * np.pi
+    d2 = np.asarray(d2, np.float64)
+    d = np.sqrt(d2)
+    return np.where(d2 == 0.0, wa * wb,
+                    np.sin(d * wa) * np.sin(d * wb)
+                    / np.where(d2 == 0.0, 1.0, d2))
+
+
+@functools.cache
+def _jinc2_lr_basis():
+    """SVD basis of g(a+b) over the dy^2 domain grid [0,4]:
+    (grid, Vk (N,K), U/S (N,K)) such that g(a+b) ~= [g(a+grid)@Vk] @
+    [(U/S)^T g(grid+b)]."""
+    grid = np.linspace(0.0, 4.0, _JINC2_GRID_N)
+    hm = _jinc2_g(grid[:, None] + grid[None, :])
+    u, s, vt = np.linalg.svd(hm)
+    k = _JINC2_RANK
+    return grid, np.ascontiguousarray(vt[:k].T), np.ascontiguousarray(u[:, :k] / s[:k])
+
+
+@functools.cache
+def jinc2_lr_matrices(in_h: int, out_h: int, in_w: int, out_w: int):
+    """Per-rank banded axis matrices + normalization vectors:
+
+      (Ay: K x (in_h, out_h), Bx: K x (in_w, out_w),
+       ay (out_h, K), bx (out_w, K))
+
+    with resample(x) ~= [sum_k Ay_k^T x Bx_k] / (ay @ bx^T)."""
+    grid, vk, uos = _jinc2_lr_basis()
+    k = vk.shape[1]
+    offs = np.arange(4) - 1
+
+    def factors(in_size, out_size, basis):
+        base, frac = _jinc2_tap_data(in_size, out_size)
+        d2 = (frac[:, None] - offs[None, :]) ** 2            # (out, 4)
+        # g evaluated against the grid, projected on the basis: (out,4,K)
+        gv = _jinc2_g(d2[:, :, None] + grid[None, None, :])
+        fac = np.einsum("otn,nk->otk", gv, basis)
+        mats = []
+        for kk in range(k):
+            m = np.zeros((in_size, out_size))
+            for jo in range(4):
+                rows = np.clip(base + jo - 1, 0, in_size - 1)
+                np.add.at(m, (rows, np.arange(out_size)), fac[:, jo, kk])
+            # float32 once here: pack_band_for caches by identity, so the
+            # matrices handed to the banded kernels must be stable objects
+            mats.append(np.ascontiguousarray(m, np.float32))
+        return tuple(mats), fac.sum(axis=1)                  # sums: (out, K)
+
+    ay_mats, ay = factors(in_h, out_h, vk)
+    bx_mats, bx = factors(in_w, out_w, uos)
+    return ay_mats, bx_mats, ay, bx
+
+
+def _jinc2_center_minmax(x: jnp.ndarray, out_h: int, out_w: int):
+    """Min/max over the center 2x2 taps (anti-ringing bound), separably:
+    pairwise row min/max gathered at the base rows, then columns."""
+    h, w = x.shape[-2], x.shape[-1]
+    by, _ = _jinc2_tap_data(h, out_h)
+    bx, _ = _jinc2_tap_data(w, out_w)
+    r0 = jnp.asarray(np.clip(by, 0, h - 1))
+    r1 = jnp.asarray(np.clip(by + 1, 0, h - 1))
+    c0 = jnp.asarray(np.clip(bx, 0, w - 1))
+    c1 = jnp.asarray(np.clip(bx + 1, 0, w - 1))
+    x0 = jnp.take(x, r0, axis=-2)
+    x1 = jnp.take(x, r1, axis=-2)
+    mn_r = jnp.minimum(x0, x1)
+    mx_r = jnp.maximum(x0, x1)
+    mn = jnp.minimum(jnp.take(mn_r, c0, axis=-1), jnp.take(mn_r, c1, axis=-1))
+    mx = jnp.maximum(jnp.take(mx_r, c0, axis=-1), jnp.take(mx_r, c1, axis=-1))
+    return mn, mx
+
+
+def _jinc2_lowrank(x: jnp.ndarray, out_h: int, out_w: int,
+                   use_banded: bool = False) -> jnp.ndarray:
+    """2D Jinc2 via the low-rank separable expansion (see module note)."""
+    h, w = x.shape[-2], x.shape[-1]
+    ay_mats, bx_mats, ay, bx = jinc2_lr_matrices(h, out_h, w, out_w)
+    if use_banded:
+        from ..kernels import resize_pallas as rp
+        apply_w = lambda t, m: rp.banded_resize_last_axis(t, m)
+        apply_h = lambda t, m: rp.banded_resize_rows(t, m)
+    else:
+        apply_w = lambda t, m: resize_axis(t, m, -1)
+        apply_h = lambda t, m: resize_axis(t, m, -2)
+
+    xf = x.astype(jnp.float32)
+    un = None
+    for ak, bk in zip(ay_mats, bx_mats):
+        t = apply_h(apply_w(xf, bk), ak)
+        un = t if un is None else un + t
+    wsum = jnp.matmul(jnp.asarray(ay, jnp.float32),
+                      jnp.asarray(bx.T, jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+    out = un / wsum
+    mn, mx = _jinc2_center_minmax(xf, out_h, out_w)
+    clamped = jnp.clip(out, mn, mx)
+    return (out + (clamped - out) * _JINC2_AR_STRENGTH).astype(x.dtype)
 
 
 def _jinc2_gather(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

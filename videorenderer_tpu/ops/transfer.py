@@ -12,6 +12,7 @@ All functions are elementwise over arrays of linear/encoded values and map
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # ST 2084 constants (Shaders/convert/st2084.hlsl:1-5)
@@ -65,10 +66,11 @@ def hlg_to_linear(rgb: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     ``rgb`` has R,G,B stacked along ``axis``.
     """
     rgb = inverse_hlg(rgb)
-    w = jnp.asarray([0.2627, 0.6780, 0.0593], dtype=rgb.dtype)
-    shape = [1] * rgb.ndim
-    shape[axis] = 3
-    ys = 2000.0 * jnp.sum(rgb * w.reshape(shape), axis=axis, keepdims=True)
+    # scalar-unrolled luminance (kernel-safe: no array constants)
+    w = (0.2627, 0.6780, 0.0593)
+    comps = [jax.lax.index_in_dim(rgb, i, axis, keepdims=True)
+             for i in range(3)]
+    ys = 2000.0 * (w[0] * comps[0] + w[1] * comps[1] + w[2] * comps[2])
     return rgb * jnp.power(jnp.maximum(ys, 1e-7), 0.2)
 
 

@@ -476,10 +476,7 @@ def _corrections(plan: PipelinePlan, rgb: jnp.ndarray,
                                                pq_input=True)
         x = transfer_ops.st2084_to_linear(x, luminance_scale)
         x = tonemap_ops.tonemap_hable_sdr(x)
-        gm = jnp.asarray(csputils.bt2020_to_bt709_matrix(), x.dtype)
-        r, g, b = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
-        x = jnp.stack([gm[i, 0] * r + gm[i, 1] * g + gm[i, 2] * b
-                       for i in range(3)], axis=axis)
+        x = _gamut_2020_to_709(x, axis)
         return transfer_ops.linear_to_srgb_like(x)
     if plan.hlg_to_pq:
         # ps_convert_hlg_to_pq.hlsl
@@ -489,12 +486,19 @@ def _corrections(plan: PipelinePlan, rgb: jnp.ndarray,
     if plan.fix_bt2020_sdr:
         # SDR BT.2020 -> 709 (codegen branch, Source/Shaders.cpp:892-915)
         x = transfer_ops.srgb_like_to_linear(rgb, plan.sdr_gamma)
-        gm = jnp.asarray(csputils.bt2020_to_bt709_matrix(), x.dtype)
-        r, g, b = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
-        x = jnp.stack([gm[i, 0] * r + gm[i, 1] * g + gm[i, 2] * b
-                       for i in range(3)], axis=-3)
+        x = _gamut_2020_to_709(x, -3)
         return transfer_ops.linear_to_srgb_like(x)
     return rgb
+
+
+def _gamut_2020_to_709(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """3x3 gamut matrix unrolled to scalar FMAs (scalar constants inline
+    into traced kernels; array constants may not be captured by Pallas)."""
+    gm = csputils.bt2020_to_bt709_matrix()
+    r, g, b = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+    return jnp.stack(
+        [float(gm[i, 0]) * r + float(gm[i, 1]) * g + float(gm[i, 2]) * b
+         for i in range(3)], axis=axis)
 
 
 def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray,
@@ -647,6 +651,34 @@ def _compose(a: np.ndarray | None, b: np.ndarray | None):
     return a @ b
 
 
+def _make_tail_epilogue(plan: PipelinePlan, dtype=jnp.float32):
+    """Tail of the fused pipeline as a closure over (y, u, v) component
+    tiles — color matrix, corrections, local tone map and dither — for
+    execution *inside* the rows3 kernel (kernels/resize_pallas.rows3_tail).
+    Tiles are (128, tile_w) with tile origins ≡ 0 (mod 32), so the ordered
+    dither needs no phase offset."""
+    m = np.asarray(plan.cmat_m, np.float32)
+    c = np.asarray(plan.cmat_c, np.float32)
+
+    def epi(y, u, v):
+        if plan.apply_matrix:
+            rgb = jnp.stack([m[i, 0] * y + m[i, 1] * u + m[i, 2] * v + c[i]
+                             for i in range(3)], axis=0)
+        else:
+            rgb = jnp.stack([y, u, v], axis=0)
+        rgb = _corrections(plan, rgb)
+        db = plan.dither_bits
+        if db is not None and db != 0:
+            if db < 0:
+                rgb = dither_ops.quantize(jnp.clip(rgb, 0.0, 1.0), -db)
+            else:
+                rgb = dither_ops.ordered_dither_iota(jnp.clip(rgb, 0.0, 1.0),
+                                                     db)
+        return rgb
+
+    return epi
+
+
 def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False):
     """TPU-native fused pipeline: chroma upsample + (blend deinterlace) +
     separable resize collapse into one banded matrix per plane per axis
@@ -693,9 +725,41 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
 
     norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
 
+    # fully-fused tail: the H pass of every plane + color matrix +
+    # corrections/tone-map/dither run inside ONE Pallas kernel, reading the
+    # W-passed planes once and writing only the final output (the XLA
+    # elementwise tail costs ~220 us/frame per pass at 4K batch 64)
+    use_rows3 = (use_pallas and dst.video_rect is None
+                 and not plan.local_tonemap
+                 and info.cs_type in (ColorSystem.YUV, ColorSystem.RGB))
+    epilogue = _make_tail_epilogue(plan, dtype) if use_rows3 else None
+    if info.cs_type == ColorSystem.YUV:
+        r3_my, r3_mc = wy_luma, cwy
+        r3_wx_y, r3_wx_c = wx, cwx
+    else:
+        r3_my = r3_mc = wy
+        r3_wx_y = r3_wx_c = wx
+    r3_my_f = None if r3_my is None else np.asarray(r3_my, np.float32)
+    r3_mc_f = None if r3_mc is None else np.asarray(r3_mc, np.float32)
+
+    def _rows3(planes):
+        from .kernels import resize_pallas as rp
+        wpass = lambda p, mx: (p if mx is None else rp.banded_resize_last_axis(
+            p, np.asarray(mx, np.float32), pre_scale=norm))
+        yw = wpass(planes[0], r3_wx_y)
+        uw = wpass(planes[1], r3_wx_c)
+        vw = wpass(planes[2], r3_wx_c)
+        vid_w, vid_h = dst.video_size
+        return rp.rows3_tail(
+            yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue,
+            y_scale=norm if r3_wx_y is None else None,
+            c_scale=norm if r3_wx_c is None else None)
+
     def fn(planes, rt=None):
         rt = rt or {}
         planes = _crop_planes(plan, planes)
+        if use_rows3 and not rt and len(planes) == 3:
+            return _rows3(planes)
         app = lambda p, a, b: _fused_apply2d(p, a, b, use_pallas, norm, dtype)
         if info.cs_type == ColorSystem.GRAY:
             y = app(planes[0], wx, wy)
