@@ -120,6 +120,34 @@ def main() -> None:
     rows.append(("5. 4K60 HLG -> SDR + motion-adaptive deint (fields out)",
                  n / (time.perf_counter() - t0)))
 
+    # 6. spatially-sharded headline chain on a 1-device mesh: the shard_map
+    # program with halo exchange, per-shard banded kernels and global dither
+    # phase — per-chip parity evidence for the multi-chip path (the 8-device
+    # correctness run is tests/test_spatial.py + the driver's dryrun).
+    from jax.sharding import Mesh
+    from videorenderer_tpu.parallel.spatial import (make_spatial_frame_fn,
+                                                    shard_planes_rows)
+    plan6 = plan_pipeline(
+        Settings(upscaling=Upscaling.LANCZOS3, convert_to_sdr=True),
+        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
+                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
+                         transfer=TRC.PQ, hdr10=HDR10Metadata()),
+        OutputDescriptor(width=1920, height=1080, bits=10))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
+    sfn = jax.jit(make_spatial_frame_fn(plan6, mesh))
+    bs6 = [shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in
+                                         planes_for(ColorFormat.P010, 3840,
+                                                    2160, 32, seed=k)))
+           for k in (0, 1)]
+    o = sfn(bs6[0])
+    np.asarray(o.ravel()[0])
+    t0 = time.perf_counter()
+    for i in range(4):
+        o = sfn(bs6[i % 2])
+    np.asarray(o.ravel()[0])
+    rows.append(("6. 4K HDR10 -> 1080p, row-sharded (shard_map, 1-chip mesh)",
+                 32 * 4 / (time.perf_counter() - t0)))
+
     lines = ["# BENCH_DETAILS — per-config throughput (TPU v5e, 1 chip)\n"]
     for name, fps in rows:
         print(json.dumps({"config": name, "fps": round(fps, 1)}))

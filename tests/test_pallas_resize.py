@@ -124,3 +124,91 @@ def test_nv12_y210_device_unpack():
     np.testing.assert_array_equal(np.asarray(y2), ref2.planes[0])
     np.testing.assert_array_equal(np.asarray(u2), ref2.planes[1])
     np.testing.assert_array_equal(np.asarray(v2), ref2.planes[2])
+
+
+def test_rows3_tail_interpret():
+    """Fused 3-plane H-resize + epilogue kernel vs the dense composition."""
+    my = scale.upscale_matrix(Upscaling.CATMULL_ROM, 256, 128)
+    mc = scale.upscale_matrix(Upscaling.LANCZOS3, 64, 128)
+    rng = np.random.default_rng(11)
+    y = rng.random((2, 256, 256), dtype=np.float32)
+    u = rng.random((2, 64, 256), dtype=np.float32)
+    v = rng.random((2, 64, 256), dtype=np.float32)
+    m = np.asarray([[1.0, 0.0, 1.4], [1.0, -0.2, -0.7], [1.0, 1.8, 0.0]],
+                   np.float32)
+
+    def epi(yt, ut, vt):
+        from videorenderer_tpu.ops.dither import ordered_dither_iota
+        rgb = jnp.stack([m[i, 0] * yt + m[i, 1] * ut + m[i, 2] * vt
+                         for i in range(3)], axis=0)
+        return ordered_dither_iota(jnp.clip(rgb, 0.0, 1.0), 8)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.rows3_tail(jnp.asarray(y), jnp.asarray(u),
+                                       jnp.asarray(v),
+                                       np.asarray(my, np.float32),
+                                       np.asarray(mc, np.float32), 128, epi))
+    yr = np.einsum("bhw,hH->bHw", y.astype(np.float64), my)
+    ur = np.einsum("bhw,hH->bHw", u.astype(np.float64), mc)
+    vr = np.einsum("bhw,hH->bHw", v.astype(np.float64), mc)
+    rgb = np.stack([m[i, 0] * yr + m[i, 1] * ur + m[i, 2] * vr
+                    for i in range(3)], axis=1)
+    from videorenderer_tpu.ops.dither import ordered_dither
+    ref = np.asarray(ordered_dither(
+        jnp.asarray(np.clip(rgb, 0.0, 1.0), dtype=jnp.float32), 8))
+    assert got.shape == (2, 3, 128, 256)
+    # quantized codes: identical except bf16-split boundary flips
+    mismatch = (got != ref).mean()
+    assert mismatch < 0.01, mismatch
+    np.testing.assert_allclose(got, ref, atol=1.01 / 255)
+
+
+def test_rows3_tail_raw_slice_path_interpret():
+    """No-matrix planes take the direct-slice path with in-kernel u8
+    normalization (the 1:1 NV12 configuration)."""
+    mc = scale.upscale_matrix(Upscaling.CATMULL_ROM, 64, 128)
+    rng = np.random.default_rng(12)
+    y = rng.integers(0, 256, (1, 128, 128), dtype=np.uint8)
+    u = rng.integers(0, 256, (1, 64, 128), dtype=np.uint8)
+    v = rng.integers(0, 256, (1, 64, 128), dtype=np.uint8)
+
+    def epi(yt, ut, vt):
+        return jnp.stack([yt, ut, vt], axis=0)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.rows3_tail(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            None, np.asarray(mc, np.float32), 128, epi,
+            y_scale=1 / 255.0, c_scale=1 / 255.0))
+    ys = y.astype(np.float64) / 255.0
+    ur = np.einsum("bhw,hH->bHw", u.astype(np.float64) / 255.0, mc)
+    vr = np.einsum("bhw,hH->bHw", v.astype(np.float64) / 255.0, mc)
+    ref = np.stack([ys, ur, vr], axis=1)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_jinc2_fused_kernel_interpret():
+    """One-pass fused Jinc2 kernel == the dense low-rank composition
+    (which itself matches the gather formulation to ~3e-7)."""
+    from videorenderer_tpu.kernels.jinc2_pallas import jinc2_resize_fused
+    from videorenderer_tpu.ops.scale import _jinc2_lowrank
+    rng = np.random.default_rng(13)
+    for (h, w, oh, ow) in [(24, 32, 48, 64), (24, 32, 37, 53),
+                           (48, 64, 48, 128)]:
+        x = rng.random((2, h, w)).astype(np.float32)
+        ref = np.asarray(_jinc2_lowrank(jnp.asarray(x), oh, ow))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(jinc2_resize_fused(jnp.asarray(x), oh, ow))
+        assert got.shape == (2, oh, ow)
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_jinc2_fused_kernel_vs_gather_interpret():
+    from videorenderer_tpu.kernels.jinc2_pallas import jinc2_resize_fused
+    from videorenderer_tpu.ops import scale
+    rng = np.random.default_rng(14)
+    x = rng.random((1, 30, 40)).astype(np.float32)
+    ref = np.asarray(scale._jinc2_gather(jnp.asarray(x), 61, 90))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jinc2_resize_fused(jnp.asarray(x), 61, 90))
+    np.testing.assert_allclose(got, ref, atol=5e-5)

@@ -164,6 +164,14 @@ def cmd_settings(args) -> int:
     s = (Settings.load(args.file)
          if args.file and _os.path.exists(args.file) and not args.reset
          else Settings())
+    if getattr(args, "edit", False):
+        from .proppage import PropertyPageModel, run_tui
+        import sys as _sys
+        if not _sys.stdout.isatty():
+            raise SystemExit("error: --edit needs an interactive terminal")
+        model = PropertyPageModel(
+            s, on_apply=(lambda v: v.save(args.file)) if args.file else None)
+        s = run_tui(model)
     if args.set:
         d = s.to_dict()
         for kv in args.set:
@@ -236,6 +244,8 @@ def main(argv=None) -> int:
                     metavar="KEY=VALUE")
     ps.add_argument("--reset", action="store_true",
                     help="reset to defaults (Reset_Settings.cmd analogue)")
+    ps.add_argument("--edit", action="store_true",
+                    help="interactive property page (PropPage analogue)")
     ps.set_defaults(fn=cmd_settings)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")

@@ -1,0 +1,303 @@
+"""One-pass 2D Jinc2 resample as a single Pallas kernel.
+
+The low-rank expansion (ops/scale.py::_jinc2_lowrank) turns the
+non-separable Jinc2 into ~5 separable resizes plus a separable
+normalization and a separable anti-ringing bound.  Running those as
+individual XLA/banded-kernel passes loses to memory traffic: five
+full-size rank intermediates, their sum, the normalization field and the
+anti-ringing gathers add up to ~3 GB/frame at 4K — the measured 114 f/s.
+
+This kernel computes EVERYTHING for one (128-row x 128-col) output tile
+while its inputs are in VMEM:
+
+ * per rank k: a W dot against the tile's input-column window and an
+   H dot against its input-row window (split-bf16 3-pass, as the banded
+   resize kernels), accumulated over k;
+ * the weight-sum normalization from per-axis rank vectors (an outer
+   product per tile — wsum(y,x) = sum_k ay_k(y) * bx_k(x));
+ * the anti-ringing clamp: min/max over the center 2x2 taps, computed by
+   EXACT 0/1 selection matmuls (selection is linear; sel@hi + sel@lo
+   reconstructs f32 exactly) — column-select first, elementwise min/max,
+   then row-select;
+ * optionally the caller's per-channel epilogue (e.g. dither).
+
+Input column windows must sit at 128-aligned offsets for the streaming
+BlockSpecs; window starts are arbitrary, so the input is laid out as a few
+lane-shifted copies (shifts in {0,32,64,96}) and each tile picks the copy
+that puts its window within `ceil/128` blocks — the scalar-prefetched
+block index does the rest.  Per frame the only HBM traffic is the
+(shift-replicated) source and the final output.
+
+HBM layout/traffic: frames/s measured on the 1080p->4K config: 114 (XLA
+lowrank) -> see BENCH_DETAILS (this kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .resize_pallas import _dot3, _round_up
+
+TILE = 128
+_AR_STRENGTH = 0.8
+
+
+def _align_down(x: int, m: int) -> int:
+    return x // m * m
+
+
+def _tile_windows(base: np.ndarray, n_out: int, in_size: int,
+                  tile: int = TILE):
+    """Per-output-tile input windows [lo, hi) covering taps
+    clip(base + {-1..2}) of that tile's outputs."""
+    n_t = _round_up(n_out, tile) // tile
+    los, his = [], []
+    for t in range(n_t):
+        seg = base[t * tile: min((t + 1) * tile, n_out)]
+        los.append(max(int(seg.min()) - 1, 0))
+        his.append(min(int(seg.max()) + 2, in_size - 1) + 1)
+    return los, his
+
+
+@functools.cache
+def _pack(in_h: int, out_h: int, in_w: int, out_w: int):
+    """Host-side packing of every constant the kernel needs."""
+    from ..ops import scale as S
+
+    ay_mats, bx_mats, ay, bx = S.jinc2_lr_matrices(in_h, out_h, in_w, out_w)
+    by, _ = S._jinc2_tap_data(in_h, out_h)
+    bxi, _ = S._jinc2_tap_data(in_w, out_w)
+    r = len(ay_mats)
+
+    n_jr = _round_up(out_h, TILE) // TILE
+    n_wt = _round_up(out_w, TILE) // TILE
+    h_pad = _round_up(in_h, 16)
+    out_h_pad = n_jr * TILE
+
+    # --- row windows (sublane slices of the full-height stripe) ------------
+    rlo, rhi = _tile_windows(by, out_h, in_h)
+    rs = [min(_align_down(lo, 16), max(h_pad - 16, 0)) for lo in rlo]
+    rh = _round_up(max(h - s for h, s in zip(rhi, rs)), 16)
+    rh = min(rh, h_pad)
+    rs = [min(s, h_pad - rh) for s in rs]
+
+    # --- column windows (lane-shifted 128-blocks) ---------------------------
+    clo, chi = _tile_windows(bxi, out_w, in_w)
+    w_pad = _round_up(in_w, TILE)
+    shifts_used: list[int] = []
+    shift_of, bstart, loc0 = [], [], []
+    for lo, hi in zip(clo, chi):
+        sig = (lo % TILE) - (lo % 32)          # in {0,32,64,96}
+        if sig not in shifts_used:
+            shifts_used.append(sig)
+        b = (lo - sig) // TILE * TILE          # aligned start in shifted copy
+        shift_of.append(sig)
+        bstart.append(b)
+        loc0.append(lo - (b + sig))            # = lo % 32, < 32
+    kbw = _round_up(max(h - l + l0 for h, l, l0 in
+                        zip(chi, clo, loc0)), TILE)
+    nb = kbw // TILE
+    shifts_used.sort()
+    sidx = {s: i for i, s in enumerate(shifts_used)}
+    w_blocks = w_pad // TILE
+    # block index into xcat (lane dim = len(shifts)*w_pad) per (tile, sub-block)
+    cs = np.zeros((n_wt, nb), np.int32)
+    for t in range(n_wt):
+        base_block = sidx[shift_of[t]] * w_blocks + bstart[t] // TILE
+        for i in range(nb):
+            cs[t, i] = min(base_block + i,
+                           len(shifts_used) * w_blocks - 1)
+
+    # --- weight packs --------------------------------------------------------
+    def split(a):
+        import ml_dtypes
+        hi = a.astype(ml_dtypes.bfloat16)
+        lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return hi, lo
+
+    # packs are concatenated so the kernel runs FEW WIDE dots (the first
+    # formulation ran 42 small dots per tile and measured ~30% MXU):
+    #   bw:   [B_1 | ... | B_r] lane-concat            (kbw, r*TILE)
+    #   aw:   [A_1 ... A_r] lane-concat of transposes  (TILE, r*rh)
+    #   cw:   [C_bx | C_bx+1] lane-concat               (kbw, 2*TILE)
+    #   sw:   [S_by ; S_by+1] sublane-stack             (2*TILE, rh)
+    bw = np.zeros((n_wt, kbw, (r + 2) * TILE), np.float32)
+    bxt = np.ones((n_wt, r, TILE), np.float32)
+    for t in range(n_wt):
+        o0 = t * TILE
+        o1 = min(o0 + TILE, out_w)
+        src0 = bstart[t] + shift_of[t]         # x column of window local 0
+        for k in range(r):
+            blk = bx_mats[k][src0:src0 + kbw, o0:o1]
+            bw[t, :blk.shape[0], k * TILE:k * TILE + o1 - o0] = blk
+        bxt[t, :, :o1 - o0] = bx[o0:o1].T
+        for j in range(o1 - o0):
+            cc0 = int(np.clip(bxi[o0 + j], 0, in_w - 1)) - src0
+            cc1 = int(np.clip(bxi[o0 + j] + 1, 0, in_w - 1)) - src0
+            bw[t, cc0, r * TILE + j] = 1.0
+            bw[t, cc1, (r + 1) * TILE + j] = 1.0
+    bwh, bwl = split(bw)
+
+    aw = np.zeros((n_jr, TILE, r * rh), np.float32)
+    sw = np.zeros((n_jr, 2 * TILE, rh), np.float32)
+    ayt = np.ones((n_jr, TILE, r), np.float32)
+    for t in range(n_jr):
+        o0 = t * TILE
+        o1 = min(o0 + TILE, out_h)
+        for k in range(r):
+            blk = ay_mats[k][rs[t]:rs[t] + rh, o0:o1]
+            aw[t, :o1 - o0, k * rh:k * rh + blk.shape[0]] = blk.T
+        ayt[t, :o1 - o0] = ay[o0:o1]
+        for j in range(o1 - o0):
+            rr0 = int(np.clip(by[o0 + j], 0, in_h - 1)) - rs[t]
+            rr1 = int(np.clip(by[o0 + j] + 1, 0, in_h - 1)) - rs[t]
+            sw[t, j, rr0] = 1.0
+            sw[t, TILE + j, rr1] = 1.0
+    awh, awl = split(aw)
+    swh, _ = split(sw)
+
+    return dict(r=r, nb=nb, kbw=kbw, rh=rh, rs=tuple(rs), n_jr=n_jr,
+                n_wt=n_wt, h_pad=h_pad, w_pad=w_pad, out_h_pad=out_h_pad,
+                shifts=tuple(shifts_used), cs=cs, bwh=bwh, bwl=bwl,
+                awh=awh, awl=awl, sw=swh, ayt=ayt, bxt=bxt)
+
+
+def _sel(m, hi, lo, left=False):
+    """Exact f32 selection product with a 0/1 bf16 matrix."""
+    kw = dict(preferred_element_type=jnp.float32)
+    if left:
+        return jnp.dot(m, hi, **kw) + jnp.dot(m, lo, **kw)
+    return jnp.dot(hi, m, **kw) + jnp.dot(lo, m, **kw)
+
+
+def _bf16_split(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _make_kernel(p, epilogue):
+    n_jr, r, nb, rh = p["n_jr"], p["r"], p["nb"], p["rh"]
+    rs = p["rs"]
+
+    def kern(cs_ref, *refs):
+        xs = refs[:nb]
+        (bh, bl, ah, al, sw, ayt, bxt, o_ref) = refs[nb:nb + 8]
+        xhi, xlo, tsh, tsl = refs[nb + 8:]
+        for i in range(nb):
+            xf = xs[i][0]
+            h, l = _bf16_split(xf)
+            xhi[:, i * TILE:(i + 1) * TILE] = h
+            xlo[:, i * TILE:(i + 1) * TILE] = l
+
+        for jr in range(n_jr):
+            xh = xhi[rs[jr]:rs[jr] + rh]
+            xl = xlo[rs[jr]:rs[jr] + rh]
+            # W pass of every rank in one wide dot, then restack the rank
+            # blocks on the sublane axis so the H pass + rank sum is one
+            # (128, r*rh) x (r*rh, 128) block product
+            # one wide dot: every rank's W pass AND both anti-ringing
+            # column selections (selection columns have zero lo-weights, so
+            # the 3-pass product is exact for them: hi*C + lo*C)
+            t = _dot3(xh, xl, bh[0], bl[0])              # (rh, (r+2)*128)
+            th, tl = _bf16_split(t)
+            for k in range(r):
+                tsh[k * rh:(k + 1) * rh, :] = th[:, k * TILE:(k + 1) * TILE]
+                tsl[k * rh:(k + 1) * rh, :] = tl[:, k * TILE:(k + 1) * TILE]
+            un = _dot3(tsh[:], tsl[:], ah[jr], al[jr], left=True)  # (128,128)
+            ws = None
+            for k in range(r):
+                w = ayt[jr][:, k:k + 1] * bxt[0, k:k + 1, :]
+                ws = w if ws is None else ws + w
+            out = un / ws
+            # anti-ringing bounds: min/max the two column selections, then
+            # BOTH row selections of mnc|mxc in one dot
+            xc0 = t[:, r * TILE:(r + 1) * TILE]
+            xc1 = t[:, (r + 1) * TILE:(r + 2) * TILE]
+            mnc = jnp.minimum(xc0, xc1)
+            mxc = jnp.maximum(xc0, xc1)
+            mh, ml = _bf16_split(jnp.concatenate([mnc, mxc], axis=-1))
+            sm = _sel(sw[jr], mh, ml, left=True)         # (2*128, 2*128)
+            mn = jnp.minimum(sm[:TILE, :TILE], sm[TILE:, :TILE])
+            mx = jnp.maximum(sm[:TILE, TILE:], sm[TILE:, TILE:])
+            clamped = jnp.clip(out, mn, mx)
+            res = out + (clamped - out) * jnp.float32(_AR_STRENGTH)
+            if epilogue is not None:
+                res = epilogue(res)
+            o_ref[0, pl.ds(jr * TILE, TILE), :] = res
+
+    return kern
+
+
+def jinc2_resize_fused(x: jnp.ndarray, out_h: int, out_w: int,
+                       epilogue=None) -> jnp.ndarray:
+    """(..., H, W) float32 -> (..., out_h, out_w): the full 2D Jinc2 with
+    anti-ringing in one kernel.  ``epilogue``: optional per-channel traced
+    fn on (128, 128) output tiles (tile origins are multiples of 128 in
+    both axes, so ordered dither needs no phase offset)."""
+    p = _pack(x.shape[-2], out_h, x.shape[-1], out_w)
+    lead = x.shape[:-2]
+    l = int(np.prod(lead)) if lead else 1
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    x3 = x.reshape(l, in_h, in_w).astype(jnp.float32)
+    if p["h_pad"] != in_h or p["w_pad"] != in_w:
+        x3 = jnp.pad(x3, ((0, 0), (0, p["h_pad"] - in_h),
+                          (0, p["w_pad"] - in_w)))
+    parts = []
+    for sig in p["shifts"]:
+        if sig == 0:
+            parts.append(x3)
+        else:
+            parts.append(jnp.pad(x3[:, :, sig:], ((0, 0), (0, 0), (0, sig))))
+    xcat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+    nb, kbw, rh = p["nb"], p["kbw"], p["rh"]
+    n_jr, n_wt, r = p["n_jr"], p["n_wt"], p["r"]
+    h_pad, out_h_pad = p["h_pad"], p["out_h_pad"]
+
+    def xmap(i):
+        return lambda b, wt, cs: (b, 0, cs[wt * nb + i])
+
+    wmap3 = lambda b, wt, cs: (wt, 0, 0)
+    cmap = lambda b, wt, cs: (0, 0, 0)
+
+    in_specs = [pl.BlockSpec((1, h_pad, TILE), xmap(i),
+                             memory_space=pltpu.VMEM) for i in range(nb)]
+    in_specs += [
+        pl.BlockSpec((1, kbw, (r + 2) * TILE), wmap3,
+                     memory_space=pltpu.VMEM),                              # bwh
+        pl.BlockSpec((1, kbw, (r + 2) * TILE), wmap3,
+                     memory_space=pltpu.VMEM),                              # bwl
+        pl.BlockSpec((n_jr, TILE, r * rh), cmap, memory_space=pltpu.VMEM),  # awh
+        pl.BlockSpec((n_jr, TILE, r * rh), cmap, memory_space=pltpu.VMEM),  # awl
+        pl.BlockSpec((n_jr, 2 * TILE, rh), cmap, memory_space=pltpu.VMEM),  # sw
+        pl.BlockSpec((n_jr, TILE, r), cmap, memory_space=pltpu.VMEM),       # ayt
+        pl.BlockSpec((1, r, TILE), wmap3, memory_space=pltpu.VMEM),         # bxt
+    ]
+    inputs = [xcat] * nb + [jnp.asarray(p[k]) for k in
+                            ("bwh", "bwl", "awh", "awl", "sw",
+                             "ayt", "bxt")]
+
+    out = pl.pallas_call(
+        _make_kernel(p, epilogue),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(l, n_wt),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, out_h_pad, TILE),
+                                   lambda b, wt, cs: (b, 0, wt),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((h_pad, kbw), jnp.bfloat16)] * 2
+            + [pltpu.VMEM((r * rh, TILE), jnp.bfloat16)] * 2,
+        ),
+        out_shape=jax.ShapeDtypeStruct((l, out_h_pad, n_wt * TILE),
+                                       jnp.float32),
+    )(jnp.asarray(p["cs"].reshape(-1)), *inputs)
+
+    out = out[:, :out_h, :out_w]
+    return out.reshape(lead + (out_h, out_w))

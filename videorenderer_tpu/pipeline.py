@@ -88,6 +88,11 @@ class SourceDescriptor:
     # params / trims / output HDR10 metadata exactly as CopySample does
     # (Source/DX11VideoProcessor.cpp:2357-2500)
     dovi_ext: "object | None" = None
+    # HDR10+ / ST 2094-40 dynamic metadata (MediaSideDataHDR10Plus,
+    # Include/IMediaSideData.h:67-130 — struct-only in the reference; here
+    # the scene statistics feed the tone map like DoVi L1 does,
+    # ops.hdr10plus.HDR10PlusMetadata)
+    hdr10plus: "object | None" = None
     # source crop rectangle (left, top, right, bottom) — the IBasicVideo
     # SetSourcePosition analogue; None = full frame
     src_rect: tuple[int, int, int, int] | None = None
@@ -264,6 +269,13 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
             tm_type)
         if dst.hdr:
             output_hdr10 = dovi_ext_ops.merge_hdr10(src.hdr10, dovi_ext)
+    elif src.hdr10plus is not None:
+        from .ops import hdr10plus as h10p_ops
+        tm_params, tm_type = h10p_ops.hdr_params_from_hdr10plus(
+            src.hdr10plus, src.hdr10, float(settings.hdr_display_max_nits),
+            tm_type)
+        if dst.hdr:
+            output_hdr10 = h10p_ops.merge_hdr10(src.hdr10, src.hdr10plus)
     else:
         h = src.hdr10 or HDR10Metadata()
         tm_params = tonemap_ops.HDRParams(
@@ -917,12 +929,34 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
             return _make_dovi_fused_fn(plan, dtype)
         return _make_fused_fn(plan, dtype)
 
+    # Jinc2 with a dither-only tail: quantization runs inside the one-pass
+    # kernel's epilogue (output tile origins are 128-aligned, so the dither
+    # pattern needs no phase offset) — saves the full-size XLA final pass.
+    j2_tail = (s.upscaling == Upscaling.JINC2 and s.vp_scaling
+               and not (plan.convert_to_sdr or plan.hlg_to_pq
+                        or plan.fix_bt2020_sdr or plan.local_tonemap)
+               and dst.video_rect is None
+               and plan.dither_bits not in (None, 0))
+
+    def _j2_epilogue(tile):
+        db = plan.dither_bits
+        if db < 0:
+            return dither_ops.quantize(jnp.clip(tile, 0.0, 1.0), -db)
+        return dither_ops.ordered_dither_iota(jnp.clip(tile, 0.0, 1.0), db)
+
     def fn(planes):
         rgb = _convert_color(plan, planes, dtype)
         if not s.vp_scaling:
             # shader-path order: corrections at source resolution
             rgb = _corrections(plan, rgb)
         vid_w, vid_h = dst.video_size
+        if j2_tail:
+            h, w = rgb.shape[-2], rgb.shape[-1]
+            rx, ry = scale_ops.jinc2_passes(h, w, vid_h, vid_w,
+                                            s.interpolate_at_50pct)
+            if rx == "up" and ry in ("up", None) and (h, w) != (vid_h, vid_w):
+                return scale_ops.jinc2_resize(rgb, vid_h, vid_w,
+                                              epilogue=_j2_epilogue)
         rgb = scale_ops.resize_plane(
             rgb, vid_h, vid_w,
             upscaling=s.upscaling, downscaling=s.downscaling,
