@@ -212,3 +212,104 @@ def test_jinc2_fused_kernel_vs_gather_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(jinc2_resize_fused(jnp.asarray(x), 61, 90))
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_mega3_tail_interpret():
+    """Whole-pipeline mega kernel (raw ints -> W -> H -> cmat -> out) vs
+    the dense composition, 4:2:0-shaped planes with a 2:1 downscale."""
+    from videorenderer_tpu.ops.chroma import chroma_upsample_matrices
+    from videorenderer_tpu.config import ChromaScaling
+    from videorenderer_tpu.csputils import ChromaLocation
+    rng = np.random.default_rng(21)
+    H, W, OH, OW = 256, 512, 128, 256
+    y = (rng.integers(0, 1024, (2, H, W), np.uint16) << 6)
+    u = (rng.integers(0, 1024, (2, H // 2, W // 2), np.uint16) << 6)
+    v = (rng.integers(0, 1024, (2, H // 2, W // 2), np.uint16) << 6)
+    wx = scale.upscale_matrix(Upscaling.LANCZOS3, W, OW)
+    wy = scale.upscale_matrix(Upscaling.LANCZOS3, H, OH)
+    ux, uy = chroma_upsample_matrices(W // 2, H // 2, 420,
+                                      ChromaScaling.BILINEAR,
+                                      ChromaLocation.MPEG2)
+    cwx = np.asarray(ux @ wx, np.float32)
+    cwy = np.asarray(uy @ wy, np.float32)
+    m = np.asarray([[1.0, 0.0, 1.4], [1.0, -0.2, -0.7], [1.0, 1.8, 0.0]],
+                   np.float32)
+
+    def epi(yt, ut, vt):
+        return jnp.stack([m[i, 0] * yt + m[i, 1] * ut + m[i, 2] * vt
+                          for i in range(3)], axis=0)
+
+    norm = 1.0 / 65535.0
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.mega3_tail(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            np.asarray(wx, np.float32), cwx,
+            np.asarray(wy, np.float32), cwy, OH, epi, norm))
+
+    def dense(p, a, b):
+        x = p.astype(np.float64) * norm
+        return np.einsum("bhw,wW,hH->bHW", x, a, b)
+    yr = dense(y, wx, wy)
+    ur = dense(u, cwx.astype(np.float64), cwy.astype(np.float64))
+    vr = dense(v, cwx.astype(np.float64), cwy.astype(np.float64))
+    ref = np.stack([m[i, 0] * yr + m[i, 1] * ur + m[i, 2] * vr
+                    for i in range(3)], axis=1)
+    assert got.shape == (2, 3, OH, OW)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_mega3_tail_identity_paths_interpret():
+    """1:1 luma (slice path, in-kernel normalization) + chroma H-only
+    upsample — the NV12 1:1 configuration."""
+    from videorenderer_tpu.ops.chroma import chroma_upsample_matrices
+    from videorenderer_tpu.config import ChromaScaling
+    from videorenderer_tpu.csputils import ChromaLocation
+    rng = np.random.default_rng(22)
+    H, W = 128, 256
+    y = rng.integers(0, 256, (1, H, W), np.uint8)
+    u = rng.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+    v = rng.integers(0, 256, (1, H // 2, W // 2), np.uint8)
+    ux, uy = chroma_upsample_matrices(W // 2, H // 2, 420,
+                                      ChromaScaling.BILINEAR,
+                                      ChromaLocation.MPEG2)
+
+    def epi(yt, ut, vt):
+        return jnp.stack([yt, ut, vt], axis=0)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.mega3_tail(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            None, np.asarray(ux, np.float32),
+            None, np.asarray(uy, np.float32), H, epi, 1 / 255.0))
+    yr = y.astype(np.float64) / 255.0
+    ur = np.einsum("bhw,wW,hH->bHW", u.astype(np.float64) / 255.0, ux, uy)
+    vr = np.einsum("bhw,wW,hH->bHW", v.astype(np.float64) / 255.0, ux, uy)
+    ref = np.stack([yr, ur, vr], axis=1)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_rows3_tail_rt_scalars_interpret():
+    """Serving mode: the color matrix arrives as SMEM scalars per call."""
+    mc = scale.upscale_matrix(Upscaling.CATMULL_ROM, 64, 128)
+    rng = np.random.default_rng(23)
+    y = rng.random((1, 128, 128), dtype=np.float32)
+    u = rng.random((1, 64, 128), dtype=np.float32)
+    v = rng.random((1, 64, 128), dtype=np.float32)
+    m = np.asarray([[1.0, 0.1, 1.4, 0.01], [0.9, -0.2, -0.7, 0.02],
+                    [1.1, 1.8, 0.05, -0.03]], np.float32)
+
+    def epi(yt, ut, vt, rt_ref):
+        return jnp.stack([rt_ref[4 * i] * yt + rt_ref[4 * i + 1] * ut
+                          + rt_ref[4 * i + 2] * vt + rt_ref[4 * i + 3]
+                          for i in range(3)], axis=0)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(rp.rows3_tail(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            None, np.asarray(mc, np.float32), 128, epi,
+            rt_scalars=jnp.asarray(m.reshape(-1))))
+    ur = np.einsum("bhw,hH->bHw", u.astype(np.float64), mc)
+    vr = np.einsum("bhw,hH->bHw", v.astype(np.float64), mc)
+    ref = np.stack([m[i, 0] * y + m[i, 1] * ur + m[i, 2] * vr + m[i, 3]
+                    for i in range(3)], axis=1)
+    np.testing.assert_allclose(got, ref, atol=2e-4)

@@ -353,7 +353,8 @@ def _split_stripe(xf, hi_ref, lo_ref):
 
 
 def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
-                       y_scale: float | None, c_scale: float | None):
+                       y_scale: float | None, c_scale: float | None,
+                       has_rt: bool = False):
     """Kernel factory: per grid step convert/split each plane's column
     stripe once, loop the output row tiles running the banded H dot per
     plane (or a direct slice when that plane has no H matrix), apply the
@@ -369,6 +370,10 @@ def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
         if has_c:
             wch, wcl = refs[i], refs[i + 1]
             i += 2
+        rt_ref = None
+        if has_rt:
+            rt_ref = refs[i]
+            i += 1
         o_ref = refs[i]
         scr = refs[i + 1:]
         si = 0
@@ -406,17 +411,313 @@ def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
                 if c_scale is not None:
                     u = u * jnp.float32(c_scale)
                     v = v * jnp.float32(c_scale)
-            rgb = epilogue(y, u, v)
+            rgb = (epilogue(y, u, v, rt_ref) if has_rt
+                   else epilogue(y, u, v))
             o_ref[0, :, pl.ds(jr * TILE_N, TILE_N), :] = rgb
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# whole-pipeline mega kernel: W-pass + H-pass + color matrix + tail
+# ---------------------------------------------------------------------------
+#
+# rows3_tail still reads/writes the three W-passed float planes (~66 MB per
+# 4K frame of pure intermediate traffic).  This kernel removes even that:
+# raw integer planes stream in, and per (column-tile, row-tile) both banded
+# resize contractions, the color matrix and the plan's tail run in VMEM.
+# Per frame the chip touches HBM exactly twice: the (possibly lane-shifted)
+# source and the final output.
+#
+# MEASURED NEGATIVE RESULT (kept for the record): on the headline 4K chain
+# this kernel reached 995 f/s vs 1408 for banded-W-kernels + rows3_tail —
+# the W pass recomputed per row tile (+19% MXU) and the serialized
+# convert->W->split->H chains inside each grid step stall the MXU more
+# than the saved ~66 MB/frame of intermediate traffic buys.  The pipeline
+# therefore uses the two-stage structure; this stays as the starting point
+# for a software-pipelined revision.
+#
+# Column windows: an output column tile's input window starts anywhere, but
+# streamed blocks sit at 128-lane boundaries — so the source is laid out as
+# lane-shifted copies (shifts in {0,32,64,96}, usually one per plane) and
+# each tile's scalar-prefetched block index lands its window within
+# ceil(width/128) blocks (same trick as kernels/jinc2_pallas.py).
+# Row windows are sublane slices (16-aligned) of the full-height stripe.
+
+
+def _plan_col_windows(mat: np.ndarray, out_size: int, in_size: int):
+    """Per-output-col-tile windows of a banded (in, out) matrix: returns
+    (shifts, block_index (n_t, nb), kbw, bands (n_t, kbw, TILE_N) with the
+    window-local column layout)."""
+    n_t = _round_up(out_size, TILE_N) // TILE_N
+    nz_lo = np.full(n_t, in_size, np.int64)
+    nz_hi = np.zeros(n_t, np.int64)
+    for rr, cc in zip(*np.nonzero(mat)):
+        t = cc // TILE_N
+        nz_lo[t] = min(nz_lo[t], rr)
+        nz_hi[t] = max(nz_hi[t], rr + 1)
+    nz_lo = np.minimum(nz_lo, np.maximum(nz_hi - 1, 0))
+    shifts, shift_of, bstart, loc0 = [], [], [], []
+    for t in range(n_t):
+        lo = int(nz_lo[t])
+        sig = (lo % TILE_N) - (lo % 32)
+        if sig not in shifts:
+            shifts.append(sig)
+        b = (lo - sig) // TILE_N * TILE_N
+        shift_of.append(sig)
+        bstart.append(b)
+        loc0.append(lo - (b + sig))
+    kbw = _round_up(int(max(h - l + l0 for h, l, l0 in
+                            zip(nz_hi, nz_lo, loc0))), TILE_N)
+    shifts.sort()
+    sidx = {s: i for i, s in enumerate(shifts)}
+    w_pad = _round_up(in_size, TILE_N)
+    w_blocks = w_pad // TILE_N
+    nb = kbw // TILE_N
+    cs = np.zeros((n_t, nb), np.int32)
+    bands = np.zeros((n_t, kbw, TILE_N), np.float32)
+    for t in range(n_t):
+        base_block = sidx[shift_of[t]] * w_blocks + bstart[t] // TILE_N
+        for i in range(nb):
+            cs[t, i] = min(base_block + i, len(shifts) * w_blocks - 1)
+        src0 = bstart[t] + shift_of[t]
+        blk = mat[src0:src0 + kbw, t * TILE_N:(t + 1) * TILE_N]
+        bands[t, :blk.shape[0], :blk.shape[1]] = blk
+    return tuple(shifts), cs, kbw, bands
+
+
+def _plan_row_windows(mat: np.ndarray, out_size: int, in_pad: int):
+    """Per-output-row-tile windows: (rs (static tuple), rh,
+    a_bands (n_t, TILE_N, rh) transposed for the left dot)."""
+    in_size = mat.shape[0]
+    n_t = _round_up(out_size, TILE_N) // TILE_N
+    nz_lo = np.full(n_t, in_size, np.int64)
+    nz_hi = np.zeros(n_t, np.int64)
+    for rr, cc in zip(*np.nonzero(mat)):
+        t = cc // TILE_N
+        nz_lo[t] = min(nz_lo[t], rr)
+        nz_hi[t] = max(nz_hi[t], rr + 1)
+    nz_lo = np.minimum(nz_lo, np.maximum(nz_hi - 1, 0))
+    rs = [min(int(lo) // 16 * 16, max(in_pad - 16, 0)) for lo in nz_lo]
+    rh = min(_round_up(int(max(h - s for h, s in zip(nz_hi, rs))), 16),
+             in_pad)
+    rs = [min(s, in_pad - rh) for s in rs]
+    bands = np.zeros((n_t, TILE_N, rh), np.float32)
+    for t in range(n_t):
+        blk = mat[rs[t]:rs[t] + rh, t * TILE_N:(t + 1) * TILE_N]
+        bands[t, :blk.shape[1], :blk.shape[0]] = blk.T
+    return tuple(rs), rh, bands
+
+
+class _MegaPlane:
+    """Per-plane static plan + packed weights for the mega kernel."""
+
+    def __init__(self, mx, my, in_h, in_w, out_h_pad, norm):
+        self.has_w = mx is not None
+        self.has_h = my is not None
+        self.h_pad = max(_round_up(in_h, 16),
+                         out_h_pad if not self.has_h else 0)
+        self.w_pad = _round_up(in_w, TILE_N)
+        # normalization folds into whichever matrix streams the raw plane
+        wscale = norm if (norm is not None and self.has_w) else None
+        hscale = norm if (norm is not None and not self.has_w
+                          and self.has_h) else None
+        self.raw_scale = norm if (norm is not None and not self.has_w
+                                  and not self.has_h) else None
+        if self.has_w:
+            mxf = np.asarray(mx, np.float32)
+            if wscale is not None:
+                mxf = mxf * np.float32(wscale)
+            self.shifts, self.cs, self.kbw, bands = _plan_col_windows(
+                mxf, mxf.shape[1], in_w)
+            self.bwh, self.bwl = _split_bf16(bands)
+        else:
+            self.shifts, self.kbw = (0,), TILE_N
+            n_wt = self.w_pad // TILE_N
+            self.cs = np.arange(n_wt, dtype=np.int32)[:, None]
+        self.nb = self.kbw // TILE_N
+        if self.has_h:
+            myf = np.asarray(my, np.float32)
+            if hscale is not None:
+                myf = myf * np.float32(hscale)
+            n_jr = out_h_pad // TILE_N
+            self.rs, self.rh, a = _plan_row_windows(
+                myf, n_jr * TILE_N, self.h_pad)
+            self.awh, self.awl = _split_bf16(a)
+        else:
+            self.rh = TILE_N
+
+    def make_xcat(self, p3):
+        """Lane-shifted copies of the padded raw plane, lane-concatenated."""
+        in_h, in_w = p3.shape[-2], p3.shape[-1]
+        if self.h_pad != in_h or self.w_pad != in_w:
+            p3 = jnp.pad(p3, ((0, 0), (0, self.h_pad - in_h),
+                              (0, self.w_pad - in_w)))
+        parts = [p3 if s == 0 else
+                 jnp.pad(p3[:, :, s:], ((0, 0), (0, 0), (0, s)))
+                 for s in self.shifts]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+
+def _mega_plane_tile(blocks, pp: _MegaPlane, jr: int, scr_h, scr_l,
+                     bwh, bwl, awh, awl):
+    """One plane's (128, TILE_N) output tile: W dot on the row window of
+    the raw blocks, then the H dot (either may be a direct slice)."""
+    rs = pp.rs[jr] if pp.has_h else jr * TILE_N
+    if pp.has_w:
+        for i in range(pp.nb):
+            xf = _to_f32(blocks[i][0, pl.ds(rs, pp.rh), :])
+            scr_h[:, i * TILE_N:(i + 1) * TILE_N] = xf.astype(jnp.bfloat16)
+            scr_l[:, i * TILE_N:(i + 1) * TILE_N] = (
+                xf - scr_h[:, i * TILE_N:(i + 1) * TILE_N].astype(
+                    jnp.float32)).astype(jnp.bfloat16)
+        t = _dot3(scr_h[:], scr_l[:], bwh[0], bwl[0])      # (rh, 128) f32
+    else:
+        t = _to_f32(blocks[0][0, pl.ds(rs, pp.rh), :])
+        if pp.raw_scale is not None:
+            t = t * jnp.float32(pp.raw_scale)
+    if not pp.has_h:
+        return t
+    th = t.astype(jnp.bfloat16)
+    tl = (t - th.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _dot3(th, tl, awh[jr], awl[jr], left=True)       # (128, 128)
+
+
+def mega3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+               mx_y, mx_c, my_y, my_c, h_out: int, epilogue,
+               norm: float | None,
+               rt_scalars: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Whole fused pipeline in one kernel: raw (luma, chroma, chroma)
+    planes -> W resize -> H resize -> epilogue (color matrix + corrections
+    + dither) -> (..., 3, h_out, W_out).  ``mx_*``/``my_*``: per-axis
+    banded matrices or None (direct slice); ``norm`` folds the UNORM
+    normalization into the first matrix touching each raw plane.
+
+    ``rt_scalars``: optional (K,) float32 of per-call runtime parameters
+    (serving mode — e.g. the ProcAmp color matrix).  When given, the
+    epilogue is called as ``epilogue(y, u, v, rt_ref)`` with an SMEM ref it
+    can index, so parameter changes never retrace/recompile — the cbuffer
+    re-upload analogue (Source/DX11VideoProcessor.cpp:954-983)."""
+    lead = y.shape[:-2]
+    l = int(np.prod(lead)) if lead else 1
+    n_jr = _round_up(h_out, TILE_N) // TILE_N
+    out_h_pad = n_jr * TILE_N
+    w_out = (mx_y.shape[1] if mx_y is not None else y.shape[-1])
+    n_wt = _round_up(w_out, TILE_N) // TILE_N
+
+    py = _MegaPlane(mx_y, my_y, y.shape[-2], y.shape[-1], out_h_pad, norm)
+    pc = _MegaPlane(mx_c, my_c, u.shape[-2], u.shape[-1], out_h_pad, norm)
+
+    ycat = py.make_xcat(y.reshape(l, *y.shape[-2:]))
+    ucat = pc.make_xcat(u.reshape(l, *u.shape[-2:]))
+    vcat = pc.make_xcat(v.reshape(l, *v.shape[-2:]))
+
+    # scalar prefetch: col-window block indices, y blocks then chroma blocks
+    sy = py.cs[:n_wt].reshape(-1) if py.has_w else py.cs[:n_wt].reshape(-1)
+    sc = pc.cs[:n_wt].reshape(-1) if pc.has_w else pc.cs[:n_wt].reshape(-1)
+    scal = np.concatenate([sy, sc]).astype(np.int32)
+    y_off = 0
+    c_off = len(sy)
+
+    def xspec(pp, base, i):
+        return pl.BlockSpec(
+            (1, pp.h_pad, TILE_N),
+            lambda b, wt, s, _base=base, _i=i, _nb=pp.nb:
+                (b, 0, s[_base + wt * _nb + _i]),
+            memory_space=pltpu.VMEM)
+
+    in_specs, inputs, scratch = [], [], []
+    for i in range(py.nb):
+        in_specs.append(xspec(py, y_off, i))
+        inputs.append(ycat)
+    for i in range(pc.nb):
+        in_specs.append(xspec(pc, c_off, i))
+        inputs.append(ucat)
+    for i in range(pc.nb):
+        in_specs.append(xspec(pc, c_off, i))
+        inputs.append(vcat)
+
+    wmap = lambda b, wt, s: (wt, 0, 0)
+    cmap = lambda b, wt, s: (0, 0, 0)
+    for pp in (py, pc):
+        if pp.has_w:
+            in_specs += [pl.BlockSpec((1, pp.kbw, TILE_N), wmap,
+                                      memory_space=pltpu.VMEM)] * 2
+            inputs += [jnp.asarray(pp.bwh), jnp.asarray(pp.bwl)]
+            scratch += [pltpu.VMEM((pp.rh, pp.kbw), jnp.bfloat16)] * 2
+        if pp.has_h:
+            in_specs += [pl.BlockSpec((n_jr, TILE_N, pp.rh), cmap,
+                                      memory_space=pltpu.VMEM)] * 2
+            inputs += [jnp.asarray(pp.awh), jnp.asarray(pp.awl)]
+
+    has_rt = rt_scalars is not None
+    if has_rt:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(rt_scalars, jnp.float32))
+
+    nby, nbc = py.nb, pc.nb
+
+    def kern(s_ref, *refs):
+        i = 0
+        yb = refs[i:i + nby]; i += nby
+        ub = refs[i:i + nbc]; i += nbc
+        vb = refs[i:i + nbc]; i += nbc
+        wy = wc = ay = ac = (None, None)
+        if py.has_w:
+            wy = (refs[i], refs[i + 1]); i += 2
+        if py.has_h:
+            ay = (refs[i], refs[i + 1]); i += 2
+        if pc.has_w:
+            wc = (refs[i], refs[i + 1]); i += 2
+        if pc.has_h:
+            ac = (refs[i], refs[i + 1]); i += 2
+        rt_ref = None
+        if has_rt:
+            rt_ref = refs[i]; i += 1
+        o_ref = refs[i]; i += 1
+        scr = refs[i:]
+        si = 0
+        if py.has_w:
+            ysh, ysl = scr[si], scr[si + 1]; si += 2
+        else:
+            ysh = ysl = None
+        if pc.has_w:
+            csh, csl = scr[si], scr[si + 1]; si += 2
+        else:
+            csh = csl = None
+        for jr in range(n_jr):
+            yt = _mega_plane_tile(yb, py, jr, ysh, ysl, *wy, *ay)
+            ut = _mega_plane_tile(ub, pc, jr, csh, csl, *wc, *ac)
+            vt = _mega_plane_tile(vb, pc, jr, csh, csl, *wc, *ac)
+            rgb = (epilogue(yt, ut, vt, rt_ref) if has_rt
+                   else epilogue(yt, ut, vt))
+            o_ref[0, :, pl.ds(jr * TILE_N, TILE_N), :] = rgb
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(l, n_wt),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 3, out_h_pad, TILE_N),
+                                   lambda b, wt, s: (b, 0, 0, wt),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((l, 3, out_h_pad, n_wt * TILE_N),
+                                       jnp.float32),
+    )(jnp.asarray(scal), *inputs)
+
+    out = out[:, :, :h_out, :w_out]
+    return out.reshape(lead + (3, h_out, w_out))
 
 
 def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                my_y: np.ndarray | None, my_c: np.ndarray | None,
                h_out: int, epilogue,
                y_scale: float | None = None,
-               c_scale: float | None = None) -> jnp.ndarray:
+               c_scale: float | None = None,
+               rt_scalars: jnp.ndarray | None = None) -> jnp.ndarray:
     """H-resize the (luma, chroma, chroma) planes, mix and run the tail.
 
     ``y``: (..., Hy, W); ``u``/``v``: (..., Hc, W) — float32 (W-passed) or
@@ -497,9 +798,14 @@ def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     else:
         sc = np.zeros(n_tiles, np.int32)
 
+    if rt_scalars is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(rt_scalars, jnp.float32))
+
     kernel = _make_rows3_kernel(n_tiles, y_pack is not None,
                                 c_pack is not None, epilogue,
-                                y_scale, c_scale)
+                                y_scale, c_scale,
+                                has_rt=rt_scalars is not None)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

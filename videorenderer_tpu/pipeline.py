@@ -678,17 +678,42 @@ def _make_tail_epilogue(plan: PipelinePlan, dtype=jnp.float32):
                              for i in range(3)], axis=0)
         else:
             rgb = jnp.stack([y, u, v], axis=0)
-        rgb = _corrections(plan, rgb)
-        db = plan.dither_bits
-        if db is not None and db != 0:
-            if db < 0:
-                rgb = dither_ops.quantize(jnp.clip(rgb, 0.0, 1.0), -db)
-            else:
-                rgb = dither_ops.ordered_dither_iota(jnp.clip(rgb, 0.0, 1.0),
-                                                     db)
-        return rgb
+        return _tail_common(plan, rgb)
 
     return epi
+
+
+def _tail_common(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
+    rgb = _corrections(plan, rgb)
+    db = plan.dither_bits
+    if db is not None and db != 0:
+        if db < 0:
+            rgb = dither_ops.quantize(jnp.clip(rgb, 0.0, 1.0), -db)
+        else:
+            rgb = dither_ops.ordered_dither_iota(jnp.clip(rgb, 0.0, 1.0), db)
+    return rgb
+
+
+def _make_tail_epilogue_rt(plan: PipelinePlan, dtype=jnp.float32):
+    """Serving variant of :func:`_make_tail_epilogue`: the color matrix
+    arrives per call as 12 SMEM scalars (row-major 3x(m0 m1 m2 c)), so
+    runtime ProcAmp changes re-upload parameters instead of retracing —
+    the cbuffer analogue (Source/DX11VideoProcessor.cpp:839-890)."""
+
+    def epi(y, u, v, rt_ref):
+        rgb = jnp.stack([rt_ref[4 * i] * y + rt_ref[4 * i + 1] * u
+                         + rt_ref[4 * i + 2] * v + rt_ref[4 * i + 3]
+                         for i in range(3)], axis=0)
+        return _tail_common(plan, rgb)
+
+    return epi
+
+
+def _pack_cmat_rt(m, c, dtype=jnp.float32):
+    """(3,3) + (3,) -> the (12,) SMEM layout of _make_tail_epilogue_rt."""
+    m = jnp.asarray(m, dtype).reshape(3, 3)
+    c = jnp.asarray(c, dtype).reshape(3, 1)
+    return jnp.concatenate([m, c], axis=1).reshape(-1)
 
 
 def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False):
@@ -754,24 +779,39 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
     r3_my_f = None if r3_my is None else np.asarray(r3_my, np.float32)
     r3_mc_f = None if r3_mc is None else np.asarray(r3_mc, np.float32)
 
-    def _rows3(planes):
+    r3_wxy_f = None if r3_wx_y is None else np.asarray(r3_wx_y, np.float32)
+    r3_wxc_f = None if r3_wx_c is None else np.asarray(r3_wx_c, np.float32)
+    epilogue_rt = (_make_tail_epilogue_rt(plan, dtype)
+                   if use_rows3 and plan.apply_matrix else None)
+
+    def _rows3(planes, rt_cmat=None):
+        # two-stage: banded W kernels then the fused H+tail kernel.  (A
+        # single whole-pipeline kernel — mega3_tail — was measured at 995
+        # f/s vs 1408 for this structure on the headline chain: the per-
+        # row-tile W recompute and the serialized W->split->H chains lose
+        # more than the saved intermediate traffic.)
         from .kernels import resize_pallas as rp
         wpass = lambda p, mx: (p if mx is None else rp.banded_resize_last_axis(
-            p, np.asarray(mx, np.float32), pre_scale=norm))
-        yw = wpass(planes[0], r3_wx_y)
-        uw = wpass(planes[1], r3_wx_c)
-        vw = wpass(planes[2], r3_wx_c)
+            p, mx, pre_scale=norm))
+        yw = wpass(planes[0], r3_wxy_f)
+        uw = wpass(planes[1], r3_wxc_f)
+        vw = wpass(planes[2], r3_wxc_f)
         vid_w, vid_h = dst.video_size
-        return rp.rows3_tail(
-            yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue,
-            y_scale=norm if r3_wx_y is None else None,
-            c_scale=norm if r3_wx_c is None else None)
+        kw = dict(y_scale=norm if r3_wxy_f is None else None,
+                  c_scale=norm if r3_wxc_f is None else None)
+        if rt_cmat is not None:
+            return rp.rows3_tail(
+                yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue_rt,
+                rt_scalars=_pack_cmat_rt(rt_cmat["m"], rt_cmat["c"]), **kw)
+        return rp.rows3_tail(yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue,
+                             **kw)
 
     def fn(planes, rt=None):
         rt = rt or {}
         planes = _crop_planes(plan, planes)
-        if use_rows3 and not rt and len(planes) == 3:
-            return _rows3(planes)
+        if use_rows3 and len(planes) == 3 and set(rt) <= {"cmat"} \
+                and (not rt.get("cmat") or plan.apply_matrix):
+            return _rows3(planes, rt.get("cmat"))
         app = lambda p, a, b: _fused_apply2d(p, a, b, use_pallas, norm, dtype)
         if info.cs_type == ColorSystem.GRAY:
             y = app(planes[0], wx, wy)
