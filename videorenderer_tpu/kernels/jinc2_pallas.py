@@ -195,16 +195,20 @@ def _make_kernel(p, epilogue):
             xhi[:, i * TILE:(i + 1) * TILE] = h
             xlo[:, i * TILE:(i + 1) * TILE] = l
 
-        for jr in range(n_jr):
+        def wdot(jr):
+            # one wide dot: every rank's W pass AND both anti-ringing
+            # column selections (selection columns have zero lo-weights,
+            # so the 3-pass product is exact for them: hi*C + lo*C)
             xh = xhi[rs[jr]:rs[jr] + rh]
             xl = xlo[rs[jr]:rs[jr] + rh]
-            # W pass of every rank in one wide dot, then restack the rank
-            # blocks on the sublane axis so the H pass + rank sum is one
-            # (128, r*rh) x (r*rh, 128) block product
-            # one wide dot: every rank's W pass AND both anti-ringing
-            # column selections (selection columns have zero lo-weights, so
-            # the 3-pass product is exact for them: hi*C + lo*C)
-            t = _dot3(xh, xl, bh[0], bl[0])              # (rh, (r+2)*128)
+            return _dot3(xh, xl, bh[0], bl[0])           # (rh, (r+2)*128)
+
+        t = wdot(0)
+        for jr in range(n_jr):
+            # software pipelining: issue the NEXT tile's W dot before this
+            # tile's dependent restack/H/AR chain so the MXU has
+            # independent work while the VPU runs
+            t_next = wdot(jr + 1) if jr + 1 < n_jr else None
             th, tl = _bf16_split(t)
             for k in range(r):
                 tsh[k * rh:(k + 1) * rh, :] = th[:, k * TILE:(k + 1) * TILE]
@@ -230,6 +234,7 @@ def _make_kernel(p, epilogue):
             if epilogue is not None:
                 res = epilogue(res)
             o_ref[0, pl.ds(jr * TILE, TILE), :] = res
+            t = t_next
 
     return kern
 

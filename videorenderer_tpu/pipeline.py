@@ -978,6 +978,47 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
                and dst.video_rect is None
                and plan.dither_bits not in (None, 0))
 
+    # staged-path convert through the fused kernels: chroma W upsample via
+    # the banded kernel, chroma H upsample + color matrix in rows3_tail —
+    # one pass over the source instead of ~5 XLA elementwise passes
+    info = plan.info
+    blend = (s.deint_blend and plan.src.interlaced and info.subsampling == 420
+             and info.cs_type == ColorSystem.YUV)
+    use_kconvert = (s.use_accel_backend and jax.default_backend() == "tpu"
+                    and _vp_format_allowed(s, info)
+                    and info.cs_type == ColorSystem.YUV
+                    and plan.apply_matrix and plan.dovi is None and not blend)
+    if use_kconvert:
+        src_w, src_h = plan.src.width, plan.src.height
+        if plan.src_rect is not None:
+            l0, t0, r0, b0 = plan.src_rect
+            src_w, src_h = r0 - l0, b0 - t0
+        dw, dh = info.chroma_div
+        kux, kuy = chroma_ops.chroma_upsample_matrices(
+            src_w // dw, src_h // dh, info.subsampling,
+            s.chroma_scaling, plan.src.chroma_location)
+        kux_f = None if kux is None else np.asarray(kux, np.float32)
+        kuy_f = None if kuy is None else np.asarray(kuy, np.float32)
+        knorm = 1.0 / (2.0 ** info.plane_bits - 1.0)
+        kcm = np.asarray(plan.cmat_m, np.float32)
+        kcc = np.asarray(plan.cmat_c, np.float32)
+
+        def _cmat_epi(yt, ut, vt):
+            return jnp.stack(
+                [kcm[i, 0] * yt + kcm[i, 1] * ut + kcm[i, 2] * vt + kcc[i]
+                 for i in range(3)], axis=0)
+
+        def _kconvert(planes):
+            from .kernels import resize_pallas as rp
+            y, u, v = planes
+            if kux_f is not None:
+                u = rp.banded_resize_last_axis(u, kux_f, pre_scale=knorm)
+                v = rp.banded_resize_last_axis(v, kux_f, pre_scale=knorm)
+            return rp.rows3_tail(
+                y, u, v, None, kuy_f, src_h, _cmat_epi,
+                y_scale=knorm,
+                c_scale=knorm if kux_f is None else None)
+
     def _j2_epilogue(tile):
         db = plan.dither_bits
         if db < 0:
@@ -985,7 +1026,10 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
         return dither_ops.ordered_dither_iota(jnp.clip(tile, 0.0, 1.0), db)
 
     def fn(planes):
-        rgb = _convert_color(plan, planes, dtype)
+        if use_kconvert and len(planes) == 3:
+            rgb = _kconvert(_crop_planes(plan, planes))
+        else:
+            rgb = _convert_color(plan, planes, dtype)
         if not s.vp_scaling:
             # shader-path order: corrections at source resolution
             rgb = _corrections(plan, rgb)
