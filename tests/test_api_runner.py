@@ -419,3 +419,41 @@ def test_output_signal_info_roundtrip(tmp_path):
     info2 = vr2.get_output_signal_info()
     assert info2.transfer == "SRGB" and info2.primaries == "BT_709"
     assert info2.hdr10 is None
+
+
+def test_midstream_renegotiation():
+    """Dynamic media-type change mid-stream (the input pin's
+    ReceiveConnection re-connection, Source/VideoRendererInputPin.cpp:96-137):
+    re-open() with a new format/resolution between frames keeps the renderer
+    state (settings, counters) and processes the new type correctly."""
+    from videorenderer_tpu.csputils import Primaries, TRC
+
+    vr = _open_renderer(32, 16, 64, 32)
+    vr.flt_set("rotation", 0)
+    out1 = vr.process_frame(_nv12_planes(32, 16))
+    assert out1.shape == (3, 32, 64)
+    frames_before = vr.metrics.draw_stats.frames
+
+    # new media type: P010 HDR at a different resolution, same dst surface
+    src2 = SourceDescriptor(format=ColorFormat.P010, width=48, height=32,
+                            matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
+                            transfer=TRC.PQ)
+    dst2 = OutputDescriptor(width=64, height=32, bits=8)
+    vr.open(src2, dst2)
+    rng = np.random.default_rng(3)
+    planes2 = (rng.integers(64, 941, (32, 48), np.uint16) << 6,
+               rng.integers(64, 961, (16, 24), np.uint16) << 6,
+               rng.integers(64, 961, (16, 24), np.uint16) << 6)
+    out2 = vr.process_frame(planes2)
+    assert out2.shape == (3, 32, 64)
+    assert np.isfinite(np.asarray(out2)).all()
+    # renderer identity survives: counters keep accumulating, settings kept
+    assert vr.metrics.draw_stats.frames == frames_before + 1
+    # the new plan consumed the HDR source (PQ -> SDR conversion engaged)
+    assert vr._plan.convert_to_sdr
+    # flip back down-stream: a third renegotiation to the original type
+    vr.open(SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                             matrix=CSP.BT_709),
+            OutputDescriptor(width=64, height=32, bits=8))
+    out3 = vr.process_frame(_nv12_planes(32, 16, seed=5))
+    assert out3.shape == (3, 32, 64)

@@ -313,3 +313,78 @@ def test_rows3_tail_rt_scalars_interpret():
     ref = np.stack([m[i, 0] * y + m[i, 1] * ur + m[i, 2] * vr + m[i, 3]
                     for i in range(3)], axis=1)
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# serving-mode fused tail: full SMEM rt layout (cmat + HDR10 + L2 trims)
+# ---------------------------------------------------------------------------
+
+def _rt_plan(with_trims: bool):
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.config import ToneMapType
+    from videorenderer_tpu.csputils import CSP, Primaries, TRC
+    from videorenderer_tpu.pipeline import HDR10Metadata, plan_pipeline
+
+    kw = {}
+    if with_trims:
+        from videorenderer_tpu.ops.dovi_ext import (DoviExtensions,
+                                                    L2Extension)
+        kw["dovi_ext"] = DoviExtensions(
+            l2=(L2Extension(target_max_pq=2851,   # ~600 nits
+                            trim_slope=2200, trim_offset=2100,
+                            trim_power=1800, trim_chroma_weight=2048,
+                            trim_saturation_gain=2048),))
+    src = SourceDescriptor(
+        format=ColorFormat.P010, width=64, height=48,
+        matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020, transfer=TRC.PQ,
+        hdr10=HDR10Metadata(mastering_max_nits=4000.0, max_cll=3000.0,
+                            max_fall=800.0), **kw)
+    dst = OutputDescriptor(width=128, height=96, bits=10, hdr=True)
+    st = Settings(convert_to_sdr=False, hdr_passthrough=True,
+                  hdr_local_tone_mapping=True,
+                  hdr_local_tone_mapping_type=ToneMapType.BT2390,
+                  hdr_display_max_nits=600)
+    return plan_pipeline(st, src, dst)
+
+
+@pytest.mark.parametrize("with_trims", [False, True])
+def test_fused_rt_tail_local_tonemap_interpret(monkeypatch, with_trims):
+    """The rows3 serving path with the full SMEM scalar layout (color matrix
+    + HDR10 luminance metadata + DoVi L2 trims) and the local tone map fused
+    into the kernel tail must match the XLA serving path."""
+    from videorenderer_tpu.pipeline import (_rt_layout, make_serving_fn,
+                                            _can_fuse)
+
+    plan = _rt_plan(with_trims)
+    assert plan.local_tonemap and _can_fuse(plan)
+    names = [n for n, _ in _rt_layout(plan)]
+    assert names == (["cmat", "hdr", "l2"] if with_trims else ["cmat", "hdr"])
+
+    rng = np.random.default_rng(7)
+    planes = (rng.integers(64, 941, (48, 64), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6)
+    rt = {"hdr": {"mastering_min_nits": 0.01, "mastering_max_nits": 2000.0,
+                  "max_cll": 1500.0, "max_fall": 500.0,
+                  "display_max_nits": 650.0}}
+    if with_trims:
+        rt["l2_trims"] = {"chroma_weight": 0.1, "saturation_gain": 0.9,
+                          "trim_slope": 1.1, "trim_offset": 0.02,
+                          "trim_power": 0.95}
+
+    ref = np.asarray(make_serving_fn(plan)(planes, rt))   # CPU XLA path
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_serving_fn(plan)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes, rt))
+
+    assert got.shape == ref.shape == (3, 96, 128)
+    # 10-bit dithered output: the kernel's split-bf16 contractions differ
+    # from the dense XLA matmuls by ~1e-5 pre-quantization, so values right
+    # at a dither threshold may flip by exactly one code — but never more
+    # (the trims' pow/EOTF chain can amplify that to two codes worst-case)
+    d = np.abs(got - ref)
+    assert d.max() <= 2.5 / 1023
+    assert (d > 0.5 / 1023).mean() < 0.01

@@ -83,3 +83,43 @@ def test_display_strings():
     assert m.display(spec("use_dither")) == "[x]"
     assert m.display(spec("upscaling")) == "CATMULL_ROM"
     assert m.display(spec("sdr_display_nits")) == "125"
+
+
+def test_info_page_model_lazy_scroll_refresh():
+    """Info page (CVRInfoPPage analogue): provider is called lazily on first
+    view, refresh re-queries it, and scrolling clamps at both ends."""
+    from videorenderer_tpu.proppage import InfoPageModel
+    calls = []
+
+    def provider():
+        calls.append(1)
+        return "\n".join(f"line{i}" for i in range(5))
+
+    m = InfoPageModel(provider)
+    assert calls == []                     # lazy: no probe yet
+    assert m.visible(2) == ["line0", "line1"]
+    assert calls == [1]
+    m.scroll_by(3)
+    assert m.visible(2) == ["line3", "line4"]
+    m.scroll_by(10)                        # clamps to last line
+    assert m.scroll == 4
+    m.scroll_by(-99)
+    assert m.scroll == 0
+    m.refresh()
+    assert calls == [1, 1]
+
+
+def test_info_page_model_provider_error():
+    from videorenderer_tpu.proppage import InfoPageModel
+    m = InfoPageModel(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert "info unavailable" in m.visible(1)[0]
+
+
+def test_info_page_model_renderer_report():
+    """The CLI wires the page to GetVPInfo; the report renders for a plain
+    Settings value without an open media type."""
+    from videorenderer_tpu.api import VideoRenderer
+    from videorenderer_tpu.proppage import InfoPageModel
+    m = InfoPageModel(
+        lambda: VideoRenderer(Settings()).get_video_processor_info())
+    assert any("videorenderer_tpu" in ln for ln in m.visible(10))

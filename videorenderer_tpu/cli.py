@@ -165,13 +165,15 @@ def cmd_settings(args) -> int:
          if args.file and _os.path.exists(args.file) and not args.reset
          else Settings())
     if getattr(args, "edit", False):
-        from .proppage import PropertyPageModel, run_tui
+        from .proppage import InfoPageModel, PropertyPageModel, run_tui
         import sys as _sys
         if not _sys.stdout.isatty():
             raise SystemExit("error: --edit needs an interactive terminal")
         model = PropertyPageModel(
             s, on_apply=(lambda v: v.save(args.file)) if args.file else None)
-        s = run_tui(model)
+        info = InfoPageModel(
+            lambda: VideoRenderer(model.value).get_video_processor_info())
+        s = run_tui(model, info=info)
     if args.set:
         d = s.to_dict()
         for kv in args.set:

@@ -136,6 +136,30 @@ def _pick_tile(span_bytes_per_row: int, preferred: int, align: int,
     return cap
 
 
+_SCOPED_VMEM_BUDGET = 14 * 1024 * 1024   # of the 16 MB scoped-vmem limit
+
+
+def _pick_tile_vmem(io_bytes_per_row: int, scratch_bytes_per_row: int,
+                    weight_bytes: int, preferred: int, align: int,
+                    total: int | None = None) -> int:
+    """Largest tile that keeps the kernel's whole scoped-VMEM footprint —
+    double-buffered in/out blocks (2x io span), persistent scratch, and the
+    resident weight bands — under budget.  Counting only the input stripe
+    (the old heuristic) overran the 16 MB limit on wide upscales where the
+    f32 output block dominates (e.g. 1:1 4K chroma W, 1920->3840)."""
+    need = lambda t: t * (2 * io_bytes_per_row + scratch_bytes_per_row) \
+        + weight_bytes
+    cap = preferred
+    while cap > align and need(cap) > _SCOPED_VMEM_BUDGET:
+        cap //= 2
+    cap = max(cap, align)
+    if total is not None and total % align == 0:
+        for t in range(cap, align - 1, -align):
+            if total % t == 0:
+                return t
+    return cap
+
+
 def _u16_to_f32(v):
     """Mosaic has no direct uint16->float32 cast; bitcast to int16, widen,
     and mask off the sign extension."""
@@ -200,8 +224,10 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
     x2 = x.reshape(rows, w_in)
     if x2.dtype not in (jnp.uint8.dtype, jnp.uint16.dtype, jnp.float32.dtype):
         x2 = x2.astype(jnp.float32)
-    tile_r = _pick_tile(w_in_pad * (x2.dtype.itemsize + 4), 256, 32,
-                        total=rows)
+    tile_r = _pick_tile_vmem(
+        w_in_pad * x2.dtype.itemsize + j_tiles * TILE_N * 4,   # in + out
+        w_in_pad * 4,                                          # hi/lo scratch
+        j_tiles * kb * TILE_N * 2 * 2, 256, 32, total=rows)
     rows_pad = _round_up(rows, tile_r)
     if rows_pad != rows or w_in_pad != w_in:
         x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, w_in_pad - w_in)))
@@ -284,8 +310,10 @@ def banded_resize_rows_packed(x: jnp.ndarray, starts, w_hi, w_lo,
     x3 = x.reshape(l, h_in, w)
     if x3.dtype not in (jnp.uint8.dtype, jnp.uint16.dtype, jnp.float32.dtype):
         x3 = x3.astype(jnp.float32)
-    tile_w = _pick_tile(h_in_pad * (x3.dtype.itemsize + 4), 512, 128,
-                        total=w)
+    tile_w = _pick_tile_vmem(
+        h_in_pad * x3.dtype.itemsize + jr_tiles * TILE_N * 4,  # in + out
+        h_in_pad * 4,                                          # hi/lo scratch
+        jr_tiles * TILE_N * kb * 2 * 2, 512, 128, total=w)
     w_pad = _round_up(w, tile_w)
     if h_in_pad != h_in or w_pad != w:
         x3 = jnp.pad(x3, ((0, 0), (0, h_in_pad - h_in), (0, w_pad - w)))

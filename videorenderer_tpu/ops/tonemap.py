@@ -42,10 +42,12 @@ def _pq_decode_scalar(pq: float) -> float:
 
 
 def _luma(rgb: jnp.ndarray, axis: int) -> jnp.ndarray:
-    w = jnp.asarray(_BT2020_LUMA, dtype=rgb.dtype)
-    shape = [1] * rgb.ndim
-    shape[axis] = 3
-    return jnp.sum(rgb * w.reshape(shape), axis=axis, keepdims=True)
+    # scalar FMAs rather than a dot with a weight vector: array constants
+    # cannot be captured inside Pallas kernel bodies (the fused tail runs
+    # this math in-kernel), and 3-tap sums round identically either way
+    r, g, b = jnp.split(rgb, 3, axis=axis)
+    w0, w1, w2 = (float(w) for w in _BT2020_LUMA)
+    return w0 * r + w1 * g + w2 * b
 
 
 # -- Hable (the "Convert to SDR" fixed curve) --------------------------------
@@ -354,6 +356,128 @@ def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
     base = jnp.maximum(disp, mmax)
     eff = jnp.minimum(base, mcll)
     fall_adj = jnp.minimum(base / jnp.maximum(mfall, 1e-6), 1.0)
+    c = jnp.clip(color / eff, 0.0, 1.0) * fall_adj
+    if selection == 2:
+        c = reinhard(c)
+    elif selection == 3:
+        c = habel(c)
+    elif selection == 4:
+        c = c / (1.0 + c / (disp + 1e-6))
+    else:
+        c = aces_film(c)
+    return linear_to_st2084(c * disp, 10000.0)
+
+
+def local_tonemap_rt_scalars(selection: int, p: dict):
+    """Derived per-call scalars for :func:`local_tonemap_pq_from_scalars`.
+
+    Mosaic cannot legalize *scalar* transcendentals (``math.powf`` on
+    (f32, f32)) inside a TPU kernel, so every scalar-only PQ encode/knee
+    computation runs OUTSIDE the kernel (XLA, once per call) and only the
+    per-pixel vector math stays in the fused tail — exactly how the
+    reference splits cbuffer setup (CPU) from ps_hdr10_tonemap (GPU).
+    Returns 5 traced f32 scalars whose meaning depends on ``selection``.
+    """
+    def enc(v):
+        return linear_to_st2084(v, 10000.0)
+
+    def dec(v):
+        return st2084_to_linear(v, 10000.0)
+
+    f = jnp.float32
+    mmin = jnp.asarray(p["mastering_min_nits"], f)
+    mmax = jnp.asarray(p["mastering_max_nits"], f)
+    mcll = jnp.asarray(p["max_cll"], f)
+    mfall = jnp.asarray(p["max_fall"], f)
+    disp = jnp.asarray(p["display_max_nits"], f)
+
+    if selection == 5:    # BT.2390: [disp, safe, max_pq, target_pq, ks]
+        safe = jnp.where(mcll > 10.0, mcll,
+                         jnp.where(mmax > 10.0, mmax, 1000.0))
+        max_pq = enc(safe)
+        target_pq = enc(disp)
+        ks = jnp.maximum(0.0, 1.5 * target_pq - 0.5 * max_pq)
+        return jnp.stack([disp, safe, max_pq, target_pq, ks])
+
+    if selection == 6:    # ST 2094-10: [disp, mcll, c1, c2, c3]
+        def sstep(e0, e1v, x):
+            t = jnp.clip((x - e0) / (e1v - e0), 0.0, 1.0)
+            return t * t * (3.0 - 2.0 * t)
+
+        def lerp(a, b, t):
+            return a + (b - a) * t
+
+        src_min, src_max = enc(mmin), enc(mcll)
+        src_avg = enc(mfall)
+        dst_min, dst_max = enc(jnp.zeros_like(disp)), enc(disp)
+        mk, xk, dk, ka = 0.1, 0.8, 0.4, 0.4
+        skn, skx = lerp(src_min, src_max, mk), lerp(src_min, src_max, xk)
+        dkn, dkx = lerp(dst_min, dst_max, mk), lerp(dst_min, dst_max, xk)
+        src_knee = jnp.where(mfall > 0.0, src_avg, lerp(src_min, src_max, dk))
+        src_knee = jnp.clip(src_knee, skn, skx)
+        target = (src_knee - src_min) / (src_max - src_min)
+        adapted = lerp(dst_min, dst_max, target)
+        tuning = 1.0 - sstep(xk, dk, target) * sstep(mk, dk, target)
+        adaptation = lerp(ka, 1.0, tuning)
+        dst_knee = jnp.clip(lerp(src_knee, adapted, adaptation), dkn, dkx)
+        x1, x2, x3 = mmin, dec(src_knee), mcll
+        y1, y2, y3 = jnp.zeros_like(disp), dec(dst_knee), disp
+        m00 = x2 * x3 * (y2 - y3)
+        m01 = x1 * x3 * (y3 - y1)
+        m02 = x1 * x2 * (y1 - y2)
+        m10 = x3 * y3 - x2 * y2
+        m11 = x1 * y1 - x3 * y3
+        m12 = x2 * y2 - x1 * y1
+        m20, m21, m22 = x3 - x2, x1 - x3, x2 - x1
+        k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1)
+                   + x1 * y1 * (x2 - x3))
+        c1 = k * (m00 * y1 + m01 * y2 + m02 * y3)
+        c2 = k * (m10 * y1 + m11 * y2 + m12 * y3)
+        c3 = k * (m20 * y1 + m21 * y2 + m22 * y3)
+        return jnp.stack([disp, mcll, c1, c2, c3])
+
+    # 1-4: [disp, effective_max, fall_adj, 0, 0]
+    base = jnp.maximum(disp, mmax)
+    eff = jnp.minimum(base, mcll)
+    fall_adj = jnp.minimum(base / jnp.maximum(mfall, 1e-6), 1.0)
+    z = jnp.zeros_like(disp)
+    return jnp.stack([disp, eff, fall_adj, z, z])
+
+
+def local_tonemap_pq_from_scalars(pq_rgb: jnp.ndarray, selection: int, sc,
+                                  trims: DoviTrims | None = None,
+                                  axis: int = -1) -> jnp.ndarray:
+    """Per-pixel half of the runtime local tone map: ``sc`` is the 5-scalar
+    block from :func:`local_tonemap_rt_scalars` (SMEM-resident inside the
+    fused tail kernel).  Only vector math and plain scalar arithmetic run
+    here — Pallas/Mosaic-safe."""
+    color = st2084_to_linear(pq_rgb, 10000.0)
+    if trims is not None and trims.l2_enabled:
+        color = dolby_vision_trims(color, trims, axis=axis)
+
+    if selection == 5:    # BT.2390
+        disp, safe, max_pq, target_pq, ks = (sc[i] for i in range(5))
+        avg = _luma(color, axis)
+        e1 = linear_to_st2084(avg, 10000.0)
+        t = (e1 - ks) / jnp.maximum(1e-6, max_pq - ks)
+        t2, t3 = t * t, t * t * t
+        e2s = ((2 * t3 - 3 * t2 + 1) * ks + (t3 - 2 * t2 + t) * (max_pq - ks)
+               + (-2 * t3 + 3 * t2) * target_pq)
+        e2 = jnp.where(e1 > ks, e2s, e1)
+        mapped = st2084_to_linear(e2, 10000.0)
+        scale = jnp.where(avg <= 1e-6, 1.0, mapped / jnp.maximum(avg, 1e-6))
+        out = jnp.where(disp >= safe, color, color * scale)
+        return linear_to_st2084(out, 10000.0)
+
+    if selection == 6:    # ST 2094-10
+        disp, mcll, c1, c2, c3 = (sc[i] for i in range(5))
+        xn = _luma(color, axis)
+        yn = (c1 + c2 * xn) / (1.0 + c3 * xn)
+        scale = jnp.where(xn > 0.0, yn / jnp.maximum(xn, 1e-9), 1.0)
+        out = jnp.where(disp >= mcll, color, color * scale)
+        return linear_to_st2084(out, 10000.0)
+
+    disp, eff, fall_adj = sc[0], sc[1], sc[2]
     c = jnp.clip(color / eff, 0.0, 1.0) * fall_adj
     if selection == 2:
         c = reinhard(c)

@@ -31,14 +31,21 @@ def st2084_to_linear(x: jnp.ndarray, factor: float | jnp.ndarray) -> jnp.ndarray
     1.0 out == the SDR white level, or 10000.0 for absolute nits.
     """
     x = jnp.power(jnp.maximum(x, 0.0), 1.0 / ST2084_M2)
-    x = jnp.maximum(x - ST2084_C1, 0.0) / (ST2084_C2 - ST2084_C3 * x)
+    # the rational term's denominator crosses zero for PQ inputs > ~1.995
+    # (possible after resize overshoot on out-of-gamut signals); the HLSL
+    # NaNs there (pragma 3571 in st2084.hlsl) — clamp to keep the EOTF
+    # total.  Bit-identical for every input <= ~1.995.
+    x = jnp.maximum(x - ST2084_C1, 0.0) / jnp.maximum(
+        ST2084_C2 - ST2084_C3 * x, 1e-6)
     x = jnp.power(x, 1.0 / ST2084_M1)
     return x * factor
 
 
 def linear_to_st2084(x: jnp.ndarray, divider: float | jnp.ndarray) -> jnp.ndarray:
     """PQ OETF (LinearToST2084, st2084.hlsl:18-25)."""
-    x = jnp.power(jnp.maximum(x / divider, 0.0), ST2084_M1)
+    # cap keeps inf out of the rational term (inf/inf = NaN) on absurd
+    # overshoot inputs; no representable sane signal reaches 1e30 x divider
+    x = jnp.power(jnp.minimum(jnp.maximum(x / divider, 0.0), 1e30), ST2084_M1)
     x = (ST2084_C1 + ST2084_C2 * x) / (1.0 + ST2084_C3 * x)
     return jnp.power(x, ST2084_M2)
 

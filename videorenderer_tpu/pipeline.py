@@ -683,8 +683,20 @@ def _make_tail_epilogue(plan: PipelinePlan, dtype=jnp.float32):
     return epi
 
 
-def _tail_common(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
-    rgb = _corrections(plan, rgb)
+def _tail_common(plan: PipelinePlan, rgb: jnp.ndarray,
+                 trims=None, hdr=None, hdr_sc=None) -> jnp.ndarray:
+    rgb = _corrections(plan, rgb, trims=trims)
+    if plan.local_tonemap:
+        if hdr_sc is not None:
+            # kernel path: derived scalars via SMEM (scalar transcendentals
+            # are not legal inside Mosaic kernels — precomputed outside)
+            rgb = tonemap_ops.local_tonemap_pq_from_scalars(
+                rgb, plan.tonemap_type, hdr_sc, trims=trims, axis=-3)
+        elif hdr is not None:
+            rgb = tonemap_ops.local_tonemap_pq_rt(
+                rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
+        else:
+            rgb = _local_tonemap(plan, rgb, trims=trims)
     db = plan.dither_bits
     if db is not None and db != 0:
         if db < 0:
@@ -694,23 +706,107 @@ def _tail_common(plan: PipelinePlan, rgb: jnp.ndarray) -> jnp.ndarray:
     return rgb
 
 
+_RT_HDR_KEYS = ("mastering_min_nits", "mastering_max_nits", "max_cll",
+                "max_fall", "display_max_nits")
+_RT_TRIM_KEYS = ("chroma_weight", "saturation_gain", "trim_slope",
+                 "trim_offset", "trim_power")
+
+
+def _rt_layout(plan: PipelinePlan) -> list:
+    """SMEM scalar-vector layout for serving-mode runtime parameters on the
+    fused-tail kernel: which cbuffer-style segments this plan's tail reads.
+    Segment presence is static (the stage must exist in the plan); values
+    re-upload per call without retracing — the analogue of the reference's
+    per-sample constant-buffer updates (Source/DX11VideoProcessor.cpp:839-890
+    for the color matrix, :954-983 for the DoVi dynamic cbuffer)."""
+    lay = []
+    if plan.apply_matrix:
+        lay.append(("cmat", 12))      # row-major 3x(m0 m1 m2 c)
+    if plan.local_tonemap:
+        lay.append(("hdr", 5))        # derived tone-map scalars
+                                      # (tonemap.local_tonemap_rt_scalars)
+    if plan.dovi_trims is not None and plan.dovi_trims.l2_enabled:
+        lay.append(("l2", 5))         # _RT_TRIM_KEYS order
+    return lay
+
+
+def _rt_allowed_keys(plan: PipelinePlan) -> set:
+    names = {name for name, _ in _rt_layout(plan)}
+    out = set()
+    if "cmat" in names:
+        out.add("cmat")
+    if "hdr" in names:
+        out.add("hdr")
+    if "l2" in names:
+        out.add("l2_trims")
+    return out
+
+
+def _pack_rt_all(plan: PipelinePlan, rt: dict, dtype=jnp.float32):
+    """Pack the runtime overrides (plan defaults fill missing keys) into the
+    flat SMEM vector matching :func:`_rt_layout`."""
+    segs = []
+    for name, _n in _rt_layout(plan):
+        if name == "cmat":
+            cm = rt.get("cmat")
+            if cm is not None:
+                segs.append(_pack_cmat_rt(cm["m"], cm["c"], dtype))
+            else:
+                segs.append(_pack_cmat_rt(plan.cmat_m, plan.cmat_c, dtype))
+        elif name == "hdr":
+            h = rt.get("hdr") or {}
+            p = plan.tonemap_params
+            merged = {k: h.get(k, getattr(p, k)) for k in _RT_HDR_KEYS}
+            segs.append(tonemap_ops.local_tonemap_rt_scalars(
+                plan.tonemap_type, merged))
+        elif name == "l2":
+            tr = rt.get("l2_trims")
+            t = plan.dovi_trims
+            vals = ([tr[k] for k in _RT_TRIM_KEYS] if tr is not None
+                    else [getattr(t, k) for k in _RT_TRIM_KEYS])
+            segs.append(jnp.stack([jnp.asarray(v, dtype) for v in vals]))
+    if not segs:
+        return None
+    return segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+
+
 def _make_tail_epilogue_rt(plan: PipelinePlan, dtype=jnp.float32):
-    """Serving variant of :func:`_make_tail_epilogue`: the color matrix
-    arrives per call as 12 SMEM scalars (row-major 3x(m0 m1 m2 c)), so
-    runtime ProcAmp changes re-upload parameters instead of retracing —
-    the cbuffer analogue (Source/DX11VideoProcessor.cpp:839-890)."""
+    """Serving variant of :func:`_make_tail_epilogue`: the color matrix, the
+    HDR10 luminance metadata for the local tone map, and the DoVi L2 trims
+    arrive per call as SMEM scalars (layout per :func:`_rt_layout`), so
+    runtime ProcAmp / per-scene metadata changes re-upload parameters
+    instead of retracing."""
+    off, o = {}, 0
+    for name, n in _rt_layout(plan):
+        off[name] = o
+        o += n
 
     def epi(y, u, v, rt_ref):
-        rgb = jnp.stack([rt_ref[4 * i] * y + rt_ref[4 * i + 1] * u
-                         + rt_ref[4 * i + 2] * v + rt_ref[4 * i + 3]
-                         for i in range(3)], axis=0)
-        return _tail_common(plan, rgb)
+        if "cmat" in off:
+            b = off["cmat"]
+            rgb = jnp.stack(
+                [rt_ref[b + 4 * i] * y + rt_ref[b + 4 * i + 1] * u
+                 + rt_ref[b + 4 * i + 2] * v + rt_ref[b + 4 * i + 3]
+                 for i in range(3)], axis=0)
+        else:
+            rgb = jnp.stack([y, u, v], axis=0)
+        trims = None
+        if "l2" in off:
+            b = off["l2"]
+            trims = tonemap_ops.DoviTrims(
+                **{k: rt_ref[b + i] for i, k in enumerate(_RT_TRIM_KEYS)},
+                l2_enabled=True)
+        hdr_sc = None
+        if "hdr" in off:
+            b = off["hdr"]
+            hdr_sc = [rt_ref[b + i] for i in range(5)]
+        return _tail_common(plan, rgb, trims=trims, hdr_sc=hdr_sc)
 
     return epi
 
 
 def _pack_cmat_rt(m, c, dtype=jnp.float32):
-    """(3,3) + (3,) -> the (12,) SMEM layout of _make_tail_epilogue_rt."""
+    """(3,3) + (3,) -> the (12,) cmat segment of :func:`_rt_layout`."""
     m = jnp.asarray(m, dtype).reshape(3, 3)
     c = jnp.asarray(c, dtype).reshape(3, 1)
     return jnp.concatenate([m, c], axis=1).reshape(-1)
@@ -767,7 +863,6 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
     # W-passed planes once and writing only the final output (the XLA
     # elementwise tail costs ~220 us/frame per pass at 4K batch 64)
     use_rows3 = (use_pallas and dst.video_rect is None
-                 and not plan.local_tonemap
                  and info.cs_type in (ColorSystem.YUV, ColorSystem.RGB))
     epilogue = _make_tail_epilogue(plan, dtype) if use_rows3 else None
     if info.cs_type == ColorSystem.YUV:
@@ -781,10 +876,11 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
 
     r3_wxy_f = None if r3_wx_y is None else np.asarray(r3_wx_y, np.float32)
     r3_wxc_f = None if r3_wx_c is None else np.asarray(r3_wx_c, np.float32)
+    rt_keys = _rt_allowed_keys(plan)
     epilogue_rt = (_make_tail_epilogue_rt(plan, dtype)
-                   if use_rows3 and plan.apply_matrix else None)
+                   if use_rows3 and rt_keys else None)
 
-    def _rows3(planes, rt_cmat=None):
+    def _rows3(planes, rt_scalars=None):
         # two-stage: banded W kernels then the fused H+tail kernel.  (A
         # single whole-pipeline kernel — mega3_tail — was measured at 995
         # f/s vs 1408 for this structure on the headline chain: the per-
@@ -799,19 +895,19 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
         vid_w, vid_h = dst.video_size
         kw = dict(y_scale=norm if r3_wxy_f is None else None,
                   c_scale=norm if r3_wxc_f is None else None)
-        if rt_cmat is not None:
+        if rt_scalars is not None:
             return rp.rows3_tail(
                 yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue_rt,
-                rt_scalars=_pack_cmat_rt(rt_cmat["m"], rt_cmat["c"]), **kw)
+                rt_scalars=rt_scalars, **kw)
         return rp.rows3_tail(yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue,
                              **kw)
 
     def fn(planes, rt=None):
         rt = rt or {}
         planes = _crop_planes(plan, planes)
-        if use_rows3 and len(planes) == 3 and set(rt) <= {"cmat"} \
-                and (not rt.get("cmat") or plan.apply_matrix):
-            return _rows3(planes, rt.get("cmat"))
+        if use_rows3 and len(planes) == 3 and set(rt) <= rt_keys:
+            return _rows3(planes,
+                          _pack_rt_all(plan, rt, dtype) if rt else None)
         app = lambda p, a, b: _fused_apply2d(p, a, b, use_pallas, norm, dtype)
         if info.cs_type == ColorSystem.GRAY:
             y = app(planes[0], wx, wy)

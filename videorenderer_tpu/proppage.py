@@ -240,19 +240,85 @@ class PropertyPageModel:
         return self.value
 
 
-def run_tui(model: PropertyPageModel) -> Settings:
+class InfoPageModel:
+    """Read-only Info property page (CVRInfoPPage, Source/PropPage.cpp:
+    the second page shows the GetVPInfo report in a scrollable edit box).
+
+    ``provider`` returns the report text; it is called lazily on first view
+    (and again on refresh) so constructing the model costs nothing when the
+    user never opens the page."""
+
+    def __init__(self, provider: Callable[[], str]):
+        self.provider = provider
+        self.scroll = 0
+        self._lines: "list[str] | None" = None
+
+    @property
+    def lines(self) -> "list[str]":
+        if self._lines is None:
+            self.refresh()
+        return self._lines
+
+    def refresh(self) -> None:
+        try:
+            text = self.provider()
+        except Exception as e:          # never crash the page on a bad probe
+            text = f"(info unavailable: {e})"
+        self._lines = text.splitlines() or [""]
+        self.scroll = min(self.scroll, max(0, len(self._lines) - 1))
+
+    def scroll_by(self, delta: int) -> None:
+        self.scroll = min(max(0, self.scroll + delta),
+                          max(0, len(self.lines) - 1))
+
+    def visible(self, rows: int) -> "list[str]":
+        return self.lines[self.scroll:self.scroll + rows]
+
+
+def run_tui(model: PropertyPageModel,
+            info: "InfoPageModel | None" = None) -> Settings:
     """Curses shell: arrows navigate, space toggles, left/right steps,
-    'd' defaults, 'a'/enter applies, 'q' quits (applies if dirty)."""
+    'd' defaults, 'a'/enter applies, 'q' quits (applies if dirty).
+    With ``info``, Tab switches between the Main and Info pages
+    (the two ISpecifyPropertyPages pages of the reference)."""
     import curses
+
+    def draw_info(scr):
+        h, w = scr.getmaxyx()
+        scr.addnstr(0, 0, "videorenderer_tpu info — ↑/↓ scroll, r refresh, "
+                    "Tab settings, q quit", w - 1, curses.A_BOLD)
+        for i, line in enumerate(info.visible(h - 3)):
+            scr.addnstr(2 + i, 0, line, w - 1)
 
     def main(scr):
         curses.curs_set(0)
         sel = 0
+        page = 0
         while True:
+            if info is not None and page == 1:
+                scr.erase()
+                draw_info(scr)
+                scr.refresh()
+                ch = scr.getch()
+                if ch in (ord("q"), 27):
+                    if model.dirty:
+                        model.apply()
+                    return
+                if ch == 9:
+                    page = 0
+                elif ch == curses.KEY_UP:
+                    info.scroll_by(-1)
+                elif ch == curses.KEY_DOWN:
+                    info.scroll_by(+1)
+                elif ch == ord("r"):
+                    info.refresh()
+                continue
             scr.erase()
             h, w = scr.getmaxyx()
             scr.addnstr(0, 0, "videorenderer_tpu settings — space toggle, "
-                        "←/→ change, d default, a apply, q quit", w - 1,
+                        "←/→ change, d default, a apply, "
+                        + ("Tab info, " if info is not None else "")
+                        + "q quit", w - 1,
                         curses.A_BOLD)
             row = 2
             group = None
@@ -285,7 +351,9 @@ def run_tui(model: PropertyPageModel) -> Settings:
                 if model.dirty:
                     model.apply()
                 return
-            if ch == curses.KEY_UP:
+            if ch == 9 and info is not None:
+                page = 1
+            elif ch == curses.KEY_UP:
                 sel = (sel - 1) % len(model.fields)
             elif ch == curses.KEY_DOWN:
                 sel = (sel + 1) % len(model.fields)
