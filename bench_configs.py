@@ -82,7 +82,7 @@ def main() -> None:
                          matrix=CSP.BT_709),
         OutputDescriptor(width=3840, height=2160, bits=8))
     rows.append(("3. 1080p -> 4K Jinc2 + anti-ringing",
-                 measure(vp, ColorFormat.NV12, 1920, 1080, 8)))
+                 measure(vp, ColorFormat.NV12, 1920, 1080, 32)))
 
     # 4. HDR10 P010 -> SDR RGB8 (PQ EOTF + Hable + 2020->709 + dither)
     vp = VideoProcessor(
@@ -93,7 +93,7 @@ def main() -> None:
                          hdr10=HDR10Metadata(max_cll=4000, max_fall=1000)),
         OutputDescriptor(width=3840, height=2160, bits=8))
     rows.append(("4. 4K HDR10 -> SDR RGB8 (tone-map at 4K)",
-                 measure(vp, ColorFormat.P010, 3840, 2160, 8)))
+                 measure(vp, ColorFormat.P010, 3840, 2160, 32)))
 
     # 5. full chain: 4K HLG -> SDR, motion-adaptive deinterlace, 1080p out
     from videorenderer_tpu.pipeline import plan_pipeline
@@ -147,6 +147,40 @@ def main() -> None:
     np.asarray(o.ravel()[0])
     rows.append(("6. 4K HDR10 -> 1080p, row-sharded (shard_map, 1-chip mesh)",
                  32 * 4 / (time.perf_counter() - t0)))
+
+    # 7. HDR passthrough + BT.2390 local tone map, SERVING mode: per-scene
+    # HDR10 metadata arrives as runtime scalars through the fused-tail
+    # kernel's SMEM block — no retrace across scenes (the reference
+    # re-uploads the HDRParams cbuffer per sample, ps_hdr10_tonemap.hlsl).
+    from videorenderer_tpu.config import ToneMapType
+    from videorenderer_tpu.pipeline import make_serving_fn
+    plan7 = plan_pipeline(
+        Settings(convert_to_sdr=False, hdr_passthrough=True,
+                 hdr_local_tone_mapping=True,
+                 hdr_local_tone_mapping_type=ToneMapType.BT2390,
+                 hdr_display_max_nits=600),
+        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
+                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
+                         transfer=TRC.PQ,
+                         hdr10=HDR10Metadata(mastering_max_nits=4000.0,
+                                             max_cll=3000.0, max_fall=800.0)),
+        OutputDescriptor(width=3840, height=2160, bits=10, hdr=True))
+    fn7 = jax.jit(make_serving_fn(plan7))
+    bs7 = [tuple(jnp.asarray(p) for p in
+                 planes_for(ColorFormat.P010, 3840, 2160, 16, seed=k))
+           for k in (0, 1)]
+    rts = [{"hdr": {"mastering_min_nits": 0.005, "mastering_max_nits": 2000.0,
+                    "max_cll": 1200.0 + 100.0 * k, "max_fall": 450.0,
+                    "display_max_nits": 650.0}} for k in (0, 1)]
+    o = fn7(bs7[0], rts[0])
+    np.asarray(o.ravel()[0])
+    t0 = time.perf_counter()
+    for i in range(6):
+        o = fn7(bs7[i % 2], rts[i % 2])   # per-scene metadata changes
+    np.asarray(o.ravel()[0])
+    rows.append(("7. 4K HDR10 passthrough + BT.2390 tone map, serving "
+                 "(per-scene metadata, no retrace)",
+                 16 * 6 / (time.perf_counter() - t0)))
 
     lines = ["# BENCH_DETAILS — per-config throughput (TPU v5e, 1 chip)\n"]
     for name, fps in rows:

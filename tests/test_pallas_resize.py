@@ -388,3 +388,83 @@ def test_fused_rt_tail_local_tonemap_interpret(monkeypatch, with_trims):
     d = np.abs(got - ref)
     assert d.max() <= 2.5 / 1023
     assert (d > 0.5 / 1023).mean() < 0.01
+
+
+def test_jinc2_convert_fused_interpret():
+    """3-plane convert+Jinc2 kernel (raw NV12 in, dithered RGB out) vs the
+    staged XLA path (chroma upsample -> cmat -> 2D Jinc2 + AR -> dither)."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.config import Upscaling
+    from videorenderer_tpu.csputils import CSP
+    from videorenderer_tpu.kernels.jinc2_pallas import jinc2_convert_fused
+    from videorenderer_tpu.ops.chroma import chroma_upsample_matrices
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+
+    W, H, OW, OH = 64, 48, 128, 96
+    st = Settings(upscaling=Upscaling.JINC2, use_dither=True,
+                  use_accel_backend=False)
+    src = SourceDescriptor(format=ColorFormat.NV12, width=W, height=H,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=OW, height=OH, bits=8)
+    plan = plan_pipeline(st, src, dst)
+
+    rng = np.random.default_rng(11)
+    planes = (rng.integers(0, 256, (2, H, W), np.uint8),
+              rng.integers(0, 256, (2, H // 2, W // 2), np.uint8),
+              rng.integers(0, 256, (2, H // 2, W // 2), np.uint8))
+    ref = np.asarray(jax.jit(make_frame_fn(plan, fused=False))(planes))
+
+    ux, uy = chroma_upsample_matrices(W // 2, H // 2, 420, st.chroma_scaling,
+                                      plan.src.chroma_location)
+    from videorenderer_tpu.ops import dither as dither_ops
+
+    def epi(tile):
+        return dither_ops.ordered_dither_iota(jnp.clip(tile, 0.0, 1.0), 8)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jinc2_convert_fused(
+            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+            jnp.asarray(planes[2]),
+            np.asarray(uy, np.float32), np.asarray(ux, np.float32),
+            plan.cmat_m, plan.cmat_c, OH, OW,
+            1.0 / 255.0, 1.0 / 255.0, epilogue=epi))
+
+    assert got.shape == ref.shape == (2, 3, OH, OW)
+    d = np.abs(got - ref)
+    assert d.max() <= 1.5 / 255          # isolated dither-boundary flips only
+    assert (d > 0.5 / 255).mean() < 0.01
+
+
+def test_jinc2_convert_pipeline_path_interpret(monkeypatch):
+    """make_frame_fn routes a 2D-upscale Jinc2 plan through the 3-plane
+    convert+Jinc2 kernel on the accel backend; output matches the XLA
+    composition."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.config import Upscaling
+    from videorenderer_tpu.csputils import CSP
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+
+    W, H, OW, OH = 64, 48, 160, 120   # 2.5x both axes (generic-rank path)
+    src = SourceDescriptor(format=ColorFormat.NV12, width=W, height=H,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=OW, height=OH, bits=8)
+    rng = np.random.default_rng(13)
+    planes = (rng.integers(0, 256, (H, W), np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2), np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2), np.uint8))
+    plan_x = plan_pipeline(Settings(upscaling=Upscaling.JINC2, use_dither=True,
+                                    use_accel_backend=False), src, dst)
+    ref = np.asarray(make_frame_fn(plan_x, fused=False)(planes))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    plan_k = plan_pipeline(Settings(upscaling=Upscaling.JINC2,
+                                    use_dither=True), src, dst)
+    fn = make_frame_fn(plan_k, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes))
+    d = np.abs(got - ref)
+    assert got.shape == ref.shape == (3, OH, OW)
+    assert d.max() <= 1.5 / 255
+    assert (d > 0.5 / 255).mean() < 0.01

@@ -418,7 +418,7 @@ def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
             _split_stripe(_to_f32(v_ref[0]), vhi, vlo)
             kbc = wch.shape[2]
 
-        for jr in range(n_tiles):
+        def dots(jr):
             if has_y:
                 ys = pl.multiple_of(sy_ref[jr], ROWS_KB_ALIGN)
                 y = _dot3(yhi[pl.ds(ys, kby)], ylo[pl.ds(ys, kby)],
@@ -439,9 +439,19 @@ def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
                 if c_scale is not None:
                     u = u * jnp.float32(c_scale)
                     v = v * jnp.float32(c_scale)
+            return y, u, v
+
+        cur = dots(0)
+        for jr in range(n_tiles):
+            # software pipelining: issue tile jr+1's banded H dots (MXU)
+            # before tile jr's epilogue (VPU transfer/tone-map/dither chain)
+            # so both units stay busy
+            nxt = dots(jr + 1) if jr + 1 < n_tiles else None
+            y, u, v = cur
             rgb = (epilogue(y, u, v, rt_ref) if has_rt
                    else epilogue(y, u, v))
             o_ref[0, :, pl.ds(jr * TILE_N, TILE_N), :] = rgb
+            cur = nxt
 
     return kernel
 

@@ -1121,7 +1121,28 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
             return dither_ops.quantize(jnp.clip(tile, 0.0, 1.0), -db)
         return dither_ops.ordered_dither_iota(jnp.clip(tile, 0.0, 1.0), db)
 
+    # whole-chain Jinc2 kernel: raw integer planes -> chroma upsample +
+    # color matrix + 2D Jinc2 + anti-ringing + dither in ONE kernel (no
+    # convert intermediate at all); engages when the 2D one-pass geometry
+    # applies and the packed weights fit scoped VMEM
+    use_k3 = False
+    if use_kconvert and j2_tail:
+        k3_w, k3_h = dst.video_size
+        rx3, ry3 = scale_ops.jinc2_passes(src_h, src_w, k3_h, k3_w,
+                                          s.interpolate_at_50pct)
+        if (rx3 == "up" and ry3 in ("up", None)
+                and (src_h, src_w) != (k3_h, k3_w)):
+            from .kernels.jinc2_pallas import jinc2_convert_fits
+            use_k3 = jinc2_convert_fits(src_h, k3_h, src_w, k3_w,
+                                        kuy_f, kux_f)
+
     def fn(planes):
+        if use_k3 and len(planes) == 3:
+            from .kernels.jinc2_pallas import jinc2_convert_fused
+            y, u, v = _crop_planes(plan, planes)
+            return jinc2_convert_fused(y, u, v, kuy_f, kux_f, kcm, kcc,
+                                       k3_h, k3_w, knorm, knorm,
+                                       epilogue=_j2_epilogue)
         if use_kconvert and len(planes) == 3:
             rgb = _kconvert(_crop_planes(plan, planes))
         else:
