@@ -105,17 +105,17 @@ def main() -> None:
                          transfer=TRC.HLG, interlaced=True),
         OutputDescriptor(width=1920, height=1080, bits=8))
     sess = DeinterlaceSession(plan, double_rate=True)
-    bs = [tuple(jnp.asarray(p[0]) for p in
-                planes_for(ColorFormat.P010, 3840, 2160, 1, seed=k))
-          for k in range(4)]
-    outs = sess.push(bs[0])
-    outs = sess.push(bs[1])
+    bs = [tuple(jnp.asarray(p) for p in
+                planes_for(ColorFormat.P010, 3840, 2160, 8, seed=k))
+          for k in range(2)]
+    outs = sess.push_batch(bs[0])
+    outs = sess.push_batch(bs[1])
     np.asarray(outs[-1].ravel()[0])
     t0 = time.perf_counter()
     n = 0
-    for i in range(8):
-        for o in sess.push(bs[i % 4]):
-            n += 1
+    for i in range(4):
+        for o in sess.push_batch(bs[i % 2]):
+            n += o.shape[0]
     np.asarray(o.ravel()[0])
     rows.append(("5. 4K60 HLG -> SDR + motion-adaptive deint (fields out)",
                  n / (time.perf_counter() - t0)))

@@ -457,3 +457,48 @@ def test_midstream_renegotiation():
             OutputDescriptor(width=64, height=32, bits=8))
     out3 = vr.process_frame(_nv12_planes(32, 16, seed=5))
     assert out3.shape == (3, 32, 64)
+
+
+def test_deinterlace_session_batched_matches_streaming():
+    """push_batch/flush_batch emit the same frames in the same order as the
+    frame-at-a-time push/flush (identical window clamping)."""
+    from videorenderer_tpu.pipeline import plan_pipeline
+    from videorenderer_tpu.runner import DeinterlaceSession
+
+    plan = plan_pipeline(
+        Settings(use_dither=False),
+        SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                         matrix=CSP.BT_709, interlaced=True),
+        OutputDescriptor(width=32, height=16, bits=8))
+    rng = np.random.default_rng(21)
+    N = 7
+    frames = [(rng.integers(0, 256, (16, 32), np.uint8),
+               rng.integers(0, 256, (8, 16), np.uint8),
+               rng.integers(0, 256, (8, 16), np.uint8)) for _ in range(N)]
+
+    s1 = DeinterlaceSession(plan, double_rate=True)
+    ref = []
+    for f in frames:
+        ref.extend(np.asarray(o) for o in s1.push(f))
+    ref.extend(np.asarray(o) for o in s1.flush())
+    assert len(ref) == 2 * N
+
+    s2 = DeinterlaceSession(plan, double_rate=True)
+    stacked = tuple(np.stack([f[i] for f in frames]) for i in range(3))
+    got_fields = []       # [field0 frames...], [field1 frames...]
+    for b in (tuple(p[:4] for p in stacked), tuple(p[4:] for p in stacked)):
+        outs = s2.push_batch(b)
+        if outs:
+            got_fields.append([np.asarray(o) for o in outs])
+    tail = s2.flush_batch()
+    got_fields.append([np.asarray(o) for o in tail])
+
+    # reassemble interleaved (f0[i], f1[i]) presentation order
+    got = []
+    for f0b, f1b in got_fields:
+        for i in range(f0b.shape[0]):
+            got.append(f0b[i])
+            got.append(f1b[i])
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)

@@ -1183,9 +1183,14 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
         "dovi_curves" — packed reshape tensors (ops.dovi.pack_curves)
         "cmat"        — {"m": (3,3), "c": (3,)} color-matrix override for
                         runtime ProcAmp (brightness/contrast/hue/saturation)
+        "l2_trims"    — dict of DoVi L2 trim scalars (chroma_weight,
+                        saturation_gain, trim_slope/offset/power); needs a
+                        plan whose trims stage exists
 
     The plan decides *which* stages exist (static); rt supplies their
-    parameters (dynamic).
+    parameters (dynamic).  On the fused path the parameters ride the tail
+    kernel's SMEM scalar block (:func:`_rt_layout`); elsewhere they are
+    traced tensors — either way, no retrace.
     """
     s = plan.settings
     dst = plan.dst

@@ -112,6 +112,7 @@ class DeinterlaceSession:
                 _jax.jit(make_deint_frame_fn(plan, field=1,
                                              top_field_first=top_field_first)))
         self._window: list[tuple] = []  # [prev, cur, next]
+        self._tail: tuple | None = None  # batched mode: last 2 stream frames
 
     def _emit(self, prev, cur, nxt) -> list:
         return [fn(prev, cur, nxt) for fn in self._fns]
@@ -137,6 +138,45 @@ class DeinterlaceSession:
             return self._emit(a, a, a)
         a, b = self._window[-2:]
         return self._emit(a, b, b)
+
+    # -- batched streaming ---------------------------------------------------
+    # Frame-at-a-time push() renders the whole pipeline at batch 1, where
+    # per-dispatch overheads dominate at 4K.  The batched variant keeps the
+    # same per-frame math (identical sliding window, same clamping) but
+    # builds shifted (prev, cur, next) batch views and runs ONE jitted call
+    # per field per batch.  Use either push() or push_batch(), not both.
+
+    def push_batch(self, planes: tuple) -> list:
+        """``planes``: plane arrays with a leading frame dim (B, ...).
+        Returns per-field output batches covering every input frame whose
+        one-frame lookahead is available (the rest emit on the next call or
+        flush_batch()).  With ``double_rate`` the presentation order
+        interleaves field 0 and field 1 of each frame."""
+        planes = tuple(jnp.asarray(p) for p in planes)
+        if self._tail is None:
+            # stream start: the first frame's prev clamps to itself
+            arr = tuple(jnp.concatenate([p[:1], p]) for p in planes)
+        else:
+            arr = tuple(jnp.concatenate([t, p])
+                        for t, p in zip(self._tail, planes))
+        m = arr[0].shape[0]
+        outs = []
+        if m >= 3:
+            prev = tuple(p[0:m - 2] for p in arr)
+            cur = tuple(p[1:m - 1] for p in arr)
+            nxt = tuple(p[2:m] for p in arr)
+            outs = [fn(prev, cur, nxt) for fn in self._fns]
+        self._tail = tuple(p[-2:] for p in arr)
+        return outs
+
+    def flush_batch(self) -> list:
+        """Drain the final frame (next clamps to the last frame)."""
+        if self._tail is None:
+            return []
+        prev = tuple(p[0:1] for p in self._tail)
+        cur = tuple(p[1:2] for p in self._tail)
+        self._tail = None
+        return [fn(prev, cur, cur) for fn in self._fns]
 
 
 class PresentClock:
