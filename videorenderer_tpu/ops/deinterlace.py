@@ -28,6 +28,7 @@ Field convention: ``top_field_first=True`` means field 0 occupies even rows
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -47,6 +48,37 @@ def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return stacked.reshape(shape)
 
 
+# PERF NOTE: strided row slices (x[::2]) and interleaves force sublane
+# relayouts on TPU — a full 4K motion-adaptive pass measured 8.7 ms/frame
+# in that form.  bob/motion_adaptive therefore use full-array math: two
+# edge-clamped contiguous row shifts + a row-parity iota mask.  The
+# selected values are bit-identical to the sliced formulation.
+
+def _bob_neighbors(frame: jnp.ndarray, use_top: bool):
+    """(up, dn) rows so that (up+dn)/2 equals bob's reconstruction at every
+    *opposite-field* row (kept-field rows of up/dn are unused):
+    reconstructed row r averages frame[r-1] and frame[r+1], with bob's
+    field-internal clamping at the edges."""
+    if use_top:
+        up = jnp.concatenate([frame[..., :1, :], frame[..., :-1, :]],
+                             axis=-2)
+        # bottom clamp: the last odd row averages field rows H-2 twice
+        dn = jnp.concatenate([frame[..., 1:, :], frame[..., -2:-1, :]],
+                             axis=-2)
+    else:
+        # top clamp: row 0 averages field row 1 twice
+        up = jnp.concatenate([frame[..., 1:2, :], frame[..., :-1, :]],
+                             axis=-2)
+        dn = jnp.concatenate([frame[..., 1:, :], frame[..., -1:, :]],
+                             axis=-2)
+    return up, dn
+
+
+def _opposite_mask(frame: jnp.ndarray, use_top: bool) -> jnp.ndarray:
+    rows = jax.lax.broadcasted_iota(jnp.int32, frame.shape, frame.ndim - 2)
+    return (rows & 1) == (1 if use_top else 0)
+
+
 def bob(frame: jnp.ndarray, field: int, top_field_first: bool = True) -> jnp.ndarray:
     """Line-doubling bob: keep the active field's rows, reconstruct the
     missing rows as the average of vertical neighbors (edge-clamped).
@@ -54,15 +86,8 @@ def bob(frame: jnp.ndarray, field: int, top_field_first: bool = True) -> jnp.nda
     ``field``: 0 = first temporal field, 1 = second.
     """
     use_top = (field == 0) == top_field_first
-    if use_top:
-        f = _even_rows(frame)
-        # missing odd rows: average of field rows i and i+1 (clamp at bottom)
-        nxt = jnp.concatenate([f[..., 1:, :], f[..., -1:, :]], axis=-2)
-        return _interleave_rows(f, (f + nxt) * 0.5)
-    f = _odd_rows(frame)
-    # missing even rows: average of field rows i-1 and i (clamp at top)
-    prv = jnp.concatenate([f[..., :1, :], f[..., :-1, :]], axis=-2)
-    return _interleave_rows((prv + f) * 0.5, f)
+    up, dn = _bob_neighbors(frame, use_top)
+    return jnp.where(_opposite_mask(frame, use_top), (up + dn) * 0.5, frame)
 
 
 def weave(frame: jnp.ndarray) -> jnp.ndarray:
@@ -89,18 +114,15 @@ def motion_adaptive(frame: jnp.ndarray, prev: jnp.ndarray, nxt: jnp.ndarray,
     width ``threshold`` (motion in [thr, 2*thr] blends weave->bob), which is
     branch-free and vectorizes on the VPU.
     """
-    bobbed = bob(frame, field, top_field_first)
     use_top = (field == 0) == top_field_first
-    rows = _odd_rows if use_top else _even_rows
-    # motion measured on the opposite field rows (the ones we'd weave in)
-    motion = jnp.abs(rows(nxt) - rows(prev))
+    up, dn = _bob_neighbors(frame, use_top)
+    bob_rows = (up + dn) * 0.5
+    # motion measured on the opposite field rows (the ones we'd weave in);
+    # kept-field rows of the full-array computation are masked out below
+    motion = jnp.abs(nxt - prev)
     alpha = jnp.clip((motion - threshold) / threshold, 0.0, 1.0)  # 0=static
-    woven_rows = rows(frame)
-    bob_rows = rows(bobbed)
-    mixed = woven_rows + (bob_rows - woven_rows) * alpha
-    if use_top:
-        return _interleave_rows(_even_rows(frame), mixed)
-    return _interleave_rows(mixed, _odd_rows(frame))
+    mixed = frame + (bob_rows - frame) * alpha
+    return jnp.where(_opposite_mask(frame, use_top), mixed, frame)
 
 
 def double_rate_fields(frame: jnp.ndarray, top_field_first: bool = True):
