@@ -182,6 +182,41 @@ def main() -> None:
                  "(per-scene metadata, no retrace)",
                  16 * 6 / (time.perf_counter() - t0)))
 
+    # 8. Dolby Vision serving: 4K DoVi P010 -> 1080p SDR with per-scene
+    # runtime reshape curves (RPU updates re-upload SMEM scalars, never
+    # retrace); both stages of the split-fused pipeline run in Pallas
+    # kernels (reshape+cmat+LMS inside stage A's rows3_tail).
+    from videorenderer_tpu.ops import dovi as dovi_ops
+    meta8 = dovi_ops.DoviMetadata(
+        curves=(dovi_ops.identity_curve(),) * 3,
+        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
+                                    [1, -0.164553, -0.571353],
+                                    [1, 1.8814, 0]]),
+        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+    from videorenderer_tpu.pipeline import make_serving_fn
+    plan8 = plan_pipeline(
+        Settings(convert_to_sdr=True, upscaling=Upscaling.CATMULL_ROM),
+        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
+                         transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                         matrix=CSP.BT_2020_NC, dovi=meta8,
+                         hdr10=HDR10Metadata()),
+        OutputDescriptor(width=1920, height=1080, bits=10))
+    fn8 = jax.jit(make_serving_fn(plan8))
+    curves8 = [{k: jnp.asarray(v) * (1.0 - 0.01 * i) for k, v in
+                dovi_ops.pack_curves(meta8).items()} for i in (0, 1)]
+    bs8 = [tuple(jnp.asarray(p) for p in
+                 planes_for(ColorFormat.P010, 3840, 2160, 8, seed=k))
+           for k in (0, 1)]
+    o = fn8(bs8[0], {"dovi_curves": curves8[0]})
+    np.asarray(o.ravel()[0])
+    t0 = time.perf_counter()
+    for i in range(6):
+        o = fn8(bs8[i % 2], {"dovi_curves": curves8[i % 2]})
+    np.asarray(o.ravel()[0])
+    rows.append(("8. 4K Dolby Vision -> 1080p SDR, serving (per-scene RPU "
+                 "curves, no retrace)", 8 * 6 / (time.perf_counter() - t0)))
+
     lines = ["# BENCH_DETAILS — per-config throughput (TPU v5e, 1 chip)\n"]
     for name, fps in rows:
         print(json.dumps({"config": name, "fps": round(fps, 1)}))

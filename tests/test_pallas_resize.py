@@ -468,3 +468,111 @@ def test_jinc2_convert_pipeline_path_interpret(monkeypatch):
     assert got.shape == ref.shape == (3, OH, OW)
     assert d.max() <= 1.5 / 255
     assert (d > 0.5 / 255).mean() < 0.01
+
+
+def test_dovi_stage_b_rows3_tail_interpret(monkeypatch):
+    """The DoVi split-fused pipeline's stage B (RGB resize + corrections +
+    local tone map + dither) runs through rows3_tail on the accel backend
+    with runtime HDR scalars over SMEM; output matches the XLA stage B."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.config import ToneMapType, Upscaling
+    from videorenderer_tpu.csputils import CSP, Primaries, TRC
+    from videorenderer_tpu.ops import dovi as dovi_ops
+    from videorenderer_tpu.pipeline import (HDR10Metadata, make_serving_fn,
+                                            plan_pipeline)
+
+    meta = dovi_ops.DoviMetadata(
+        curves=(dovi_ops.identity_curve(),) * 3,
+        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
+                                    [1, -0.164553, -0.571353],
+                                    [1, 1.8814, 0]]),
+        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+
+    def mk_plan(accel):
+        src = SourceDescriptor(format=ColorFormat.P010, width=64, height=48,
+                               transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                               matrix=CSP.BT_2020_NC, dovi=meta,
+                               hdr10=HDR10Metadata())
+        dst = OutputDescriptor(width=128, height=96, bits=10, hdr=True)
+        st = Settings(convert_to_sdr=False, hdr_passthrough=True,
+                      hdr_local_tone_mapping=True,
+                      hdr_local_tone_mapping_type=ToneMapType.BT2390,
+                      hdr_display_max_nits=600,
+                      upscaling=Upscaling.CATMULL_ROM,
+                      use_accel_backend=accel)
+        return plan_pipeline(st, src, dst)
+
+    rng = np.random.default_rng(17)
+    planes = (rng.integers(64, 941, (48, 64), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6)
+    rt = {"hdr": {"mastering_min_nits": 0.005, "mastering_max_nits": 2000.0,
+                  "max_cll": 1500.0, "max_fall": 500.0,
+                  "display_max_nits": 650.0}}
+    ref = np.asarray(make_serving_fn(mk_plan(False))(planes, rt))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_serving_fn(mk_plan(True))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes, rt))
+    assert got.shape == ref.shape == (3, 96, 128)
+    d = np.abs(got - ref)
+    assert d.max() <= 2.5 / 1023
+    assert (d > 0.5 / 1023).mean() < 0.01
+
+
+def test_dovi_stage_a_smem_curves_mmr_interpret(monkeypatch):
+    """Stage-A kernel reshape with a nontrivial STRUCTURE — 2-piece luma
+    poly and single-piece order-2 MMR chroma — through the SMEM scalar
+    vector, vs the XLA path with the same runtime curves."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.config import Upscaling
+    from videorenderer_tpu.csputils import CSP, Primaries, TRC
+    from videorenderer_tpu.ops import dovi as dovi_ops
+    from videorenderer_tpu.pipeline import (HDR10Metadata, make_serving_fn,
+                                            plan_pipeline)
+
+    rng = np.random.default_rng(19)
+    mmr_coef = rng.normal(0, 0.05, (1, 3, 7))
+    mmr = dovi_ops.ReshapeCurve(
+        pivots=(), method=(1,), poly=np.zeros((1, 3)),
+        mmr_order=(2,), mmr_constant=(0.4,), mmr_coef=mmr_coef)
+    luma = dovi_ops.ReshapeCurve(
+        pivots=(0.5,), method=(0, 0),
+        poly=np.array([[0.02, 0.9, 0.1], [0.0, 1.0, -0.05]]))
+    meta = dovi_ops.DoviMetadata(
+        curves=(luma, mmr, mmr),
+        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
+                                    [1, -0.164553, -0.571353],
+                                    [1, 1.8814, 0]]),
+        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+
+    def mk_plan(accel):
+        src = SourceDescriptor(format=ColorFormat.P010, width=64, height=48,
+                               transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                               matrix=CSP.BT_2020_NC, dovi=meta,
+                               hdr10=HDR10Metadata())
+        dst = OutputDescriptor(width=32, height=24, bits=10)
+        st = Settings(convert_to_sdr=True, downscaling=None
+                      or Settings().downscaling, use_accel_backend=accel)
+        return plan_pipeline(st, src, dst)
+
+    planes = (rng.integers(64, 941, (48, 64), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6)
+    curves = {k: jnp.asarray(v) for k, v in dovi_ops.pack_curves(meta).items()}
+    rt = {"dovi_curves": curves}
+    ref = np.asarray(make_serving_fn(mk_plan(False))(planes, rt))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_serving_fn(mk_plan(True))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes, rt))
+    d = np.abs(got - ref)
+    assert got.shape == ref.shape == (3, 24, 32)
+    assert d.max() <= 2.5 / 1023
+    assert (d > 0.5 / 1023).mean() < 0.01

@@ -116,6 +116,14 @@ def from_rpu_mapping(num_pivots, pivots, mapping_idc, poly_order, poly_coef,
                         mmr_coef=mcoef)
 
 
+def _comp(x: jnp.ndarray, i: int, axis: int) -> jnp.ndarray:
+    """Static channel extraction by basic indexing — jnp.take lowers to a
+    gather, which Mosaic cannot lower inside the fused stage-A kernel."""
+    idx = [slice(None)] * x.ndim
+    idx[axis if axis >= 0 else x.ndim + axis] = i
+    return x[tuple(idx)]
+
+
 def _piece_index(s: jnp.ndarray, pivots: tuple[float, ...]) -> jnp.ndarray:
     """Branch-free piece selection: idx = sum(s >= pivot_k)."""
     idx = jnp.zeros(s.shape, dtype=jnp.int32)
@@ -150,7 +158,7 @@ def reshape(ycc: jnp.ndarray, meta: DoviMetadata, axis: int = -3) -> jnp.ndarray
     """Apply the per-component piecewise reshape to the (Y, Cb, Cr) signal
     (ShaderDoviReshape, Source/Shaders.cpp:554-589). ``ycc`` stacked on
     ``axis``; returns the reshaped signal clamped to [0,1]."""
-    comps = [jnp.take(ycc, i, axis=axis) for i in range(3)]
+    comps = [_comp(ycc, i, axis) for i in range(3)]
     sig = [jnp.clip(c, 0.0, 1.0) for c in comps]
     out = []
     for c in range(3):
@@ -213,48 +221,95 @@ def pack_curves(meta: DoviMetadata) -> dict:
             "mmr_order": mmr_order}
 
 
-def reshape_dynamic(ycc: jnp.ndarray, curves: dict, axis: int = -3) -> jnp.ndarray:
-    """Branch-free reshape with *runtime* curve tensors (see
-    :func:`pack_curves`): piece selection by pivot comparisons, polynomial
-    and full order-3 MMR evaluated for every piece and mask-combined.
-    Slightly more FLOPs than the trace-specialized :func:`reshape`, but the
-    program never retraces across RPU updates."""
-    comps = [jnp.take(ycc, i, axis=axis) for i in range(3)]
-    sig = [jnp.clip(c, 0.0, 1.0) for c in comps]
+def curve_structure(meta: DoviMetadata) -> tuple:
+    """STATIC reshape structure — per channel (num_pieces, per-piece kinds,
+    per-piece MMR orders) — for trace specialization of
+    :func:`reshape_dynamic`.  Scene/RPU updates that change curve VALUES
+    never retrace; a structural change (piece count, poly↔MMR, MMR order)
+    retraces once — exactly when the reference would regenerate its reshape
+    HLSL rather than just re-uploading the cbuffer."""
+    return tuple((cv.num_pieces, cv.method, cv.mmr_order)
+                 for cv in meta.curves)
+
+
+def _eval_mmr_rt(const, coef, order: int, sig, dtype):
+    """MMR with traced per-piece (const, (3,7) coef) and STATIC order —
+    pure elementwise math so XLA fuses it (no (..., P) intermediates)."""
     s0, s1, s2 = sig
-    lin = jnp.stack([s0, s1, s2], axis=-1)                       # (..., 3)
-    cross = jnp.stack([s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2], axis=-1)
+    lin = [s0, s1, s2]
+    cross = [s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2]
+    out = const.astype(dtype)
+    lin_j, cross_j = lin, cross
+    for j in range(order):
+        if j > 0:
+            lin_j = [a * b for a, b in zip(lin_j, lin)]
+            cross_j = [a * b for a, b in zip(cross_j, cross)]
+        w = coef[j]
+        out = out + sum(w[k] * lin_j[k] for k in range(3))
+        out = out + sum(w[3 + k] * cross_j[k] for k in range(4))
+    return out
+
+
+def reshape_dynamic(ycc: jnp.ndarray, curves: dict, axis: int = -3,
+                    structure: tuple | None = None) -> jnp.ndarray:
+    """Branch-free reshape with *runtime* curve tensors (see
+    :func:`pack_curves`): piece selection by pivot comparisons, piece values
+    mask-combined — all pure elementwise math that XLA fuses into one pass
+    (an earlier einsum-over-pieces form materialized (..., 8) HBM
+    intermediates and ran 14x slower at 4K).
+
+    ``structure`` (from :func:`curve_structure` of the plan's metadata)
+    statically prunes the evaluation to the pieces/kinds/orders that exist;
+    without it every piece evaluates both a polynomial and an order-3 MMR
+    with runtime masks (values-only updates still never retrace)."""
+    comps = [_comp(ycc, i, axis) for i in range(3)]
+    sig = [jnp.clip(c, 0.0, 1.0) for c in comps]
+    dt = sig[0].dtype
     out = []
     for c in range(3):
         s = sig[c]
         piv = curves["pivots"][c]                                # (7,)
-        idx = jnp.zeros(s.shape, jnp.int32)
-        for k in range(7):
-            idx = idx + (s >= piv[k]).astype(jnp.int32)
-        onehot = jax.nn.one_hot(idx, 8, dtype=s.dtype)           # (..., 8)
+        if structure is not None:
+            n_pieces, kinds, orders = structure[c]
+        else:
+            n_pieces, kinds, orders = 8, None, None
 
-        # polynomial value per piece: c0 + c1*s + c2*s^2
-        pc = curves["poly"][c]                                   # (8, 3)
-        poly_val = (pc[:, 0] + pc[:, 1] * s[..., None]
-                    + pc[:, 2] * s[..., None] ** 2)              # (..., 8)
+        def piece_val(p):
+            pc = curves["poly"][c, p]
+            pv_poly = (pc[2] * s + pc[1]) * s + pc[0]
+            if kinds is not None:
+                if kinds[p] == 0:
+                    return pv_poly
+                order = orders[p] if p < len(orders) else 3
+                return _eval_mmr_rt(curves["mmr_const"][c, p],
+                                    curves["mmr_coef"][c, p],
+                                    int(order), sig, dt)
+            pv_mmr = curves["mmr_const"][c, p].astype(dt)
+            s0, s1, s2 = sig
+            lin = [s0, s1, s2]
+            cross = [s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2]
+            lin_j, cross_j = lin, cross
+            order_v = curves["mmr_order"][c, p]
+            for j in range(3):
+                if j > 0:
+                    lin_j = [a * b for a, b in zip(lin_j, lin)]
+                    cross_j = [a * b for a, b in zip(cross_j, cross)]
+                w = curves["mmr_coef"][c, p, j]
+                term = sum(w[k] * lin_j[k] for k in range(3)) \
+                    + sum(w[3 + k] * cross_j[k] for k in range(4))
+                pv_mmr = pv_mmr + term * (order_v > j).astype(dt)
+            return jnp.where(curves["is_mmr"][c, p] > 0, pv_mmr, pv_poly)
 
-        # MMR per piece, evaluated to order 3 with order masks
-        mc = curves["mmr_coef"][c]                               # (8, 3, 7)
-        order = curves["mmr_order"][c]                           # (8,)
-        mmr_val = curves["mmr_const"][c][None]                   # (1, 8)
-        lin_j = lin
-        cross_j = cross
-        for j in range(3):
-            if j > 0:
-                lin_j = lin_j * lin
-                cross_j = cross_j * cross
-            term = (jnp.einsum("...k,pk->...p", lin_j, mc[:, j, :3])
-                    + jnp.einsum("...k,pk->...p", cross_j, mc[:, j, 3:]))
-            mmr_val = mmr_val + term * (order > j).astype(s.dtype)
-
-        val = jnp.where(curves["is_mmr"][c] > 0, mmr_val, poly_val)
-        s_out = jnp.sum(val * onehot, axis=-1)
-        out.append(jnp.clip(s_out, 0.0, 1.0))
+        if n_pieces == 1:
+            val = piece_val(0)
+        else:
+            idx = jnp.zeros(s.shape, jnp.int32)
+            for k in range(n_pieces - 1):
+                idx = idx + (s >= piv[k]).astype(jnp.int32)
+            val = piece_val(0)
+            for p in range(1, n_pieces):
+                val = jnp.where(idx == p, piece_val(p), val)
+        out.append(jnp.clip(val, 0.0, 1.0))
     return jnp.stack(out, axis=axis)
 
 
@@ -279,9 +334,102 @@ def apply_lms_matrix(rgb_pq: jnp.ndarray, meta: DoviMetadata,
     (Source/Shaders.cpp:845-859), all at the 1.0 = 10000-nit PQ scale."""
     from .transfer import linear_to_st2084, st2084_to_linear
 
-    mat = lms_pipeline_matrix(meta)
+    # python-float constants: weakly typed, so the math stays in the input
+    # dtype (numpy f64 scalars would promote — and the fused stage-A kernel
+    # runs this inside Pallas, where an f64 store is an error)
+    mat = [[float(v) for v in row] for row in lms_pipeline_matrix(meta)]
     x = st2084_to_linear(jnp.maximum(rgb_pq, 0.0), 1.0)
-    r, g, b = (jnp.take(x, i, axis=axis) for i in range(3))
-    y = jnp.stack([mat[i, 0] * r + mat[i, 1] * g + mat[i, 2] * b
+    r, g, b = (_comp(x, i, axis) for i in range(3))
+    y = jnp.stack([mat[i][0] * r + mat[i][1] * g + mat[i][2] * b
                    for i in range(3)], axis=axis)
     return linear_to_st2084(jnp.maximum(y, 0.0), 1.0)
+
+
+# -- SMEM scalar packing for in-kernel reshape --------------------------------
+#
+# The split-fused DoVi pipeline runs reshape+cmat+LMS inside the stage-A
+# Pallas kernel.  Kernels cannot capture traced arrays, so the curve values
+# flatten into the kernel's SMEM scalar vector; the STATIC structure (from
+# curve_structure) determines the layout, and scene updates re-upload
+# values without retracing.
+
+def curve_scalar_count(structure: tuple) -> int:
+    n = 0
+    for pieces, kinds, orders in structure:
+        n += pieces - 1                      # pivots
+        for p in range(pieces):
+            if kinds[p] == 0:
+                n += 3                       # poly c0 c1 c2
+            else:
+                n += 1 + 7 * int(orders[p])  # const + per-order 3+4 weights
+    return n
+
+
+def flatten_curve_scalars(curves: dict, structure: tuple,
+                          dtype=jnp.float32) -> jnp.ndarray:
+    """Flatten a :func:`pack_curves` dict (traced values) into the SMEM
+    layout implied by ``structure``."""
+    segs = []
+    for c, (pieces, kinds, orders) in enumerate(structure):
+        if pieces > 1:
+            segs.append(jnp.asarray(curves["pivots"][c][:pieces - 1], dtype))
+        for p in range(pieces):
+            if kinds[p] == 0:
+                segs.append(jnp.asarray(curves["poly"][c, p], dtype))
+            else:
+                o = int(orders[p])
+                segs.append(jnp.asarray(curves["mmr_const"][c, p], dtype)
+                            .reshape(1))
+                segs.append(jnp.asarray(curves["mmr_coef"][c, p, :o], dtype)
+                            .reshape(-1))
+    if not segs:
+        return jnp.zeros((0,), dtype)
+    return jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+
+
+def reshape_tiles_from_scalars(sig, read, base: int, structure: tuple):
+    """In-kernel reshape on (y, u, v) tiles with coefficients supplied by
+    ``read(i)`` (an SMEM ref indexer).  Pure elementwise math; mirrors
+    :func:`reshape` exactly.  Returns the three reshaped components."""
+    sig = [jnp.clip(s, 0.0, 1.0) for s in sig]
+    s0, s1, s2 = sig
+    out = []
+    o = base
+    for c, (pieces, kinds, orders) in enumerate(structure):
+        s = sig[c]
+        pivots = []
+        for _ in range(pieces - 1):
+            pivots.append(read(o))
+            o += 1
+        vals = []
+        for p in range(pieces):
+            if kinds[p] == 0:
+                c0, c1, c2 = read(o), read(o + 1), read(o + 2)
+                o += 3
+                vals.append((c2 * s + c1) * s + c0)
+            else:
+                acc = read(o)
+                o += 1
+                lin = [s0, s1, s2]
+                cross = [s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2]
+                lin_j, cross_j = lin, cross
+                for j in range(int(orders[p])):
+                    if j > 0:
+                        lin_j = [a * b for a, b in zip(lin_j, lin)]
+                        cross_j = [a * b for a, b in zip(cross_j, cross)]
+                    w = [read(o + k) for k in range(7)]
+                    o += 7
+                    acc = acc + sum(w[k] * lin_j[k] for k in range(3))
+                    acc = acc + sum(w[3 + k] * cross_j[k] for k in range(4))
+                vals.append(acc)
+        if pieces == 1:
+            val = vals[0]
+        else:
+            idx = jnp.zeros(s.shape, jnp.int32)
+            for pv in pivots:
+                idx = idx + (s >= pv).astype(jnp.int32)
+            val = vals[0]
+            for p in range(1, pieces):
+                val = jnp.where(idx == p, vals[p], val)
+        out.append(jnp.clip(val, 0.0, 1.0))
+    return out

@@ -433,7 +433,9 @@ def _convert_color(plan: PipelinePlan, planes: tuple[jnp.ndarray, ...],
         # (ShaderGetPixels -> ShaderDoviReshape, Source/Shaders.cpp:809-817)
         from .ops import dovi as dovi_ops
         if rt_curves is not None:
-            comps = dovi_ops.reshape_dynamic(comps, rt_curves, axis=-3)
+            comps = dovi_ops.reshape_dynamic(
+                comps, rt_curves, axis=-3,
+                structure=dovi_ops.curve_structure(plan.dovi))
         else:
             comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
 
@@ -663,17 +665,19 @@ def _compose(a: np.ndarray | None, b: np.ndarray | None):
     return a @ b
 
 
-def _make_tail_epilogue(plan: PipelinePlan, dtype=jnp.float32):
+def _make_tail_epilogue(plan: PipelinePlan, dtype=jnp.float32,
+                        with_cmat: bool = True):
     """Tail of the fused pipeline as a closure over (y, u, v) component
     tiles — color matrix, corrections, local tone map and dither — for
     execution *inside* the rows3 kernel (kernels/resize_pallas.rows3_tail).
     Tiles are (128, tile_w) with tile origins ≡ 0 (mod 32), so the ordered
-    dither needs no phase offset."""
+    dither needs no phase offset.  ``with_cmat=False``: the three tiles are
+    already R,G,B (DoVi stage B)."""
     m = np.asarray(plan.cmat_m, np.float32)
     c = np.asarray(plan.cmat_c, np.float32)
 
     def epi(y, u, v):
-        if plan.apply_matrix:
+        if with_cmat and plan.apply_matrix:
             rgb = jnp.stack([m[i, 0] * y + m[i, 1] * u + m[i, 2] * v + c[i]
                              for i in range(3)], axis=0)
         else:
@@ -712,15 +716,18 @@ _RT_TRIM_KEYS = ("chroma_weight", "saturation_gain", "trim_slope",
                  "trim_offset", "trim_power")
 
 
-def _rt_layout(plan: PipelinePlan) -> list:
+def _rt_layout(plan: PipelinePlan, with_cmat: bool = True) -> list:
     """SMEM scalar-vector layout for serving-mode runtime parameters on the
     fused-tail kernel: which cbuffer-style segments this plan's tail reads.
     Segment presence is static (the stage must exist in the plan); values
     re-upload per call without retracing — the analogue of the reference's
     per-sample constant-buffer updates (Source/DX11VideoProcessor.cpp:839-890
-    for the color matrix, :954-983 for the DoVi dynamic cbuffer)."""
+    for the color matrix, :954-983 for the DoVi dynamic cbuffer).
+
+    ``with_cmat=False``: the color matrix is applied upstream of the tail
+    (the DoVi split-fused pipeline consumes it in stage A)."""
     lay = []
-    if plan.apply_matrix:
+    if with_cmat and plan.apply_matrix:
         lay.append(("cmat", 12))      # row-major 3x(m0 m1 m2 c)
     if plan.local_tonemap:
         lay.append(("hdr", 5))        # derived tone-map scalars
@@ -730,8 +737,8 @@ def _rt_layout(plan: PipelinePlan) -> list:
     return lay
 
 
-def _rt_allowed_keys(plan: PipelinePlan) -> set:
-    names = {name for name, _ in _rt_layout(plan)}
+def _rt_allowed_keys(plan: PipelinePlan, with_cmat: bool = True) -> set:
+    names = {name for name, _ in _rt_layout(plan, with_cmat)}
     out = set()
     if "cmat" in names:
         out.add("cmat")
@@ -742,11 +749,12 @@ def _rt_allowed_keys(plan: PipelinePlan) -> set:
     return out
 
 
-def _pack_rt_all(plan: PipelinePlan, rt: dict, dtype=jnp.float32):
+def _pack_rt_all(plan: PipelinePlan, rt: dict, dtype=jnp.float32,
+                 with_cmat: bool = True):
     """Pack the runtime overrides (plan defaults fill missing keys) into the
     flat SMEM vector matching :func:`_rt_layout`."""
     segs = []
-    for name, _n in _rt_layout(plan):
+    for name, _n in _rt_layout(plan, with_cmat):
         if name == "cmat":
             cm = rt.get("cmat")
             if cm is not None:
@@ -770,14 +778,15 @@ def _pack_rt_all(plan: PipelinePlan, rt: dict, dtype=jnp.float32):
     return segs[0] if len(segs) == 1 else jnp.concatenate(segs)
 
 
-def _make_tail_epilogue_rt(plan: PipelinePlan, dtype=jnp.float32):
+def _make_tail_epilogue_rt(plan: PipelinePlan, dtype=jnp.float32,
+                           with_cmat: bool = True):
     """Serving variant of :func:`_make_tail_epilogue`: the color matrix, the
     HDR10 luminance metadata for the local tone map, and the DoVi L2 trims
     arrive per call as SMEM scalars (layout per :func:`_rt_layout`), so
     runtime ProcAmp / per-scene metadata changes re-upload parameters
     instead of retracing."""
     off, o = {}, 0
-    for name, n in _rt_layout(plan):
+    for name, n in _rt_layout(plan, with_cmat):
         off[name] = o
         o += n
 
@@ -991,40 +1000,127 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
 
     norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
 
+    # stage A through rows3_tail: chroma W upsample via the banded kernel,
+    # then chroma H upsample + reshape + ycc matrix + LMS PQ round-trip
+    # inside ONE kernel at source res.  Runtime curves/ProcAmp ride the
+    # SMEM scalar vector (layout [cmat 12][flattened curves]); the curve
+    # STRUCTURE is static from the plan's metadata (curve_structure), so
+    # per-scene value updates never retrace
+    from .ops import dovi as dovi_ops_mod
+    struct_a = dovi_ops_mod.curve_structure(plan.dovi)
+    use_rows3_a = use_pallas
+    ux_f = None if ux is None else np.asarray(ux, np.float32)
+    uy_f = None if uy is None else np.asarray(uy, np.float32)
+    by_f = None if by is None else np.asarray(by, np.float32)
+    am = np.asarray(plan.cmat_m, np.float32)
+    ac = np.asarray(plan.cmat_c, np.float32)
+
+    def _epi_a(y, u, v):
+        comps = dovi_ops_mod.reshape(jnp.stack([y, u, v], axis=0),
+                                     plan.dovi, axis=0)
+        yc, uc, vc = comps[0], comps[1], comps[2]
+        rgb = jnp.stack([am[i, 0] * yc + am[i, 1] * uc + am[i, 2] * vc
+                         + ac[i] for i in range(3)], axis=0)
+        return dovi_ops_mod.apply_lms_matrix(rgb, plan.dovi, axis=0)
+
+    def _epi_a_rt(y, u, v, rt_ref):
+        yc, uc, vc = dovi_ops_mod.reshape_tiles_from_scalars(
+            (y, u, v), lambda i: rt_ref[i], 12, struct_a)
+        rgb = jnp.stack([rt_ref[4 * i] * yc + rt_ref[4 * i + 1] * uc
+                         + rt_ref[4 * i + 2] * vc + rt_ref[4 * i + 3]
+                         for i in range(3)], axis=0)
+        return dovi_ops_mod.apply_lms_matrix(rgb, plan.dovi, axis=0)
+
+    def _pack_stage_a_rt(rt):
+        cm = rt.get("cmat")
+        seg0 = (_pack_cmat_rt(cm["m"], cm["c"], dtype) if cm is not None
+                else _pack_cmat_rt(plan.cmat_m, plan.cmat_c, dtype))
+        curves = rt.get("dovi_curves")
+        if curves is None:
+            curves = {k: jnp.asarray(v) for k, v in
+                      dovi_ops_mod.pack_curves(plan.dovi).items()}
+        return jnp.concatenate(
+            [seg0, dovi_ops_mod.flatten_curve_scalars(curves, struct_a,
+                                                      dtype)])
+
+    # stage B through the fused tail kernel: H resize of R,G,B + the
+    # corrections/local-tone-map/dither chain inside rows3_tail (no cmat —
+    # stage A consumed it); runtime HDR/L2-trim scalars ride SMEM
+    use_rows3_b = use_pallas and dst.video_rect is None
+    wx_f = None if wx is None else np.asarray(wx, np.float32)
+    wy_f = None if wy is None else np.asarray(wy, np.float32)
+    rt_keys_b = _rt_allowed_keys(plan, with_cmat=False)
+    epi_b = _make_tail_epilogue(plan, dtype, with_cmat=False) \
+        if use_rows3_b else None
+    epi_b_rt = (_make_tail_epilogue_rt(plan, dtype, with_cmat=False)
+                if use_rows3_b and rt_keys_b else None)
+
     def fn(planes, rt=None):
         from .ops import dovi as dovi_ops
         rt = rt or {}
         planes = _crop_planes(plan, planes)
         app = lambda p, a, b, ps: _fused_apply2d(p, a, b, use_pallas, ps,
                                                  dtype)
-        # stage A: integer planes -> source-res float ycc
-        y = app(planes[0], None, by, norm)
-        u = app(planes[1], ux, uy, norm)
-        v = app(planes[2], ux, uy, norm)
-        comps = jnp.stack([y, u, v], axis=-3)
-
-        rt_curves = rt.get("dovi_curves")
-        if rt_curves is not None:
-            comps = dovi_ops.reshape_dynamic(comps, rt_curves, axis=-3)
+        keys_ok = set(rt) <= ({"dovi_curves", "cmat"} | rt_keys_b)
+        if use_rows3_a and keys_ok and len(planes) == 3:
+            from .kernels import resize_pallas as rp
+            yp, up, vp = planes
+            uw = up if ux_f is None else rp.banded_resize_last_axis(
+                up, ux_f, pre_scale=norm)
+            vw = vp if ux_f is None else rp.banded_resize_last_axis(
+                vp, ux_f, pre_scale=norm)
+            kw = dict(y_scale=norm,
+                      c_scale=norm if ux_f is None else None)
+            if rt.keys() & {"dovi_curves", "cmat"}:
+                rgb = rp.rows3_tail(yp, uw, vw, by_f, uy_f, src_h, _epi_a_rt,
+                                    rt_scalars=_pack_stage_a_rt(rt), **kw)
+            else:
+                rgb = rp.rows3_tail(yp, uw, vw, by_f, uy_f, src_h, _epi_a,
+                                    **kw)
         else:
-            comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
+            # stage A: integer planes -> source-res float ycc (XLA path)
+            y = app(planes[0], None, by, norm)
+            u = app(planes[1], ux, uy, norm)
+            v = app(planes[2], ux, uy, norm)
+            comps = jnp.stack([y, u, v], axis=-3)
 
-        rt_cmat = rt.get("cmat")
-        if rt_cmat is not None:
-            m = jnp.asarray(rt_cmat["m"], dtype)
-            c = jnp.asarray(rt_cmat["c"], dtype)
-        else:
-            m = jnp.asarray(plan.cmat_m, dtype)
-            c = jnp.asarray(plan.cmat_c, dtype)
-        yc = comps[..., 0, :, :]
-        uc = comps[..., 1, :, :]
-        vc = comps[..., 2, :, :]
-        rgb = [m[i, 0] * yc + m[i, 1] * uc + m[i, 2] * vc + c[i]
-               for i in range(3)]
-        rgb = dovi_ops.apply_lms_matrix(jnp.stack(rgb, axis=-3), plan.dovi,
-                                        axis=-3)
+            rt_curves = rt.get("dovi_curves")
+            if rt_curves is not None:
+                comps = dovi_ops.reshape_dynamic(
+                    comps, rt_curves, axis=-3,
+                    structure=dovi_ops.curve_structure(plan.dovi))
+            else:
+                comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
+
+            rt_cmat = rt.get("cmat")
+            if rt_cmat is not None:
+                m = jnp.asarray(rt_cmat["m"], dtype)
+                c = jnp.asarray(rt_cmat["c"], dtype)
+            else:
+                m = jnp.asarray(plan.cmat_m, dtype)
+                c = jnp.asarray(plan.cmat_c, dtype)
+            yc = comps[..., 0, :, :]
+            uc = comps[..., 1, :, :]
+            vc = comps[..., 2, :, :]
+            rgb = [m[i, 0] * yc + m[i, 1] * uc + m[i, 2] * vc + c[i]
+                   for i in range(3)]
+            rgb = dovi_ops.apply_lms_matrix(jnp.stack(rgb, axis=-3),
+                                            plan.dovi, axis=-3)
 
         # stage B: banded resize of the PQ-encoded RGB to output res
+        if use_rows3_b and set(rt) <= ({"dovi_curves", "cmat"} | rt_keys_b):
+            from .kernels import resize_pallas as rp
+            chs = [rgb[..., i, :, :] for i in range(3)]
+            if wx_f is not None:
+                chs = [rp.banded_resize_last_axis(ch, wx_f) for ch in chs]
+            rt_tail = {k: rt[k] for k in rt_keys_b & set(rt)}
+            if rt_tail and epi_b_rt is not None:
+                return rp.rows3_tail(
+                    chs[0], chs[1], chs[2], wy_f, wy_f, vid_h, epi_b_rt,
+                    rt_scalars=_pack_rt_all(plan, rt_tail, dtype,
+                                            with_cmat=False))
+            return rp.rows3_tail(chs[0], chs[1], chs[2], wy_f, wy_f, vid_h,
+                                 epi_b)
         if wx is not None or wy is not None:
             rgb = jnp.stack([app(rgb[..., i, :, :], wx, wy, None)
                              for i in range(3)], axis=-3)
