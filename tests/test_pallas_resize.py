@@ -576,3 +576,36 @@ def test_dovi_stage_a_smem_curves_mmr_interpret(monkeypatch):
     assert got.shape == ref.shape == (3, 24, 32)
     assert d.max() <= 2.5 / 1023
     assert (d > 0.5 / 1023).mean() < 0.01
+
+
+def test_jinc2_convert_fused_422_interpret(monkeypatch):
+    """3-plane convert+Jinc2 kernel with a 4:2:2 source (W-only chroma
+    upsample composition, chroma height = luma height)."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.config import Upscaling
+    from videorenderer_tpu.csputils import CSP
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+
+    W, H, OW, OH = 64, 32, 128, 64
+    src = SourceDescriptor(format=ColorFormat.YUY2, width=W, height=H,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=OW, height=OH, bits=8)
+    rng = np.random.default_rng(23)
+    planes = (rng.integers(0, 256, (H, W), np.uint8),
+              rng.integers(0, 256, (H, W // 2), np.uint8),
+              rng.integers(0, 256, (H, W // 2), np.uint8))
+    plan_x = plan_pipeline(Settings(upscaling=Upscaling.JINC2, use_dither=True,
+                                    use_accel_backend=False), src, dst)
+    ref = np.asarray(make_frame_fn(plan_x, fused=False)(planes))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    plan_k = plan_pipeline(Settings(upscaling=Upscaling.JINC2,
+                                    use_dither=True), src, dst)
+    fn = make_frame_fn(plan_k, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes))
+    d = np.abs(got - ref)
+    assert got.shape == ref.shape == (3, OH, OW)
+    assert d.max() <= 1.5 / 255
+    assert (d > 0.5 / 255).mean() < 0.01
