@@ -357,10 +357,38 @@ def _sel_support(comp, centers, src_size):
     return first[c], last[c] + 1
 
 
+_PACK3_CACHE: dict = {}
+
+
 def _pack_plane(in_h: int, out_h: int, in_w: int, out_w: int,
                 comp_y: np.ndarray | None = None,
                 comp_x: np.ndarray | None = None,
                 scale: float | None = None):
+    """Memoizing wrapper: a pack costs ~1-2 s (SVDs + dense rank-matrix
+    builds at 4K) and runs for both the VMEM-fits probe and the kernel
+    trace; key on content fingerprints of the compose matrices."""
+    import hashlib
+
+    def fp(a):
+        if a is None:
+            return None
+        return (a.shape, hashlib.md5(np.ascontiguousarray(a)).hexdigest())
+
+    key = (in_h, out_h, in_w, out_w, fp(comp_y), fp(comp_x), scale)
+    hit = _PACK3_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _pack_plane_impl(in_h, out_h, in_w, out_w, comp_y, comp_x, scale)
+    if len(_PACK3_CACHE) >= 8:
+        _PACK3_CACHE.pop(next(iter(_PACK3_CACHE)))
+    _PACK3_CACHE[key] = out
+    return out
+
+
+def _pack_plane_impl(in_h: int, out_h: int, in_w: int, out_w: int,
+                     comp_y: np.ndarray | None = None,
+                     comp_x: np.ndarray | None = None,
+                     scale: float | None = None):
     """Generalized `_pack`: optional upsample composition (chroma planes)
     and UNORM normalization folded into the W weights (integer input)."""
     from ..ops import scale as S
