@@ -9,7 +9,11 @@ bfloat16 multiplies and golden-math tests would see 1e-3-level error.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# VRT_TPU_SMOKE=1 keeps the real backend so tests/test_tpu_smoke.py can
+# exercise the Pallas kernels on hardware; everything else still skips or
+# runs CPU-tolerant assertions.
+if os.environ.get("VRT_TPU_SMOKE") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +21,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("VRT_TPU_SMOKE") != "1":
+    # float64 oracles; TPUs have no f64, so the smoke run leaves this off
+    jax.config.update("jax_enable_x64", True)
