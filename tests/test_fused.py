@@ -100,3 +100,51 @@ def test_vp_format_allowlist():
     assert _vp_format_allowed(st, get_format_info(ColorFormat.P010))
     assert not _vp_format_allowed(st, get_format_info(ColorFormat.YUY2))
     assert _vp_format_allowed(st, get_format_info(ColorFormat.RGB24))
+
+
+def test_config_fuzz_fused_vs_staged():
+    """Seeded sweep over random (format, size, settings) combinations: the
+    pipeline must build and run for every combination, and whenever the
+    fused path is legal it must match the staged path."""
+    from videorenderer_tpu.config import (ChromaScaling, Downscaling,
+                                          Upscaling)
+    from videorenderer_tpu.formats import get_format_info
+
+    rng = np.random.default_rng(1234)
+    fmts = [ColorFormat.NV12, ColorFormat.P010, ColorFormat.YUY2,
+            ColorFormat.YUV420P8, ColorFormat.YUV422P8, ColorFormat.YUV444P8,
+            ColorFormat.RGB24, ColorFormat.Y8, ColorFormat.AYUV]
+    ups = list(Upscaling)
+    downs = list(Downscaling)
+    chromas = list(ChromaScaling)
+    for trial in range(18):
+        fmt = fmts[rng.integers(len(fmts))]
+        info = get_format_info(fmt)
+        dw, dh = info.chroma_div
+        w = int(rng.integers(2, 9)) * 8 * dw
+        h = int(rng.integers(2, 7)) * 8 * dh
+        ow = int(rng.integers(2, 12)) * 8
+        oh = int(rng.integers(2, 10)) * 8
+        st = Settings(
+            upscaling=ups[rng.integers(len(ups))],
+            downscaling=downs[rng.integers(len(downs))],
+            chroma_scaling=chromas[rng.integers(len(chromas))],
+            interpolate_at_50pct=bool(rng.integers(2)),
+            use_dither=bool(rng.integers(2)),
+            vp_scaling=bool(rng.integers(2)))
+        src = SourceDescriptor(format=fmt, width=w, height=h,
+                               matrix=CSP.BT_709)
+        dst = OutputDescriptor(width=ow, height=oh, bits=8)
+        plan = plan_pipeline(st, src, dst)
+        planes = _planes(fmt, w, h, seed=trial,
+                         bits=10 if fmt == ColorFormat.P010 else 8)
+        staged = np.asarray(make_frame_fn(plan, fused=False)(planes))
+        assert staged.shape == (3, oh, ow), (trial, fmt, w, h, ow, oh)
+        assert np.isfinite(staged).all(), (trial, fmt)
+        auto = np.asarray(make_frame_fn(plan)(planes))
+        if _can_fuse(plan):
+            d = np.abs(auto - staged)
+            assert (d > 1.5 / 255).mean() == 0, (trial, fmt, st)
+            assert (d > 0.5 / 255).mean() < 5e-3, (trial, fmt, st)
+        else:
+            assert auto.shape == staged.shape
