@@ -217,6 +217,28 @@ def main() -> None:
     rows.append(("8. 4K Dolby Vision -> 1080p SDR, serving (per-scene RPU "
                  "curves, no retrace)", 8 * 6 / (time.perf_counter() - t0)))
 
+    # 9. oversized-frame path: 8K HDR10 -> 4K SDR through the row-sharded
+    # spatial program (the frame a single chip's HBM/VMEM budget wants
+    # split; scales across chips via the same shard_map with ppermute
+    # halo exchange).
+    plan9 = plan_pipeline(
+        Settings(upscaling=Upscaling.LANCZOS3, convert_to_sdr=True),
+        SourceDescriptor(format=ColorFormat.P010, width=7680, height=4320,
+                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
+                         transfer=TRC.PQ, hdr10=HDR10Metadata()),
+        OutputDescriptor(width=3840, height=2160, bits=10))
+    fn9 = jax.jit(make_spatial_frame_fn(plan9, mesh))
+    bs9 = shard_planes_rows(mesh, tuple(
+        jnp.asarray(p) for p in planes_for(ColorFormat.P010, 7680, 4320, 4)))
+    o = fn9(bs9)
+    np.asarray(o.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = fn9(bs9)
+    np.asarray(o.ravel()[0])
+    rows.append(("9. 8K HDR10 -> 4K SDR, row-sharded (oversized-frame path)",
+                 4 * 5 / (time.perf_counter() - t0)))
+
     lines = ["# BENCH_DETAILS — per-config throughput (TPU v5e, 1 chip)\n"]
     for name, fps in rows:
         print(json.dumps({"config": name, "fps": round(fps, 1)}))
