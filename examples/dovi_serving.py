@@ -51,9 +51,12 @@ def main():
         rng.integers(64, 961, (8, 1080, 1920), np.uint16) << 6,
         rng.integers(64, 961, (8, 1080, 1920), np.uint16) << 6))
 
-    base = dovi_ops.pack_curves(meta)
+    structure = dovi_ops.curve_structure(meta)
     for scene in range(3):
-        # per-scene RPU: new coefficient values, same structure
+        # per-scene RPU: new coefficient values, same structure.  like=
+        # raises if a scene's RPU changes the curve STRUCTURE (that needs
+        # a re-plan — the "regenerate the shader" case)
+        base = dovi_ops.pack_curves(meta, like=structure)
         curves = {k: jnp.asarray(v) * (1.0 - 0.02 * scene)
                   for k, v in base.items()}
         t0 = time.perf_counter()

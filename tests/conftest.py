@@ -10,8 +10,9 @@ bfloat16 multiplies and golden-math tests would see 1e-3-level error.
 import os
 
 # VRT_TPU_SMOKE=1 keeps the real backend so tests/test_tpu_smoke.py can
-# exercise the Pallas kernels on hardware; everything else still skips or
-# runs CPU-tolerant assertions.
+# exercise the Pallas kernels on hardware.  Run ONLY that file with the
+# flag — the golden/oracle tests need the CPU platform and x64 (on TPU,
+# f32 matmuls default to one bf16 pass and they fail at 1e-3 level).
 if os.environ.get("VRT_TPU_SMOKE") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

@@ -243,3 +243,51 @@ def test_dovi_serving_uses_split_fused_path():
     o2 = np.asarray(fn(planes, {"dovi_curves": curves2}))
     assert len(traces) == 1
     assert not np.allclose(o1, o2)
+
+
+def test_pack_curves_structure_guard():
+    """pack_curves(like=plan_structure) raises when a scene's RPU changes
+    the curve STRUCTURE (which requires a re-plan), instead of letting a
+    structure-pruned serving program silently corrupt frames."""
+    from videorenderer_tpu.ops import dovi as dovi_ops
+
+    meta1 = _identity_meta()
+    struct = dovi_ops.curve_structure(meta1)
+    # values-only update: fine
+    dovi_ops.pack_curves(meta1, like=struct)
+
+    two_piece = dovi_ops.ReshapeCurve(
+        pivots=(0.5,), method=(0, 0),
+        poly=np.array([[0.0, 1.0, 0.0], [0.1, 0.9, 0.0]]))
+    meta2 = dovi_ops.DoviMetadata(
+        curves=(two_piece,) + meta1.curves[1:],
+        ycc_to_rgb_matrix=meta1.ycc_to_rgb_matrix,
+        ycc_to_rgb_offset=meta1.ycc_to_rgb_offset,
+        rgb_to_lms_matrix=meta1.rgb_to_lms_matrix)
+    with pytest.raises(ValueError, match="structure changed"):
+        dovi_ops.pack_curves(meta2, like=struct)
+
+
+def test_deint_session_mode_mixing_raises():
+    from videorenderer_tpu.pipeline import plan_pipeline
+    from videorenderer_tpu.runner import DeinterlaceSession
+
+    plan = plan_pipeline(
+        Settings(use_dither=False),
+        SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                         matrix=CSP.BT_709, interlaced=True),
+        OutputDescriptor(width=32, height=16, bits=8))
+    f = (np.zeros((16, 32), np.uint8), np.zeros((8, 16), np.uint8),
+         np.zeros((8, 16), np.uint8))
+    s = DeinterlaceSession(plan)
+    s.push_batch(tuple(p[None] for p in f))
+    with pytest.raises(RuntimeError, match="batched mode"):
+        s.push(f)
+    with pytest.raises(RuntimeError, match="batched mode"):
+        s.flush()
+    s2 = DeinterlaceSession(plan)
+    s2.push(f)
+    with pytest.raises(RuntimeError, match="streaming mode"):
+        s2.push_batch(tuple(p[None] for p in f))
+    with pytest.raises(RuntimeError, match="streaming mode"):
+        s2.flush_batch()

@@ -557,8 +557,7 @@ def test_dovi_stage_a_smem_curves_mmr_interpret(monkeypatch):
                                matrix=CSP.BT_2020_NC, dovi=meta,
                                hdr10=HDR10Metadata())
         dst = OutputDescriptor(width=32, height=24, bits=10)
-        st = Settings(convert_to_sdr=True, downscaling=None
-                      or Settings().downscaling, use_accel_backend=accel)
+        st = Settings(convert_to_sdr=True, use_accel_backend=accel)
         return plan_pipeline(st, src, dst)
 
     planes = (rng.integers(64, 941, (48, 64), np.uint16) << 6,

@@ -642,9 +642,14 @@ _VMEM3_LIMIT = 56 << 20   # the kernel requests a raised scoped-vmem limit
 
 
 def jinc2_convert_fits(in_h: int, out_h: int, in_w: int, out_w: int,
-                       comp_y, comp_x, limit: int = _VMEM3_LIMIT) -> bool:
-    py = _pack_plane(in_h, out_h, in_w, out_w)
-    pc = _pack_plane(in_h, out_h, in_w, out_w, comp_y=comp_y, comp_x=comp_x)
+                       comp_y, comp_x, y_scale: float | None = None,
+                       c_scale: float | None = None,
+                       limit: int = _VMEM3_LIMIT) -> bool:
+    """Pass the same scales the fused call will use so the probe's packs
+    hit the memo cache at trace time instead of packing twice."""
+    py = _pack_plane(in_h, out_h, in_w, out_w, scale=y_scale)
+    pc = _pack_plane(in_h, out_h, in_w, out_w, comp_y=comp_y, comp_x=comp_x,
+                     scale=c_scale)
     return _vmem3_bytes(py, pc) <= limit
 
 

@@ -32,22 +32,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _even_rows(x: jnp.ndarray) -> jnp.ndarray:
-    return x[..., 0::2, :]
-
-
-def _odd_rows(x: jnp.ndarray) -> jnp.ndarray:
-    return x[..., 1::2, :]
-
-
-def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """rows: out[2i] = a[i], out[2i+1] = b[i]."""
-    stacked = jnp.stack([a, b], axis=-2)          # (..., H/2, 2, W)
-    shape = list(a.shape)
-    shape[-2] *= 2
-    return stacked.reshape(shape)
-
-
 # PERF NOTE: strided row slices (x[::2]) and interleaves force sublane
 # relayouts on TPU — a full 4K motion-adaptive pass measured 8.7 ms/frame
 # in that form.  bob/motion_adaptive therefore use full-array math: two

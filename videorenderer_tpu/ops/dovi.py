@@ -184,7 +184,7 @@ def reshape(ycc: jnp.ndarray, meta: DoviMetadata, axis: int = -3) -> jnp.ndarray
     return jnp.stack(out, axis=axis)
 
 
-def pack_curves(meta: DoviMetadata) -> dict:
+def pack_curves(meta: DoviMetadata, like: tuple | None = None) -> dict:
     """Pack the three reshape curves into fixed-shape arrays so the reshape
     can be traced ONCE and fed per-frame/per-scene RPU updates as runtime
     tensors (no jit retrace when the curve values change — the analogue of
@@ -194,7 +194,21 @@ def pack_curves(meta: DoviMetadata) -> dict:
     Shapes (C=3 components, P=8 max pieces, 7 interior pivots):
       pivots (C,7) padded with +inf; poly (C,P,3); is_mmr (C,P);
       mmr_const (C,P); mmr_coef (C,P,3,7); mmr_order (C,P)
+
+    ``like``: the serving plan's :func:`curve_structure` — the compiled
+    program prunes its evaluation to that structure, so feeding it curves
+    with a DIFFERENT structure would silently corrupt frames; passing
+    ``like`` makes the drift raise here instead (re-plan on structural
+    change, the "regenerate the shader" case).
     """
+    if like is not None:
+        got = curve_structure(meta)
+        if got != like:
+            raise ValueError(
+                "DoVi curve structure changed: the serving plan was built "
+                f"for {like} but this scene's metadata has {got}; rebuild "
+                "the plan (values-only updates never retrace, structural "
+                "changes are the shader-regeneration case)")
     C, P = 3, 8
     pivots = np.full((C, 7), np.inf, np.float32)
     poly = np.zeros((C, P, 3), np.float32)
@@ -226,15 +240,24 @@ def curve_structure(meta: DoviMetadata) -> tuple:
     per-piece MMR orders) — for trace specialization of
     :func:`reshape_dynamic`.  Scene/RPU updates that change curve VALUES
     never retrace; a structural change (piece count, poly↔MMR, MMR order)
-    retraces once — exactly when the reference would regenerate its reshape
-    HLSL rather than just re-uploading the cbuffer."""
+    requires a RE-PLAN — exactly when the reference would regenerate its
+    reshape HLSL rather than just re-uploading the cbuffer.  Serving users
+    should pack each scene with ``pack_curves(meta, like=plan_structure)``
+    so a structural drift raises instead of corrupting frames."""
+    for cv in meta.curves:
+        if cv.has_mmr and len(cv.mmr_order) != cv.num_pieces:
+            raise ValueError("malformed ReshapeCurve: mmr_order needs one "
+                             "entry per piece (use from_rpu_mapping)")
     return tuple((cv.num_pieces, cv.method, cv.mmr_order)
                  for cv in meta.curves)
 
 
-def _eval_mmr_rt(const, coef, order: int, sig, dtype):
-    """MMR with traced per-piece (const, (3,7) coef) and STATIC order —
-    pure elementwise math so XLA fuses it (no (..., P) intermediates)."""
+def _eval_mmr_rt(const, coef, order: int, sig, dtype, order_mask=None):
+    """MMR with traced per-piece (const, (3,7) coef) and STATIC unrolled
+    ``order`` — pure elementwise math so XLA fuses it (no (..., P)
+    intermediates).  ``order_mask``: optional traced per-piece order value;
+    each order-j term is gated by (order_mask > j) so a structure-free
+    caller can evaluate to the maximum order with runtime masking."""
     s0, s1, s2 = sig
     lin = [s0, s1, s2]
     cross = [s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2]
@@ -245,8 +268,14 @@ def _eval_mmr_rt(const, coef, order: int, sig, dtype):
             lin_j = [a * b for a, b in zip(lin_j, lin)]
             cross_j = [a * b for a, b in zip(cross_j, cross)]
         w = coef[j]
-        out = out + sum(w[k] * lin_j[k] for k in range(3))
-        out = out + sum(w[3 + k] * cross_j[k] for k in range(4))
+        t_lin = sum(w[k] * lin_j[k] for k in range(3))
+        t_cross = sum(w[3 + k] * cross_j[k] for k in range(4))
+        if order_mask is not None:
+            m = (order_mask > j).astype(dtype)
+            t_lin = t_lin * m
+            t_cross = t_cross * m
+        out = out + t_lin
+        out = out + t_cross
     return out
 
 
@@ -280,24 +309,12 @@ def reshape_dynamic(ycc: jnp.ndarray, curves: dict, axis: int = -3,
             if kinds is not None:
                 if kinds[p] == 0:
                     return pv_poly
-                order = orders[p] if p < len(orders) else 3
                 return _eval_mmr_rt(curves["mmr_const"][c, p],
                                     curves["mmr_coef"][c, p],
-                                    int(order), sig, dt)
-            pv_mmr = curves["mmr_const"][c, p].astype(dt)
-            s0, s1, s2 = sig
-            lin = [s0, s1, s2]
-            cross = [s0 * s1, s0 * s2, s1 * s2, s0 * s1 * s2]
-            lin_j, cross_j = lin, cross
-            order_v = curves["mmr_order"][c, p]
-            for j in range(3):
-                if j > 0:
-                    lin_j = [a * b for a, b in zip(lin_j, lin)]
-                    cross_j = [a * b for a, b in zip(cross_j, cross)]
-                w = curves["mmr_coef"][c, p, j]
-                term = sum(w[k] * lin_j[k] for k in range(3)) \
-                    + sum(w[3 + k] * cross_j[k] for k in range(4))
-                pv_mmr = pv_mmr + term * (order_v > j).astype(dt)
+                                    int(orders[p]), sig, dt)
+            pv_mmr = _eval_mmr_rt(curves["mmr_const"][c, p],
+                                  curves["mmr_coef"][c, p], 3, sig, dt,
+                                  order_mask=curves["mmr_order"][c, p])
             return jnp.where(curves["is_mmr"][c, p] > 0, pv_mmr, pv_poly)
 
         if n_pieces == 1:
@@ -383,8 +400,12 @@ def flatten_curve_scalars(curves: dict, structure: tuple,
                 segs.append(jnp.asarray(curves["mmr_coef"][c, p, :o], dtype)
                             .reshape(-1))
     if not segs:
-        return jnp.zeros((0,), dtype)
-    return jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+        out = jnp.zeros((0,), dtype)
+    else:
+        out = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+    assert out.shape[0] == curve_scalar_count(structure), \
+        (out.shape, structure)      # layout drift guard vs the kernel reader
+    return out
 
 
 def reshape_tiles_from_scalars(sig, read, base: int, structure: tuple):

@@ -1108,7 +1108,7 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
                                             plan.dovi, axis=-3)
 
         # stage B: banded resize of the PQ-encoded RGB to output res
-        if use_rows3_b and set(rt) <= ({"dovi_curves", "cmat"} | rt_keys_b):
+        if use_rows3_b and keys_ok:
             from .kernels import resize_pallas as rp
             chs = [rgb[..., i, :, :] for i in range(3)]
             if wx_f is not None:
@@ -1230,7 +1230,8 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
                 and (src_h, src_w) != (k3_h, k3_w)):
             from .kernels.jinc2_pallas import jinc2_convert_fits
             use_k3 = jinc2_convert_fits(src_h, k3_h, src_w, k3_w,
-                                        kuy_f, kux_f)
+                                        kuy_f, kux_f,
+                                        y_scale=knorm, c_scale=knorm)
 
     def fn(planes):
         if use_k3 and len(planes) == 3:

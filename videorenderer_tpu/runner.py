@@ -118,6 +118,9 @@ class DeinterlaceSession:
         return [fn(prev, cur, nxt) for fn in self._fns]
 
     def push(self, planes: tuple) -> list:
+        if self._tail is not None:
+            raise RuntimeError("this session is in batched mode "
+                               "(push_batch/flush_batch); do not mix APIs")
         planes = tuple(jnp.asarray(p) for p in planes)
         self._window.append(planes)
         if len(self._window) == 1:
@@ -131,6 +134,9 @@ class DeinterlaceSession:
         return self._emit(a, b, c)
 
     def flush(self) -> list:
+        if self._tail is not None:
+            raise RuntimeError("this session is in batched mode; "
+                               "use flush_batch()")
         if not self._window:
             return []
         if len(self._window) == 1:
@@ -152,6 +158,9 @@ class DeinterlaceSession:
         one-frame lookahead is available (the rest emit on the next call or
         flush_batch()).  With ``double_rate`` the presentation order
         interleaves field 0 and field 1 of each frame."""
+        if self._window:
+            raise RuntimeError("this session is in streaming mode "
+                               "(push/flush); do not mix APIs")
         planes = tuple(jnp.asarray(p) for p in planes)
         if self._tail is None:
             # stream start: the first frame's prev clamps to itself
@@ -171,6 +180,9 @@ class DeinterlaceSession:
 
     def flush_batch(self) -> list:
         """Drain the final frame (next clamps to the last frame)."""
+        if self._window:
+            raise RuntimeError("this session is in streaming mode; "
+                               "use flush()")
         if self._tail is None:
             return []
         prev = tuple(p[0:1] for p in self._tail)
