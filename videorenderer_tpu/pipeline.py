@@ -1357,6 +1357,34 @@ def make_deint_frame_fn(plan: PipelinePlan, field: int,
     return fn
 
 
+def make_deint_fields_fn(plan: PipelinePlan, top_field_first: bool = True,
+                         dtype=jnp.float32,
+                         motion_threshold: float = 8.0 / 255.0):
+    """Double-rate variant of :func:`make_deint_frame_fn`: ONE traced
+    program renders BOTH temporal fields of a frame, so the integer→float
+    casts and the |next - prev| motion field are computed once and shared
+    (XLA CSE) instead of once per field, and the two field renders dispatch
+    as a single call.  Returns fn(prev, cur, next) -> (field0, field1)."""
+    from .ops import deinterlace as di
+
+    base = make_frame_fn(plan, dtype)
+    maxval = 2.0 ** plan.info.plane_bits - 1.0
+
+    def fn(prev_planes, cur_planes, next_planes):
+        d0, d1 = [], []
+        for p, c, n in zip(prev_planes, cur_planes, next_planes):
+            cf = c.astype(dtype)
+            pf = p.astype(dtype)
+            nf = n.astype(dtype)
+            kw = dict(top_field_first=top_field_first,
+                      threshold=motion_threshold * maxval)
+            d0.append(di.motion_adaptive(cf, pf, nf, field=0, **kw))
+            d1.append(di.motion_adaptive(cf, pf, nf, field=1, **kw))
+        return base(tuple(d0)), base(tuple(d1))
+
+    return fn
+
+
 class VideoProcessor:
     """High-level per-config processor: plan + jitted function.
 

@@ -101,20 +101,23 @@ class DeinterlaceSession:
     def __init__(self, plan, double_rate: bool = True,
                  top_field_first: bool = True):
         import jax as _jax
-        from .pipeline import make_deint_frame_fn
+        from .pipeline import make_deint_fields_fn, make_deint_frame_fn
         self.double_rate = double_rate
-        self._fns = [
-            _jax.jit(make_deint_frame_fn(plan, field=0,
-                                         top_field_first=top_field_first)),
-        ]
         if double_rate:
-            self._fns.append(
-                _jax.jit(make_deint_frame_fn(plan, field=1,
-                                             top_field_first=top_field_first)))
+            # one program for both fields: casts + motion field shared
+            self._dual = _jax.jit(make_deint_fields_fn(
+                plan, top_field_first=top_field_first))
+            self._fns = []
+        else:
+            self._dual = None
+            self._fns = [_jax.jit(make_deint_frame_fn(
+                plan, field=0, top_field_first=top_field_first))]
         self._window: list[tuple] = []  # [prev, cur, next]
         self._tail: tuple | None = None  # batched mode: last 2 stream frames
 
     def _emit(self, prev, cur, nxt) -> list:
+        if self._dual is not None:
+            return list(self._dual(prev, cur, nxt))
         return [fn(prev, cur, nxt) for fn in self._fns]
 
     def push(self, planes: tuple) -> list:
@@ -174,7 +177,7 @@ class DeinterlaceSession:
             prev = tuple(p[0:m - 2] for p in arr)
             cur = tuple(p[1:m - 1] for p in arr)
             nxt = tuple(p[2:m] for p in arr)
-            outs = [fn(prev, cur, nxt) for fn in self._fns]
+            outs = self._emit(prev, cur, nxt)
         self._tail = tuple(p[-2:] for p in arr)
         return outs
 
@@ -188,7 +191,7 @@ class DeinterlaceSession:
         prev = tuple(p[0:1] for p in self._tail)
         cur = tuple(p[1:2] for p in self._tail)
         self._tail = None
-        return [fn(prev, cur, cur) for fn in self._fns]
+        return self._emit(prev, cur, cur)
 
 
 class PresentClock:
