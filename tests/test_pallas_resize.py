@@ -608,3 +608,49 @@ def test_jinc2_convert_fused_422_interpret(monkeypatch):
     assert got.shape == ref.shape == (3, OH, OW)
     assert d.max() <= 1.5 / 255
     assert (d > 0.5 / 255).mean() < 0.01
+
+
+def test_kernel_path_fuzz_interpret(monkeypatch):
+    """Randomized shapes through the ACCEL kernel routes (kconvert, rows3,
+    3-plane Jinc2) in interpret mode, checked against the pure-XLA backend.
+    Catches window/padding/alignment bugs at shapes the targeted tests
+    don't hit."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.config import Upscaling
+    from videorenderer_tpu.csputils import CSP
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+
+    rng = np.random.default_rng(77)
+    cases = []
+    for _ in range(3):      # lanczos3 fused (rows3) at random sizes
+        w, h = int(rng.integers(3, 20)) * 4, int(rng.integers(3, 16)) * 4
+        ow, oh = int(rng.integers(3, 20)) * 4, int(rng.integers(3, 16)) * 4
+        cases.append((Upscaling.LANCZOS3, w, h, ow, oh))
+    for _ in range(2):      # jinc2 up/up at random sizes (3-plane kernel)
+        w, h = int(rng.integers(6, 16)) * 4, int(rng.integers(6, 12)) * 4
+        ow, oh = w * 2 + 8, h * 2 + 8
+        cases.append((Upscaling.JINC2, w, h, ow, oh))
+
+    for i, (up, w, h, ow, oh) in enumerate(cases):
+        src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                               matrix=CSP.BT_709)
+        dst = OutputDescriptor(width=ow, height=oh, bits=8)
+        planes = (rng.integers(0, 256, (h, w), np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+        plan_x = plan_pipeline(Settings(upscaling=up, use_dither=True,
+                                        use_accel_backend=False), src, dst)
+        ref = np.asarray(make_frame_fn(plan_x)(planes))
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        plan_k = plan_pipeline(Settings(upscaling=up, use_dither=True),
+                               src, dst)
+        fn = make_frame_fn(plan_k)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fn(planes))
+        monkeypatch.undo()
+        d = np.abs(got - ref)
+        assert got.shape == ref.shape == (3, oh, ow), (i, up, w, h, ow, oh)
+        assert d.max() <= 1.5 / 255, (i, up, w, h, ow, oh, d.max())
+        assert (d > 0.5 / 255).mean() < 0.01, (i, up, w, h, ow, oh)
