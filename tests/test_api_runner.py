@@ -502,3 +502,33 @@ def test_deinterlace_session_batched_matches_streaming():
     assert len(got) == len(ref)
     for g, r in zip(got, ref):
         np.testing.assert_array_equal(g, r)
+
+
+def test_user_shader_runs_before_final_dither():
+    """Reference post-scale order: user shaders run BEFORE the FinalPass
+    dither (Source/DX11VideoProcessor.cpp:3337-3428).  An identity shader
+    must therefore leave output bit-identical, and a real shader's output
+    must equal dither(shader(undithered))."""
+    import dataclasses as _dc
+    import jax
+    from videorenderer_tpu.ops import dither as dither_ops
+    from videorenderer_tpu.pipeline import make_frame_fn
+
+    vr = _open_renderer(32, 16, 64, 32, use_dither=True)
+    planes = _nv12_planes(32, 16, seed=9)
+    ref = np.asarray(vr.process_frame(planes))
+
+    vr.flt_set("cmd_addPostScaleShader", lambda rgb: rgb)
+    ident = np.asarray(vr.process_frame(planes))
+    np.testing.assert_array_equal(ident, ref)
+
+    gamma = lambda rgb: jnp.clip(rgb, 0.0, 1.0) ** 1.2
+    vr.flt_set("cmd_clearPostScaleShaders", None)
+    vr.flt_set("cmd_addPostScaleShader", gamma)
+    got = np.asarray(vr.process_frame(planes))
+
+    plan_nd = _dc.replace(vr._plan, dither_bits=0)
+    undithered = make_frame_fn(plan_nd)(planes)
+    expect = np.asarray(dither_ops.ordered_dither(
+        jnp.clip(gamma(undithered), 0.0, 1.0), 8))
+    np.testing.assert_array_equal(got, expect)

@@ -274,7 +274,19 @@ class VideoRenderer:
             # deliver SDR RGB from the pipeline; the net produces PQ/2020
             dst = _dc.replace(dst, hdr=False)
         self._plan = plan_pipeline(self.settings, src, dst)
-        base = make_frame_fn(self._plan)
+        # reference post-scale order: corrections -> tone map -> USER
+        # SHADERS -> halfOU interlace -> FinalPass dither
+        # (Source/DX11VideoProcessor.cpp:3337-3428).  With user shaders or
+        # the stereo transform active, the pipeline's final dither must
+        # move AFTER them: build the base undithered and quantize at the
+        # end of the wrapper chain.
+        ext_tail = (bool(self._user_pre_fns) or bool(self._user_post_fns)
+                    or self._stereo3d_transform == 1)
+        ext_dither = (self._plan.dither_bits
+                      if ext_tail and self._plan.dither_bits else 0)
+        base_plan = (_dc.replace(self._plan, dither_bits=0) if ext_dither
+                     else self._plan)
+        base = make_frame_fn(base_plan)
         if sr_engaged or hdr_engaged:
             inner = base
             sr = self._superres
@@ -306,6 +318,15 @@ class VideoRenderer:
                 rgb = f(rgb)
             if stereo == 1:
                 rgb = geo_ops.half_overunder_to_interlace(rgb)
+            if ext_dither:
+                import jax.numpy as _jnp
+                from .ops import dither as _dither_ops
+                if ext_dither < 0:
+                    rgb = _dither_ops.quantize(_jnp.clip(rgb, 0.0, 1.0),
+                                               -ext_dither)
+                else:
+                    rgb = _dither_ops.ordered_dither(
+                        _jnp.clip(rgb, 0.0, 1.0), ext_dither)
             return rgb
 
         self._fn = jax.jit(fn)
