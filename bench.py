@@ -118,7 +118,11 @@ def main() -> None:
     st = Settings(upscaling=Upscaling.LANCZOS3,
                   chroma_scaling=ChromaScaling.BILINEAR,
                   convert_to_sdr=True, use_dither=True)
-    vp = VideoProcessor(st, src, dst)
+    # packed-surface output: R10G10B10A2 dwords straight from the fused
+    # kernel — the swap-chain backbuffer the reference presents into
+    # (DXGI_FORMAT_R10G10B10A2_UNORM); 3x less output HBM traffic than
+    # planar float
+    vp = VideoProcessor(st, src, dst, pack_surface=True)
 
     # distinct input batches so nothing can be cached/deduped
     all_batches = []
@@ -130,7 +134,7 @@ def main() -> None:
     def sync(o):
         # block_until_ready is unreliable through the remote PJRT tunnel —
         # a tiny host fetch is the only true synchronization point
-        np.asarray(o[0, 0, :1, :1])
+        np.asarray(o[0, :1, :1])
 
     # compile + warm up
     out = vp.process(planes)
@@ -145,15 +149,19 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fps = BATCH * ITERS / dt
 
-    # PSNR vs float64 oracle on frame 0 of the seed-0 batch
-    got = np.asarray(vp.process(all_batches[0])[0], dtype=np.float64)
+    # PSNR vs float64 oracle on frame 0 of the seed-0 batch (decode the
+    # packed dwords back to [0,1] codes — exact, the pack is lossless on
+    # the 10-bit dithered values)
+    packed = np.asarray(vp.process(all_batches[0])[0]).view(np.uint32)
+    got = np.stack([(packed >> sh) & 0x3FF for sh in (0, 10, 20)],
+                   axis=0).astype(np.float64) / 1023.0
     y0, u0, v0 = make_frames(BATCH, seed=0)
     ref = numpy_oracle(y0[0], u0[0], v0[0])
     mse = np.mean((got - ref) ** 2)
     psnr = float(10 * np.log10(1.0 / mse)) if mse > 0 else float("inf")
 
     print(json.dumps({
-        "metric": "4K HDR10->SDR frames/sec/chip (P010->RGB10, Lanczos3 + tone-map + dither)",
+        "metric": "4K HDR10->SDR frames/sec/chip (P010->RGB10, Lanczos3 + tone-map + dither, packed surface out)",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 4),

@@ -56,12 +56,16 @@ def main() -> None:
     rows = []
 
     # 1. 1080p NV12 BT.709 -> RGB8 1:1, bilinear chroma, ordered dither
+    # packed-surface output: RGBA8 dwords, the swap-chain backbuffer the
+    # reference presents (FinalPass writes an 8-bit backbuffer, not planar
+    # float) — packing runs inside the fused kernel
     vp = VideoProcessor(
         Settings(chroma_scaling=ChromaScaling.BILINEAR),
         SourceDescriptor(format=ColorFormat.NV12, width=1920, height=1080,
                          matrix=CSP.BT_709, levels=Levels.TV),
-        OutputDescriptor(width=1920, height=1080, bits=8))
-    rows.append(("1. 1080p NV12->RGB8 1:1 + dither",
+        OutputDescriptor(width=1920, height=1080, bits=8),
+        pack_surface=True)
+    rows.append(("1. 1080p NV12->RGB8 1:1 + dither (packed surface out)",
                  measure(vp, ColorFormat.NV12, 1920, 1080, 32)))
 
     # 2. 4K P010 -> 1080p RGB10 Catmull-Rom two-pass, 60-frame clips
@@ -91,8 +95,9 @@ def main() -> None:
                          matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
                          transfer=TRC.PQ,
                          hdr10=HDR10Metadata(max_cll=4000, max_fall=1000)),
-        OutputDescriptor(width=3840, height=2160, bits=8))
-    rows.append(("4. 4K HDR10 -> SDR RGB8 (tone-map at 4K)",
+        OutputDescriptor(width=3840, height=2160, bits=8),
+        pack_surface=True)
+    rows.append(("4. 4K HDR10 -> SDR RGB8 (tone-map at 4K, packed surface)",
                  measure(vp, ColorFormat.P010, 3840, 2160, 32)))
 
     # 5. full chain: 4K HLG -> SDR, motion-adaptive deinterlace, 1080p out

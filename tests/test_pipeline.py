@@ -260,3 +260,66 @@ def test_ycgco_matrix_path():
     cg_hi = np.full((h, w), 200, np.uint8)
     out2 = np.asarray(vp.process((y, cg_hi, c)))
     assert out2[1].mean() > out2[0].mean() and out2[1].mean() > out2[2].mean()
+
+
+def test_pack_surface_output_xla():
+    """pack_surface=True yields the packed-dword backbuffer surface, equal
+    to packing the float output (both bit depths)."""
+    import jax
+    from videorenderer_tpu.pipeline import (VideoProcessor, make_frame_fn,
+                                            plan_pipeline)
+    from videorenderer_tpu import formats as fmts
+
+    rng = np.random.default_rng(41)
+    planes = (rng.integers(0, 256, (16, 32), np.uint8),
+              rng.integers(0, 256, (8, 16), np.uint8),
+              rng.integers(0, 256, (8, 16), np.uint8))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                           matrix=CSP.BT_709)
+    for bits, fmt in ((10, "rgb10a2"), (8, "rgba8")):
+        dst = OutputDescriptor(width=32, height=16, bits=bits)
+        vp = VideoProcessor(Settings(), src, dst, pack_surface=True)
+        packed = np.asarray(vp.process(planes)).view(np.uint32)
+        assert packed.shape == (16, 32)
+        plain = np.asarray(jax.jit(make_frame_fn(
+            plan_pipeline(Settings(), src, dst)))(planes))
+        maxc = 1023 if bits == 10 else 255
+        q = lambda x: (np.clip(x, 0, 1) * maxc + 0.5).astype(np.uint32)
+        if fmt == "rgb10a2":
+            ref = (q(plain[0]) | (q(plain[1]) << 10) | (q(plain[2]) << 20)
+                   | np.uint32(0xC0000000))
+            # round-trips through the screenshot decoder
+            rgb = fmts.unpack_rgb10(packed)
+            assert np.abs(rgb - np.moveaxis(plain, 0, -1)).max() < 1 / 1023
+        else:
+            ref = (q(plain[0]) | (q(plain[1]) << 8) | (q(plain[2]) << 16)
+                   | np.uint32(0xFF000000))
+        np.testing.assert_array_equal(packed, ref)
+
+
+def test_pack_surface_kernel_path_interpret(monkeypatch):
+    """In-kernel surface packing (rows3 path) matches the XLA packer."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+
+    rng = np.random.default_rng(43)
+    planes = (rng.integers(0, 256, (48, 64), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=64, height=48,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=10)
+    ref = np.asarray(make_frame_fn(
+        plan_pipeline(Settings(use_accel_backend=False), src, dst),
+        pack_surface=True)(planes)).view(np.uint32)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_frame_fn(plan_pipeline(Settings(), src, dst),
+                       pack_surface=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes)).view(np.uint32)
+    assert got.shape == ref.shape == (96, 128)
+    # kernel-vs-XLA: only isolated dither-threshold flips in single fields
+    d = (got != ref)
+    assert d.mean() < 0.02

@@ -380,9 +380,26 @@ def _split_stripe(xf, hi_ref, lo_ref):
     lo_ref[:] = (xf - hi_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
 
 
+def pack_surface_tiles(rgb, fmt: str):
+    """Pack a (3, ...) float [0,1] block into int32 surface dwords — the
+    swap-chain backbuffer format analogue (R10G10B10A2 / RGBA8,
+    Source/DX11VideoProcessor.cpp:1490-1530 chooses these).  Mosaic has no
+    f32->u8/u16 cast, but f32->int32 + shifts/ors legalize fine; the dword
+    surface is also 3x less HBM write traffic than planar f32 RGB."""
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    if fmt == "rgb10a2":
+        q = lambda x: (jnp.clip(x, 0.0, 1.0) * 1023.0 + 0.5).astype(jnp.int32)
+        # A2 = 3 (opaque): bits 30-31 -> 0xC0000000 as int32
+        return q(r) | (q(g) << 10) | (q(b) << 20) | jnp.int32(-1073741824)
+    if fmt == "rgba8":
+        q = lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+        return q(r) | (q(g) << 8) | (q(b) << 16) | jnp.int32(-16777216)
+    raise ValueError(f"unknown surface format {fmt!r}")
+
+
 def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
                        y_scale: float | None, c_scale: float | None,
-                       has_rt: bool = False):
+                       has_rt: bool = False, pack_format: str | None = None):
     """Kernel factory: per grid step convert/split each plane's column
     stripe once, loop the output row tiles running the banded H dot per
     plane (or a direct slice when that plane has no H matrix), apply the
@@ -450,7 +467,11 @@ def _make_rows3_kernel(n_tiles: int, has_y: bool, has_c: bool, epilogue,
             y, u, v = cur
             rgb = (epilogue(y, u, v, rt_ref) if has_rt
                    else epilogue(y, u, v))
-            o_ref[0, :, pl.ds(jr * TILE_N, TILE_N), :] = rgb
+            if pack_format is not None:
+                o_ref[0, pl.ds(jr * TILE_N, TILE_N), :] = \
+                    pack_surface_tiles(rgb, pack_format)
+            else:
+                o_ref[0, :, pl.ds(jr * TILE_N, TILE_N), :] = rgb
             cur = nxt
 
     return kernel
@@ -755,7 +776,8 @@ def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                h_out: int, epilogue,
                y_scale: float | None = None,
                c_scale: float | None = None,
-               rt_scalars: jnp.ndarray | None = None) -> jnp.ndarray:
+               rt_scalars: jnp.ndarray | None = None,
+               pack_format: str | None = None) -> jnp.ndarray:
     """H-resize the (luma, chroma, chroma) planes, mix and run the tail.
 
     ``y``: (..., Hy, W); ``u``/``v``: (..., Hc, W) — float32 (W-passed) or
@@ -764,7 +786,9 @@ def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     equal h_out and ``y_scale``/``c_scale`` normalize raw integers).
     ``epilogue``: traced fn (y, u, v) each (128, tile_w) f32 ->
     (3, 128, tile_w) f32 — the color matrix + corrections + tone map +
-    dither chain.  Returns (..., 3, h_out, W) float32.
+    dither chain.  Returns (..., 3, h_out, W) float32, or with
+    ``pack_format`` ("rgb10a2"/"rgba8") an (..., h_out, W) int32 surface
+    of packed dwords (see :func:`pack_surface_tiles`).
     """
     lead = y.shape[:-2]
     l = int(np.prod(lead)) if lead else 1
@@ -843,20 +867,33 @@ def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     kernel = _make_rows3_kernel(n_tiles, y_pack is not None,
                                 c_pack is not None, epilogue,
                                 y_scale, c_scale,
-                                has_rt=rt_scalars is not None)
+                                has_rt=rt_scalars is not None,
+                                pack_format=pack_format)
+    if pack_format is not None:
+        out_spec = pl.BlockSpec((1, h_out_pad, tile_w),
+                                lambda b, wt, s1, s2: (b, 0, wt),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((l, h_out_pad, w_pad), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((1, 3, h_out_pad, tile_w),
+                                lambda b, wt, s1, s2: (b, 0, 0, wt),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((l, 3, h_out_pad, w_pad),
+                                         jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(l, w_pad // tile_w),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 3, h_out_pad, tile_w),
-                                   lambda b, wt, s1, s2: (b, 0, 0, wt),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((l, 3, h_out_pad, w_pad), jnp.float32),
+        out_shape=out_shape,
     )(jnp.asarray(sy), jnp.asarray(sc), *inputs)
 
+    if pack_format is not None:
+        out = out[:, :h_out, :w]
+        return out.reshape(lead + (h_out, w))
     out = out[:, :, :h_out, :w]
     return out.reshape(lead + (3, h_out, w))

@@ -561,6 +561,34 @@ def _final_pass(plan: PipelinePlan, rgb: jnp.ndarray,
     return rgb
 
 
+def surface_pack_format(dst: OutputDescriptor) -> str:
+    """The packed-dword surface format for this output depth — the
+    swap-chain backbuffer the reference presents into (8-bit flip chains
+    use RGBA8, HDR/10-bit chains DXGI_FORMAT_R10G10B10A2_UNORM,
+    Source/DX11VideoProcessor.cpp:1490-1530)."""
+    if dst.bits == 10:
+        return "rgb10a2"
+    if dst.bits == 8:
+        return "rgba8"
+    raise ValueError("packed surface output needs an 8- or 10-bit "
+                     f"OutputDescriptor, got bits={dst.bits}")
+
+
+def _pack_surface_xla(rgb: jnp.ndarray, fmt: str) -> jnp.ndarray:
+    """XLA-path packer: (..., 3, H, W) float [0,1] -> (..., H, W) int32
+    dwords (same math as kernels.resize_pallas.pack_surface_tiles)."""
+    r = rgb[..., 0, :, :]
+    g = rgb[..., 1, :, :]
+    b = rgb[..., 2, :, :]
+    if fmt == "rgb10a2":
+        q = lambda x: (jnp.clip(x, 0.0, 1.0) * 1023.0 + 0.5).astype(jnp.int32)
+        return q(r) | (q(g) << 10) | (q(b) << 20) | jnp.int32(-1073741824)
+    if fmt == "rgba8":
+        q = lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+        return q(r) | (q(g) << 8) | (q(b) << 16) | jnp.int32(-16777216)
+    raise ValueError(fmt)
+
+
 def _vp_format_allowed(s: Settings, info: FormatInfo) -> bool:
     """VP format allowlist (VPEnableFormats_t, IVideoRenderer.h:97-102):
     which source classes may use the fixed-function-style accelerated path;
@@ -821,7 +849,8 @@ def _pack_cmat_rt(m, c, dtype=jnp.float32):
     return jnp.concatenate([m, c], axis=1).reshape(-1)
 
 
-def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False):
+def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False,
+                   pack_format: str | None = None):
     """TPU-native fused pipeline: chroma upsample + (blend deinterlace) +
     separable resize collapse into one banded matrix per plane per axis
     (linear maps compose), so the YUV->RGB matrix, transfer functions,
@@ -907,9 +936,9 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
         if rt_scalars is not None:
             return rp.rows3_tail(
                 yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue_rt,
-                rt_scalars=rt_scalars, **kw)
+                rt_scalars=rt_scalars, pack_format=pack_format, **kw)
         return rp.rows3_tail(yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue,
-                             **kw)
+                             pack_format=pack_format, **kw)
 
     def fn(planes, rt=None):
         rt = rt or {}
@@ -954,7 +983,10 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False)
                     rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
             else:
                 rgb = _local_tonemap(plan, rgb, trims=trims)
-        return _final_pass(plan, rgb)
+        rgb = _final_pass(plan, rgb)
+        if pack_format is not None:
+            rgb = _pack_surface_xla(rgb, pack_format)
+        return rgb
 
     if with_rt:
         return fn
@@ -1141,25 +1173,34 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
     return lambda planes: fn(planes)
 
 
-def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = None):
+def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = None,
+                  pack_surface: bool = False):
     """Build the per-frame processing function (unjitted).
 
     Input: tuple of plane arrays (uint8/uint16), each (..., Hp, Wp) with
     matching leading batch dims.  Output: (..., 3, out_h, out_w) float32 in
-    [0,1] (SDR/PQ encoded), quantized per the plan.
+    [0,1] (SDR/PQ encoded), quantized per the plan — or, with
+    ``pack_surface``, an (..., out_h, out_w) int32 surface of packed
+    R10G10B10A2/RGBA8 dwords (the swap-chain backbuffer analogue; view as
+    uint32, decode with formats.unpack_rgb10).  On the fused kernel path
+    the packing happens in-kernel (3x less output HBM traffic).
 
     ``fused=None`` auto-selects the fused linear-resample path when legal
     (see :func:`_can_fuse`); ``False`` forces the staged reference path.
     """
     s = plan.settings
     dst = plan.dst
+    fmt = surface_pack_format(dst) if pack_surface else None
 
     if fused is None:
         fused = _can_fuse(plan) or _can_split_fuse(plan)
     if fused:
         if plan.dovi is not None:
-            return _make_dovi_fused_fn(plan, dtype)
-        return _make_fused_fn(plan, dtype)
+            inner_dv = _make_dovi_fused_fn(plan, dtype)
+            if fmt is None:
+                return inner_dv
+            return lambda planes: _pack_surface_xla(inner_dv(planes), fmt)
+        return _make_fused_fn(plan, dtype, pack_format=fmt)
 
     # Jinc2 with a dither-only tail: quantization runs inside the one-pass
     # kernel's epilogue (output tile origins are 128-aligned, so the dither
@@ -1265,7 +1306,9 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
             rgb = _local_tonemap(plan, rgb)
         return _final_pass(plan, rgb)
 
-    return fn
+    if fmt is None:
+        return fn
+    return lambda planes: _pack_surface_xla(fn(planes), fmt)
 
 
 def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
@@ -1394,10 +1437,13 @@ class VideoProcessor:
     """
 
     def __init__(self, settings: Settings, src: SourceDescriptor,
-                 dst: OutputDescriptor, dtype=jnp.float32):
+                 dst: OutputDescriptor, dtype=jnp.float32,
+                 pack_surface: bool = False):
         self.plan = plan_pipeline(settings, src, dst)
         self.dtype = dtype
-        self._fn = jax.jit(make_frame_fn(self.plan, dtype))
+        self.pack_surface = pack_surface
+        self._fn = jax.jit(make_frame_fn(self.plan, dtype,
+                                         pack_surface=pack_surface))
 
     def process(self, planes) -> jax.Array:
         """planes: sequence of numpy/jax arrays in canonical plane order."""
