@@ -84,8 +84,9 @@ def main() -> None:
         Settings(upscaling=Upscaling.JINC2, use_dither=True),
         SourceDescriptor(format=ColorFormat.NV12, width=1920, height=1080,
                          matrix=CSP.BT_709),
-        OutputDescriptor(width=3840, height=2160, bits=8))
-    rows.append(("3. 1080p -> 4K Jinc2 + anti-ringing",
+        OutputDescriptor(width=3840, height=2160, bits=8),
+        pack_surface=True)
+    rows.append(("3. 1080p -> 4K Jinc2 + anti-ringing (packed surface)",
                  measure(vp, ColorFormat.NV12, 1920, 1080, 32)))
 
     # 4. HDR10 P010 -> SDR RGB8 (PQ EOTF + Hable + 2020->709 + dither)

@@ -323,3 +323,31 @@ def test_pack_surface_kernel_path_interpret(monkeypatch):
     # kernel-vs-XLA: only isolated dither-threshold flips in single fields
     d = (got != ref)
     assert d.mean() < 0.02
+
+
+def test_pack_surface_jinc2_kernel_interpret(monkeypatch):
+    """In-kernel surface packing on the 3-plane Jinc2 path."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from videorenderer_tpu.config import Upscaling
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+
+    rng = np.random.default_rng(47)
+    planes = (rng.integers(0, 256, (48, 64), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=64, height=48,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=8)
+    st = lambda accel: Settings(upscaling=Upscaling.JINC2, use_dither=True,
+                                use_accel_backend=accel)
+    ref = np.asarray(make_frame_fn(plan_pipeline(st(False), src, dst),
+                                   fused=False,
+                                   pack_surface=True)(planes)).view(np.uint32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_frame_fn(plan_pipeline(st(True), src, dst), fused=False,
+                       pack_surface=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes)).view(np.uint32)
+    assert got.shape == ref.shape == (96, 128)
+    assert (got != ref).mean() < 0.02      # isolated dither-boundary flips

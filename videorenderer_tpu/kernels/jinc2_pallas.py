@@ -523,7 +523,8 @@ def _pack_plane_impl(in_h: int, out_h: int, in_w: int, out_w: int,
                 awh=awh, awl=awl, swh=swh, swl=swl, ayt=ayt, bxt=bxt)
 
 
-def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue):
+def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
+                  pack_format: str | None = None):
     n_jr, r = py["n_jr"], py["r"]
     nb_y, nb_c = py["nb"], pc["nb"]
     rh_y, rh_c = py["rh"], pc["rh"]
@@ -611,7 +612,12 @@ def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue):
             res = jnp.stack(outs, axis=0)
             if epilogue is not None:
                 res = epilogue(res)
-            o_ref[0, :, pl.ds(jr * TILE, TILE), :] = res
+            if pack_format is not None:
+                from .resize_pallas import pack_surface_tiles
+                o_ref[0, pl.ds(jr * TILE, TILE), :] = \
+                    pack_surface_tiles(res, pack_format)
+            else:
+                o_ref[0, :, pl.ds(jr * TILE, TILE), :] = res
             cur = nxt
 
     return kern
@@ -657,7 +663,8 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                         comp_y, comp_x, cmat_m, cmat_c,
                         out_h: int, out_w: int,
                         y_scale: float, c_scale: float,
-                        epilogue=None) -> jnp.ndarray:
+                        epilogue=None,
+                        pack_format: str | None = None) -> jnp.ndarray:
     """Raw integer (..., H, W) luma + (..., ch, cw) chroma planes ->
     (..., 3, out_h, out_w) float32: chroma upsample + color matrix + 2D
     Jinc2 + anti-ringing (+ epilogue, e.g. dither) in ONE kernel."""
@@ -744,27 +751,40 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
 
     cs_all = np.concatenate([py["cs"].reshape(-1), pc["cs"].reshape(-1)])
 
+    if pack_format is not None:
+        out_spec = pl.BlockSpec((1, out_h_pad, TILE),
+                                lambda b, wt, cs: (b, 0, wt),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((l, out_h_pad, n_wt * TILE),
+                                       jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((1, 3, out_h_pad, TILE),
+                                lambda b, wt, cs: (b, 0, 0, wt),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((l, 3, out_h_pad, n_wt * TILE),
+                                       jnp.float32)
     out = pl.pallas_call(
         _make_kernel3(py, pc, np.asarray(cmat_m, np.float32),
-                      np.asarray(cmat_c, np.float32), epilogue),
+                      np.asarray(cmat_c, np.float32), epilogue,
+                      pack_format=pack_format),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(l, n_wt),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 3, out_h_pad, TILE),
-                                   lambda b, wt, cs: (b, 0, 0, wt),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((py["h_pad"], py["kbw"]),
                                        jnp.bfloat16)] * 2
             + [pltpu.VMEM((pc["h_pad"], pc["kbw"]), jnp.bfloat16)] * 4
             + [pltpu.VMEM((r * py["rh"], TILE), jnp.bfloat16)] * 2
             + [pltpu.VMEM((r * pc["rh"], TILE), jnp.bfloat16)] * 2,
         ),
-        out_shape=jax.ShapeDtypeStruct((l, 3, out_h_pad, n_wt * TILE),
-                                       jnp.float32),
+        out_shape=out_sds,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM3_LIMIT + (8 << 20)),
     )(jnp.asarray(cs_all), *inputs)
 
+    if pack_format is not None:
+        out = out[:, :out_h, :out_w]
+        return out.reshape(lead + (out_h, out_w))
     out = out[:, :, :out_h, :out_w]
     return out.reshape(lead + (3, out_h, out_w))

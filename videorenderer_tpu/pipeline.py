@@ -1274,13 +1274,18 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
                                         kuy_f, kux_f,
                                         y_scale=knorm, c_scale=knorm)
 
+    def _maybe_pack(rgb):
+        return rgb if fmt is None else _pack_surface_xla(rgb, fmt)
+
     def fn(planes):
         if use_k3 and len(planes) == 3:
             from .kernels.jinc2_pallas import jinc2_convert_fused
             y, u, v = _crop_planes(plan, planes)
+            # packing happens inside the kernel when a surface is requested
             return jinc2_convert_fused(y, u, v, kuy_f, kux_f, kcm, kcc,
                                        k3_h, k3_w, knorm, knorm,
-                                       epilogue=_j2_epilogue)
+                                       epilogue=_j2_epilogue,
+                                       pack_format=fmt)
         if use_kconvert and len(planes) == 3:
             rgb = _kconvert(_crop_planes(plan, planes))
         else:
@@ -1294,8 +1299,8 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
             rx, ry = scale_ops.jinc2_passes(h, w, vid_h, vid_w,
                                             s.interpolate_at_50pct)
             if rx == "up" and ry in ("up", None) and (h, w) != (vid_h, vid_w):
-                return scale_ops.jinc2_resize(rgb, vid_h, vid_w,
-                                              epilogue=_j2_epilogue)
+                return _maybe_pack(scale_ops.jinc2_resize(
+                    rgb, vid_h, vid_w, epilogue=_j2_epilogue))
         rgb = scale_ops.resize_plane(
             rgb, vid_h, vid_w,
             upscaling=s.upscaling, downscaling=s.downscaling,
@@ -1304,11 +1309,9 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
             rgb = _corrections(plan, rgb)
         if plan.local_tonemap:
             rgb = _local_tonemap(plan, rgb)
-        return _final_pass(plan, rgb)
+        return _maybe_pack(_final_pass(plan, rgb))
 
-    if fmt is None:
-        return fn
-    return lambda planes: _pack_surface_xla(fn(planes), fmt)
+    return fn
 
 
 def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
