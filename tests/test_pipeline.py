@@ -351,3 +351,43 @@ def test_pack_surface_jinc2_kernel_interpret(monkeypatch):
         got = np.asarray(fn(planes)).view(np.uint32)
     assert got.shape == ref.shape == (96, 128)
     assert (got != ref).mean() < 0.02      # isolated dither-boundary flips
+
+
+def test_pack_surface_serving_paths():
+    """pack_surface=True on the serving fn (fused + DoVi split-fused +
+    generic fallback) equals packing the unpacked serving output."""
+    from videorenderer_tpu.config import Upscaling
+    from videorenderer_tpu.ops import dovi as dovi_ops
+    from videorenderer_tpu.pipeline import (_pack_surface_xla, make_serving_fn,
+                                            plan_pipeline)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(53)
+    planes = (rng.integers(0, 256, (16, 32), np.uint8),
+              rng.integers(0, 256, (8, 16), np.uint8),
+              rng.integers(0, 256, (8, 16), np.uint8))
+    src_plain = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                                 matrix=CSP.BT_709)
+    meta = dovi_ops.DoviMetadata(
+        curves=(dovi_ops.identity_curve(),) * 3,
+        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
+                                    [1, -0.164553, -0.571353],
+                                    [1, 1.8814, 0]]),
+        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+    src_dovi = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                                matrix=CSP.BT_709, dovi=meta)
+    dst = OutputDescriptor(width=32, height=16, bits=8)
+    cases = [
+        (Settings(), src_plain, {"cmat": {"m": np.eye(3, dtype=np.float32),
+                                          "c": np.zeros(3, np.float32)}}),
+        (Settings(), src_dovi, {}),                       # split-fused
+        (Settings(upscaling=Upscaling.JINC2), src_plain, {}),  # generic
+    ]
+    for st, src, rt in cases:
+        plan = plan_pipeline(st, src, dst)
+        plain = make_serving_fn(plan)(planes, rt)
+        packed = np.asarray(make_serving_fn(plan, pack_surface=True)(
+            planes, rt))
+        ref = np.asarray(_pack_surface_xla(jnp.asarray(plain), "rgba8"))
+        np.testing.assert_array_equal(packed, ref)

@@ -994,7 +994,8 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False,
 
 
 def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
-                        with_rt: bool = False):
+                        with_rt: bool = False,
+                        pack_format: str | None = None):
     """DoVi split-fused pipeline: the fusion splits at the (nonlinear)
     reshape.  Stage A streams the raw integer planes through the banded
     kernels once — normalization folded into the chroma-upsample weights —
@@ -1150,9 +1151,10 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
                 return rp.rows3_tail(
                     chs[0], chs[1], chs[2], wy_f, wy_f, vid_h, epi_b_rt,
                     rt_scalars=_pack_rt_all(plan, rt_tail, dtype,
-                                            with_cmat=False))
+                                            with_cmat=False),
+                    pack_format=pack_format)
             return rp.rows3_tail(chs[0], chs[1], chs[2], wy_f, wy_f, vid_h,
-                                 epi_b)
+                                 epi_b, pack_format=pack_format)
         if wx is not None or wy is not None:
             rgb = jnp.stack([app(rgb[..., i, :, :], wx, wy, None)
                              for i in range(3)], axis=-3)
@@ -1166,7 +1168,10 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
                     rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
             else:
                 rgb = _local_tonemap(plan, rgb, trims=trims)
-        return _final_pass(plan, rgb)
+        rgb = _final_pass(plan, rgb)
+        if pack_format is not None:
+            rgb = _pack_surface_xla(rgb, pack_format)
+        return rgb
 
     if with_rt:
         return fn
@@ -1196,10 +1201,7 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
         fused = _can_fuse(plan) or _can_split_fuse(plan)
     if fused:
         if plan.dovi is not None:
-            inner_dv = _make_dovi_fused_fn(plan, dtype)
-            if fmt is None:
-                return inner_dv
-            return lambda planes: _pack_surface_xla(inner_dv(planes), fmt)
+            return _make_dovi_fused_fn(plan, dtype, pack_format=fmt)
         return _make_fused_fn(plan, dtype, pack_format=fmt)
 
     # Jinc2 with a dither-only tail: quantization runs inside the one-pass
@@ -1314,7 +1316,8 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
     return fn
 
 
-def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
+def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32,
+                    pack_surface: bool = False):
     """Serving-mode pipeline: ONE compiled program that takes per-frame
     runtime metadata alongside the planes, so title/scene changes never
     retrace (the reference analogously re-uploads cbuffers per sample
@@ -1337,15 +1340,17 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
     """
     s = plan.settings
     dst = plan.dst
+    fmt = surface_pack_format(dst) if pack_surface else None
 
     if _can_fuse(plan):
         # the fused linear-prefix path supports the cmat/hdr/l2_trims
         # runtime hooks directly
-        return _make_fused_fn(plan, dtype, with_rt=True)
+        return _make_fused_fn(plan, dtype, with_rt=True, pack_format=fmt)
     if _can_split_fuse(plan):
         # DoVi serving: split-fused path with runtime reshape curves —
         # per-scene RPU updates stay on the banded kernels
-        return _make_dovi_fused_fn(plan, dtype, with_rt=True)
+        return _make_dovi_fused_fn(plan, dtype, with_rt=True,
+                                   pack_format=fmt)
 
     def fn(planes, rt):
         rgb = _convert_color(plan, planes, dtype,
@@ -1368,7 +1373,10 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32):
                     rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
             else:
                 rgb = _local_tonemap(plan, rgb, trims=trims)
-        return _final_pass(plan, rgb)
+        rgb = _final_pass(plan, rgb)
+        if fmt is not None:
+            rgb = _pack_surface_xla(rgb, fmt)
+        return rgb
 
     return fn
 
