@@ -173,7 +173,7 @@ def main() -> None:
                          hdr10=HDR10Metadata(mastering_max_nits=4000.0,
                                              max_cll=3000.0, max_fall=800.0)),
         OutputDescriptor(width=3840, height=2160, bits=10, hdr=True))
-    fn7 = jax.jit(make_serving_fn(plan7))
+    fn7 = jax.jit(make_serving_fn(plan7, pack_surface=True))
     bs7 = [tuple(jnp.asarray(p) for p in
                  planes_for(ColorFormat.P010, 3840, 2160, 16, seed=k))
            for k in (0, 1)]
@@ -187,7 +187,7 @@ def main() -> None:
         o = fn7(bs7[i % 2], rts[i % 2])   # per-scene metadata changes
     np.asarray(o.ravel()[0])
     rows.append(("7. 4K HDR10 passthrough + BT.2390 tone map, serving "
-                 "(per-scene metadata, no retrace)",
+                 "(per-scene metadata, no retrace, packed surface)",
                  16 * 6 / (time.perf_counter() - t0)))
 
     # 8. Dolby Vision serving: 4K DoVi P010 -> 1080p SDR with per-scene
