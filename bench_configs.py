@@ -142,7 +142,7 @@ def main() -> None:
                          transfer=TRC.PQ, hdr10=HDR10Metadata()),
         OutputDescriptor(width=1920, height=1080, bits=10))
     mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
-    sfn = jax.jit(make_spatial_frame_fn(plan6, mesh))
+    sfn = jax.jit(make_spatial_frame_fn(plan6, mesh, pack_surface=True))
     bs6 = [shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in
                                          planes_for(ColorFormat.P010, 3840,
                                                     2160, 32, seed=k)))
@@ -153,7 +153,8 @@ def main() -> None:
     for i in range(4):
         o = sfn(bs6[i % 2])
     np.asarray(o.ravel()[0])
-    rows.append(("6. 4K HDR10 -> 1080p, row-sharded (shard_map, 1-chip mesh)",
+    rows.append(("6. 4K HDR10 -> 1080p, row-sharded (shard_map, 1-chip "
+                 "mesh, packed surface)",
                  32 * 4 / (time.perf_counter() - t0)))
 
     # 7. HDR passthrough + BT.2390 local tone map, SERVING mode: per-scene

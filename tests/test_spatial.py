@@ -129,3 +129,32 @@ def test_spatial_dither_and_hdr():
         shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in planes))))
     # sharded dither keeps the unsharded pattern phase: bit-identical output
     np.testing.assert_array_equal(got, ref)
+
+
+def test_spatial_pack_surface():
+    """Per-shard packed-surface output equals packing the unpacked sharded
+    result."""
+    from videorenderer_tpu.parallel.spatial import (make_spatial_frame_fn,
+                                                    shard_planes_rows)
+    from videorenderer_tpu.pipeline import _pack_surface_xla
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(61)
+    H, W = 32, 64
+    planes = (jnp.asarray(rng.integers(0, 256, (H, W), np.uint8)),
+              jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8)),
+              jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8)))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=W, height=H,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=W * 2, height=H * 2, bits=8)
+    plan = plan_pipeline(Settings(use_dither=True), src, dst)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    sp = shard_planes_rows(mesh, planes)
+    plain = jax.jit(make_spatial_frame_fn(plan, mesh))(sp)
+    packed = np.asarray(jax.jit(make_spatial_frame_fn(
+        plan, mesh, pack_surface=True))(sp))
+    ref = np.asarray(_pack_surface_xla(plain, "rgba8"))
+    assert packed.shape == (H * 2, W * 2)
+    np.testing.assert_array_equal(packed, ref)

@@ -149,12 +149,15 @@ class _RowResize:
 
 
 def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
-                          axis: str = "spatial", dtype=jnp.float32):
+                          axis: str = "spatial", dtype=jnp.float32,
+                          pack_surface: bool = False):
     """Row-sharded version of the fused pipeline.
 
     Input planes are (..., H, W) sharded on H over ``mesh[axis]``; output is
     (..., 3, dst.height, dst.width) sharded the same way, bit-identical to
-    the single-chip fused path.  Requires a fusable plan (pipeline._can_fuse)
+    the single-chip fused path — or, with ``pack_surface``, an
+    (..., dst.height, dst.width) int32 packed-dword surface (each shard
+    packs its own rows).  Requires a fusable plan (pipeline._can_fuse)
     and plane/surface heights divisible by the mesh size.
     """
     if not _can_fuse(plan):
@@ -240,6 +243,8 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
 
     hs_surf = surf_h // n
     has_vrect = dst.video_rect is not None
+    from ..pipeline import _pack_surface_xla, surface_pack_format
+    fmt = surface_pack_format(dst) if pack_surface else None
 
     def apply_w(p, mx, x_lo, x_hi):
         """W-axis pass on this shard's raw rows: crop columns locally, then
@@ -301,6 +306,8 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
             rgb = rgb * mask[:, None]
             rgb = jnp.pad(rgb, [(0, 0)] * (rgb.ndim - 1)
                           + [(l1, surf_w - r1)])
+        if fmt is not None:
+            rgb = _pack_surface_xla(rgb, fmt)
         return rgb
 
     from jax import shard_map
@@ -313,7 +320,7 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
 
     def fn(planes):
         specs = tuple(spec_for(p.ndim) for p in planes)
-        out_spec = spec_for(planes[0].ndim + 1)
+        out_spec = spec_for(planes[0].ndim + (0 if fmt is not None else 1))
         # check_vma=False: pallas_call outputs can't declare their mesh-axis
         # variance, so the per-shard banded kernels fail the VMA check
         smfn = shard_map(shard_fn, mesh=mesh, in_specs=specs,
