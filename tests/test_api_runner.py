@@ -532,3 +532,26 @@ def test_user_shader_runs_before_final_dither():
     expect = np.asarray(dither_ops.ordered_dither(
         jnp.clip(gamma(undithered), 0.0, 1.0), 8))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_deint_session_pack_surface():
+    from videorenderer_tpu.pipeline import (_pack_surface_xla, plan_pipeline)
+    from videorenderer_tpu.runner import DeinterlaceSession
+
+    plan = plan_pipeline(
+        Settings(use_dither=True),
+        SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                         matrix=CSP.BT_709, interlaced=True),
+        OutputDescriptor(width=32, height=16, bits=8))
+    rng = np.random.default_rng(67)
+    frames = [(rng.integers(0, 256, (16, 32), np.uint8),
+               rng.integers(0, 256, (8, 16), np.uint8),
+               rng.integers(0, 256, (8, 16), np.uint8)) for _ in range(3)]
+    s_plain = DeinterlaceSession(plan)
+    s_pack = DeinterlaceSession(plan, pack_surface=True)
+    for f in frames:
+        plain = s_plain.push(f)
+        packed = s_pack.push(f)
+        for a, b in zip(plain, packed):
+            np.testing.assert_array_equal(
+                np.asarray(_pack_surface_xla(a, "rgba8")), np.asarray(b))

@@ -1383,7 +1383,8 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32,
 
 def make_deint_frame_fn(plan: PipelinePlan, field: int,
                         top_field_first: bool = True, dtype=jnp.float32,
-                        motion_threshold: float = 8.0 / 255.0):
+                        motion_threshold: float = 8.0 / 255.0,
+                        pack_surface: bool = False):
     """Per-field processing function for interlaced content: motion-adaptive
     deinterlace of every plane over a (prev, cur, next) window, then the
     regular pipeline — the explicit-kernel replacement of the D3D11VP
@@ -1396,7 +1397,7 @@ def make_deint_frame_fn(plan: PipelinePlan, field: int,
     """
     from .ops import deinterlace as di
 
-    base = make_frame_fn(plan, dtype)
+    base = make_frame_fn(plan, dtype, pack_surface=pack_surface)
     maxval = 2.0 ** plan.info.plane_bits - 1.0
 
     def fn(prev_planes, cur_planes, next_planes):
@@ -1413,7 +1414,8 @@ def make_deint_frame_fn(plan: PipelinePlan, field: int,
 
 def make_deint_fields_fn(plan: PipelinePlan, top_field_first: bool = True,
                          dtype=jnp.float32,
-                         motion_threshold: float = 8.0 / 255.0):
+                         motion_threshold: float = 8.0 / 255.0,
+                         pack_surface: bool = False):
     """Double-rate variant of :func:`make_deint_frame_fn`: ONE traced
     program renders BOTH temporal fields of a frame, so the integer→float
     casts and the |next - prev| motion field are computed once and shared
@@ -1421,7 +1423,7 @@ def make_deint_fields_fn(plan: PipelinePlan, top_field_first: bool = True,
     as a single call.  Returns fn(prev, cur, next) -> (field0, field1)."""
     from .ops import deinterlace as di
 
-    base = make_frame_fn(plan, dtype)
+    base = make_frame_fn(plan, dtype, pack_surface=pack_surface)
     maxval = 2.0 ** plan.info.plane_bits - 1.0
 
     def fn(prev_planes, cur_planes, next_planes):

@@ -99,19 +99,21 @@ class DeinterlaceSession:
     """
 
     def __init__(self, plan, double_rate: bool = True,
-                 top_field_first: bool = True):
+                 top_field_first: bool = True, pack_surface: bool = False):
         import jax as _jax
         from .pipeline import make_deint_fields_fn, make_deint_frame_fn
         self.double_rate = double_rate
         if double_rate:
             # one program for both fields: casts + motion field shared
             self._dual = _jax.jit(make_deint_fields_fn(
-                plan, top_field_first=top_field_first))
+                plan, top_field_first=top_field_first,
+                pack_surface=pack_surface))
             self._fns = []
         else:
             self._dual = None
             self._fns = [_jax.jit(make_deint_frame_fn(
-                plan, field=0, top_field_first=top_field_first))]
+                plan, field=0, top_field_first=top_field_first,
+                pack_surface=pack_surface))]
         self._window: list[tuple] = []  # [prev, cur, next]
         self._tail: tuple | None = None  # batched mode: last 2 stream frames
 
