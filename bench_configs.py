@@ -1,12 +1,26 @@
 #!/usr/bin/env python
-"""Per-config benchmark suite — the five BASELINE.md configs, measured on
-the real chip and written to BENCH_DETAILS.md.  The driver-facing headline
-stays in bench.py; this gives the judge the full table.
+"""Per-config benchmark suite — the BASELINE.md configs (and the VERDICT-r2
+additions: rotation, SuperRes, packed-surface subtitles), measured on the
+real chip and written atomically to BENCH_DETAILS.md.
+
+Per row (VERDICT r2 #2/#3):
+ * throughput as the MEDIAN over ``REPEATS`` independently-timed groups of
+   ``ITERS`` dispatches, with the observed min-max spread — one run rewrites
+   the whole file, no best-seen cherry-picking;
+ * PSNR vs the float64 staged-path oracle (bench_oracle.py) on frame 0 of
+   the same inputs being timed — hard-fails the run below the 55 dB bar
+   (40 dB for the learned-upscaler row: the net is bfloat16 by design, so
+   its oracle delta measures model numerics, not HLSL parity).
+
+The driver-facing headline stays in bench.py.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -18,242 +32,220 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp
 
-from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
-                               SourceDescriptor, VideoProcessor)
-from videorenderer_tpu.config import (ChromaScaling, Downscaling, ToneMapType,
-                                      Upscaling)
-from videorenderer_tpu.csputils import CSP, Levels, Primaries, TRC
-from videorenderer_tpu.pipeline import HDR10Metadata
+import bench_common as bc
+from videorenderer_tpu.pipeline import (_pack_surface_xla, make_deint_fields_fn,
+                                        make_frame_fn, make_serving_fn)
+
+WARMUP = 2
+ITERS = 3
+REPEATS = 5
+PSNR_BAR = {"c3sr": 40.0}
+DEFAULT_BAR = 55.0
 
 
-def planes_for(fmt: ColorFormat, w, h, batch, seed=0):
-    rng = np.random.default_rng(seed)
-    if fmt == ColorFormat.NV12:
-        return (rng.integers(16, 236, (batch, h, w), np.uint8),
-                rng.integers(16, 241, (batch, h // 2, w // 2), np.uint8),
-                rng.integers(16, 241, (batch, h // 2, w // 2), np.uint8))
-    if fmt == ColorFormat.P010:
-        return (rng.integers(64, 941, (batch, h, w), np.uint16) << 6,
-                rng.integers(64, 961, (batch, h // 2, w // 2), np.uint16) << 6,
-                rng.integers(64, 961, (batch, h // 2, w // 2), np.uint16) << 6)
-    raise ValueError(fmt)
+def _sync(out):
+    """True device sync through the remote relay: fetch one element."""
+    np.asarray(out.ravel()[0])
 
 
-def measure(vp: VideoProcessor, fmt, w, h, batch, iters=6) -> float:
-    dev = jax.devices()[0]
-    bs = [tuple(jax.device_put(jnp.asarray(p), dev)
-                for p in planes_for(fmt, w, h, batch, seed=k)) for k in (0, 1)]
-    o = vp.process(bs[0])
-    np.asarray(o.ravel()[0])          # true sync (remote tunnel)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        o = vp.process(bs[i % 2])
-    np.asarray(o.ravel()[0])
-    return batch * iters / (time.perf_counter() - t0)
+def measure(dispatch, frames_per_iter: int) -> list[float]:
+    """Median-friendly timing: WARMUP dispatches, then REPEATS groups of
+    ITERS dispatches, each group synced and timed independently."""
+    n = 0
+    for _ in range(WARMUP):
+        out = dispatch(n)
+        n += 1
+    _sync(out)
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = dispatch(n)
+            n += 1
+        _sync(out)
+        samples.append(frames_per_iter * ITERS / (time.perf_counter() - t0))
+    return samples
+
+
+def device_batches(key, dev, seeds=(0, 1)):
+    fmt, w, h, batch = bc.input_spec(key)
+    return [tuple(jax.device_put(jnp.asarray(p), dev)
+                  for p in bc.make_planes(fmt, w, h, batch, seed=s))
+            for s in seeds]
+
+
+def load_ref(key):
+    path = os.path.join(bc.REF_DIR, f"{key}.npy")
+    return np.load(path) if os.path.exists(path) else None
+
+
+def ensure_refs(keys):
+    missing = [k for k in keys if load_ref(k) is None]
+    if not missing:
+        return
+    print(f"generating float64 references for {missing} (CPU subprocess)...",
+          file=sys.stderr)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               JAX_ENABLE_X64="1")
+    subprocess.run([sys.executable, "bench_oracle.py", *missing], env=env,
+                   check=True)
+
+
+def run_config(key: str, dev) -> tuple[list[float], float]:
+    """Returns (fps samples, psnr_db)."""
+    plan = bc.build_plan(key)
+    fmt, w, h, batch = bc.input_spec(key)
+
+    if key in ("c5", "c5s"):
+        from videorenderer_tpu.runner import DeinterlaceSession
+        sess = DeinterlaceSession(plan, double_rate=True, pack_surface=True)
+        bs = device_batches(key, dev)
+        if key == "c5s":
+            from videorenderer_tpu.ops.overlay import blend_in_rect_packed
+            rgb, alpha = bc.subtitle_overlay()
+            rgb_d = jax.device_put(jnp.asarray(rgb), dev)
+            a_d = jax.device_put(jnp.asarray(alpha), dev)
+            blend = jax.jit(lambda s: blend_in_rect_packed(
+                s, rgb_d, a_d, x=bc.SUB_X, y=bc.SUB_Y, fmt="rgba8"))
+        else:
+            blend = lambda s: s
+        # prime the window + compile
+        out = None
+        for i in range(2):
+            for o in sess.push_batch(bs[i]):
+                out = blend(o)
+        _sync(out)
+        samples = []
+        n_call = 0
+        for r in range(REPEATS + 1):           # extra first group = warmup
+            t0 = time.perf_counter()
+            nf = 0
+            for _ in range(ITERS):
+                for o in sess.push_batch(bs[n_call % 2]):
+                    out = blend(o)
+                    nf += o.shape[0]
+                n_call += 1
+            _sync(out)
+            if r > 0:
+                samples.append(nf / (time.perf_counter() - t0))
+        # PSNR: the first emitted field of the stream-start window
+        b0 = bs[0]
+        f0 = tuple(p[0:1] for p in b0)
+        f1 = tuple(p[1:2] for p in b0)
+        dfn = jax.jit(make_deint_fields_fn(plan, pack_surface=True))
+        field0, _ = dfn(f0, f0, f1)
+        got = bc.decode_output(np.asarray(field0)[0], plan)
+        if key == "c5s":
+            got = bc.decode_output(np.asarray(blend(field0))[0], plan)
+        return samples, bc.psnr_db(got, load_ref(key))
+
+    if key in ("c6", "c9"):
+        from jax.sharding import Mesh
+        from videorenderer_tpu.parallel.spatial import (make_spatial_frame_fn,
+                                                        shard_planes_rows)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
+        fn = jax.jit(make_spatial_frame_fn(plan, mesh,
+                                           pack_surface=key == "c6"))
+        raw = [tuple(jnp.asarray(p)
+                     for p in bc.make_planes(fmt, w, h, batch, seed=s))
+               for s in (0, 1)]
+        bs = [shard_planes_rows(mesh, b) for b in raw]
+        state = {}
+
+        def dispatch(i):
+            state["out"] = fn(bs[i % 2])
+            return state["out"]
+
+        samples = measure(dispatch, batch)
+        got = bc.decode_output(np.asarray(fn(bs[0]))[0], plan)
+        return samples, bc.psnr_db(got, load_ref(key))
+
+    if key in ("c7", "c8"):
+        fn = jax.jit(make_serving_fn(plan, pack_surface=key == "c7"))
+        bs = device_batches(key, dev)
+        rts = ([bc.c7_rt(0), bc.c7_rt(1)] if key == "c7"
+               else [{"dovi_curves": bc.dovi_rt(i)} for i in (0, 1)])
+
+        def dispatch(i):
+            return fn(bs[i % 2], rts[i % 2])
+
+        samples = measure(dispatch, batch)
+        got = bc.decode_output(np.asarray(fn(bs[0], rts[0]))[0], plan)
+        return samples, bc.psnr_db(got, load_ref(key))
+
+    # plain frame-fn configs
+    if key == "c3rot":
+        from videorenderer_tpu.ops import geometry as geo
+        base = make_frame_fn(plan)
+        fn = jax.jit(lambda p: _pack_surface_xla(
+            geo.rotate_flip(base(p), 90, True), "rgba8"))
+    elif key == "c3sr":
+        from videorenderer_tpu.models.superres import enhance_plane_chw
+        params, cfg = bc.superres_params()
+        params = jax.device_put(params, dev)
+        base = make_frame_fn(plan)
+        fn = jax.jit(lambda p: _pack_surface_xla(
+            enhance_plane_chw(params, base(p), cfg), "rgba8"))
+    else:
+        fn = jax.jit(make_frame_fn(plan, pack_surface=True))
+    bs = device_batches(key, dev)
+
+    def dispatch(i):
+        return fn(bs[i % 2])
+
+    samples = measure(dispatch, batch)
+    got = bc.decode_output(np.asarray(fn(bs[0]))[0], plan)
+    ref = load_ref(key)
+    if key == "c3sr":
+        # the packed output is quantized; quantize the float oracle alike
+        ref = np.floor(np.clip(ref, 0.0, 1.0) * 255.0 + 0.5) / 255.0
+    return samples, bc.psnr_db(got, ref)
 
 
 def main() -> None:
+    keys = [a for a in sys.argv[1:] if not a.startswith("-")] or bc.ALL_KEYS
+    ensure_refs(keys)
+    dev = jax.devices()[0]
     rows = []
-
-    # 1. 1080p NV12 BT.709 -> RGB8 1:1, bilinear chroma, ordered dither
-    # packed-surface output: RGBA8 dwords, the swap-chain backbuffer the
-    # reference presents (FinalPass writes an 8-bit backbuffer, not planar
-    # float) — packing runs inside the fused kernel
-    vp = VideoProcessor(
-        Settings(chroma_scaling=ChromaScaling.BILINEAR),
-        SourceDescriptor(format=ColorFormat.NV12, width=1920, height=1080,
-                         matrix=CSP.BT_709, levels=Levels.TV),
-        OutputDescriptor(width=1920, height=1080, bits=8),
-        pack_surface=True)
-    rows.append(("1. 1080p NV12->RGB8 1:1 + dither (packed surface out)",
-                 measure(vp, ColorFormat.NV12, 1920, 1080, 32)))
-
-    # 2. 4K P010 -> 1080p RGB10 Catmull-Rom two-pass, 60-frame clips
-    vp = VideoProcessor(
-        Settings(upscaling=Upscaling.CATMULL_ROM,
-                 downscaling=Downscaling.HAMMING),
-        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
-                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
-                         transfer=TRC.PQ, hdr10=HDR10Metadata()),
-        OutputDescriptor(width=1920, height=1080, bits=10),
-        pack_surface=True)
-    rows.append(("2. 4K P010 -> 1080p RGB10 Catmull-Rom (60-frame clips, "
-                 "packed surface)",
-                 measure(vp, ColorFormat.P010, 3840, 2160, 60, iters=6)))
-
-    # 3. 1080p -> 4K Jinc2 + anti-ringing (non-separable, staged path)
-    vp = VideoProcessor(
-        Settings(upscaling=Upscaling.JINC2, use_dither=True),
-        SourceDescriptor(format=ColorFormat.NV12, width=1920, height=1080,
-                         matrix=CSP.BT_709),
-        OutputDescriptor(width=3840, height=2160, bits=8),
-        pack_surface=True)
-    rows.append(("3. 1080p -> 4K Jinc2 + anti-ringing (packed surface)",
-                 measure(vp, ColorFormat.NV12, 1920, 1080, 32)))
-
-    # 4. HDR10 P010 -> SDR RGB8 (PQ EOTF + Hable + 2020->709 + dither)
-    vp = VideoProcessor(
-        Settings(convert_to_sdr=True),
-        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
-                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
-                         transfer=TRC.PQ,
-                         hdr10=HDR10Metadata(max_cll=4000, max_fall=1000)),
-        OutputDescriptor(width=3840, height=2160, bits=8),
-        pack_surface=True)
-    rows.append(("4. 4K HDR10 -> SDR RGB8 (tone-map at 4K, packed surface)",
-                 measure(vp, ColorFormat.P010, 3840, 2160, 32)))
-
-    # 5. full chain: 4K HLG -> SDR, motion-adaptive deinterlace, 1080p out
-    from videorenderer_tpu.pipeline import plan_pipeline
-    from videorenderer_tpu.runner import DeinterlaceSession
-    plan = plan_pipeline(
-        Settings(convert_to_sdr=True, upscaling=Upscaling.LANCZOS3),
-        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
-                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
-                         transfer=TRC.HLG, interlaced=True),
-        OutputDescriptor(width=1920, height=1080, bits=8))
-    sess = DeinterlaceSession(plan, double_rate=True)
-    bs = [tuple(jnp.asarray(p) for p in
-                planes_for(ColorFormat.P010, 3840, 2160, 8, seed=k))
-          for k in range(2)]
-    outs = sess.push_batch(bs[0])
-    outs = sess.push_batch(bs[1])
-    np.asarray(outs[-1].ravel()[0])
-    t0 = time.perf_counter()
-    n = 0
-    for i in range(4):
-        for o in sess.push_batch(bs[i % 2]):
-            n += o.shape[0]
-    np.asarray(o.ravel()[0])
-    rows.append(("5. 4K60 HLG -> SDR + motion-adaptive deint (fields out)",
-                 n / (time.perf_counter() - t0)))
-
-    # 6. spatially-sharded headline chain on a 1-device mesh: the shard_map
-    # program with halo exchange, per-shard banded kernels and global dither
-    # phase — per-chip parity evidence for the multi-chip path (the 8-device
-    # correctness run is tests/test_spatial.py + the driver's dryrun).
-    from jax.sharding import Mesh
-    from videorenderer_tpu.parallel.spatial import (make_spatial_frame_fn,
-                                                    shard_planes_rows)
-    plan6 = plan_pipeline(
-        Settings(upscaling=Upscaling.LANCZOS3, convert_to_sdr=True),
-        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
-                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
-                         transfer=TRC.PQ, hdr10=HDR10Metadata()),
-        OutputDescriptor(width=1920, height=1080, bits=10))
-    mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
-    sfn = jax.jit(make_spatial_frame_fn(plan6, mesh, pack_surface=True))
-    bs6 = [shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in
-                                         planes_for(ColorFormat.P010, 3840,
-                                                    2160, 32, seed=k)))
-           for k in (0, 1)]
-    o = sfn(bs6[0])
-    np.asarray(o.ravel()[0])
-    t0 = time.perf_counter()
-    for i in range(4):
-        o = sfn(bs6[i % 2])
-    np.asarray(o.ravel()[0])
-    rows.append(("6. 4K HDR10 -> 1080p, row-sharded (shard_map, 1-chip "
-                 "mesh, packed surface)",
-                 32 * 4 / (time.perf_counter() - t0)))
-
-    # 7. HDR passthrough + BT.2390 local tone map, SERVING mode: per-scene
-    # HDR10 metadata arrives as runtime scalars through the fused-tail
-    # kernel's SMEM block — no retrace across scenes (the reference
-    # re-uploads the HDRParams cbuffer per sample, ps_hdr10_tonemap.hlsl).
-    from videorenderer_tpu.config import ToneMapType
-    from videorenderer_tpu.pipeline import make_serving_fn
-    plan7 = plan_pipeline(
-        Settings(convert_to_sdr=False, hdr_passthrough=True,
-                 hdr_local_tone_mapping=True,
-                 hdr_local_tone_mapping_type=ToneMapType.BT2390,
-                 hdr_display_max_nits=600),
-        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
-                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
-                         transfer=TRC.PQ,
-                         hdr10=HDR10Metadata(mastering_max_nits=4000.0,
-                                             max_cll=3000.0, max_fall=800.0)),
-        OutputDescriptor(width=3840, height=2160, bits=10, hdr=True))
-    fn7 = jax.jit(make_serving_fn(plan7, pack_surface=True))
-    bs7 = [tuple(jnp.asarray(p) for p in
-                 planes_for(ColorFormat.P010, 3840, 2160, 16, seed=k))
-           for k in (0, 1)]
-    rts = [{"hdr": {"mastering_min_nits": 0.005, "mastering_max_nits": 2000.0,
-                    "max_cll": 1200.0 + 100.0 * k, "max_fall": 450.0,
-                    "display_max_nits": 650.0}} for k in (0, 1)]
-    o = fn7(bs7[0], rts[0])
-    np.asarray(o.ravel()[0])
-    t0 = time.perf_counter()
-    for i in range(6):
-        o = fn7(bs7[i % 2], rts[i % 2])   # per-scene metadata changes
-    np.asarray(o.ravel()[0])
-    rows.append(("7. 4K HDR10 passthrough + BT.2390 tone map, serving "
-                 "(per-scene metadata, no retrace, packed surface)",
-                 16 * 6 / (time.perf_counter() - t0)))
-
-    # 8. Dolby Vision serving: 4K DoVi P010 -> 1080p SDR with per-scene
-    # runtime reshape curves (RPU updates re-upload SMEM scalars, never
-    # retrace); both stages of the split-fused pipeline run in Pallas
-    # kernels (reshape+cmat+LMS inside stage A's rows3_tail).
-    from videorenderer_tpu.ops import dovi as dovi_ops
-    meta8 = dovi_ops.DoviMetadata(
-        curves=(dovi_ops.identity_curve(),) * 3,
-        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
-                                    [1, -0.164553, -0.571353],
-                                    [1, 1.8814, 0]]),
-        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
-        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
-    from videorenderer_tpu.pipeline import make_serving_fn
-    plan8 = plan_pipeline(
-        Settings(convert_to_sdr=True, upscaling=Upscaling.CATMULL_ROM),
-        SourceDescriptor(format=ColorFormat.P010, width=3840, height=2160,
-                         transfer=TRC.PQ, primaries=Primaries.BT_2020,
-                         matrix=CSP.BT_2020_NC, dovi=meta8,
-                         hdr10=HDR10Metadata()),
-        OutputDescriptor(width=1920, height=1080, bits=10))
-    fn8 = jax.jit(make_serving_fn(plan8))
-    curves8 = [{k: jnp.asarray(v) * (1.0 - 0.01 * i) for k, v in
-                dovi_ops.pack_curves(meta8).items()} for i in (0, 1)]
-    bs8 = [tuple(jnp.asarray(p) for p in
-                 planes_for(ColorFormat.P010, 3840, 2160, 8, seed=k))
-           for k in (0, 1)]
-    o = fn8(bs8[0], {"dovi_curves": curves8[0]})
-    np.asarray(o.ravel()[0])
-    t0 = time.perf_counter()
-    for i in range(6):
-        o = fn8(bs8[i % 2], {"dovi_curves": curves8[i % 2]})
-    np.asarray(o.ravel()[0])
-    rows.append(("8. 4K Dolby Vision -> 1080p SDR, serving (per-scene RPU "
-                 "curves, no retrace)", 8 * 6 / (time.perf_counter() - t0)))
-
-    # 9. oversized-frame path: 8K HDR10 -> 4K SDR through the row-sharded
-    # spatial program (the frame a single chip's HBM/VMEM budget wants
-    # split; scales across chips via the same shard_map with ppermute
-    # halo exchange).
-    plan9 = plan_pipeline(
-        Settings(upscaling=Upscaling.LANCZOS3, convert_to_sdr=True),
-        SourceDescriptor(format=ColorFormat.P010, width=7680, height=4320,
-                         matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
-                         transfer=TRC.PQ, hdr10=HDR10Metadata()),
-        OutputDescriptor(width=3840, height=2160, bits=10))
-    fn9 = jax.jit(make_spatial_frame_fn(plan9, mesh))
-    bs9 = shard_planes_rows(mesh, tuple(
-        jnp.asarray(p) for p in planes_for(ColorFormat.P010, 7680, 4320, 4)))
-    o = fn9(bs9)
-    np.asarray(o.ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        o = fn9(bs9)
-    np.asarray(o.ravel()[0])
-    rows.append(("9. 8K HDR10 -> 4K SDR, row-sharded (oversized-frame path)",
-                 4 * 5 / (time.perf_counter() - t0)))
+    failures = []
+    for key in keys:
+        samples, psnr = run_config(key, dev)
+        med = float(np.median(samples))
+        lo, hi = float(min(samples)), float(max(samples))
+        bar = PSNR_BAR.get(key, DEFAULT_BAR)
+        ok = psnr >= bar
+        if not ok:
+            failures.append((key, psnr, bar))
+        rows.append((key, bc.NAMES[key], med, lo, hi, psnr, ok))
+        print(json.dumps({"config": bc.NAMES[key], "fps_median": round(med, 1),
+                          "fps_min": round(lo, 1), "fps_max": round(hi, 1),
+                          "psnr_db": round(psnr, 2), "psnr_ok": ok}))
 
     lines = ["# BENCH_DETAILS — per-config throughput (TPU v5e, 1 chip)\n"]
-    for name, fps in rows:
-        print(json.dumps({"config": name, "fps": round(fps, 1)}))
-        lines.append(f"- {name}: **{fps:.1f} frames/s**")
-    with open("BENCH_DETAILS.md", "w") as f:
+    for key, name, med, lo, hi, psnr, ok in rows:
+        flag = "" if ok else "  **FAILED <%g dB**" % PSNR_BAR.get(key,
+                                                                  DEFAULT_BAR)
+        note = " (model-numerics bar 40 dB)" if key == "c3sr" else ""
+        lines.append(f"- {name}: **{med:.1f} frames/s** "
+                     f"(min-max {lo:.1f}-{hi:.1f}) @ **{psnr:.2f} dB**"
+                     f"{note}{flag}")
+    lines.append(
+        f"\nEach row: median of {REPEATS} independently-timed groups of "
+        f"{ITERS} dispatches (batch per config), regenerated atomically by "
+        "one `bench_configs.py` run; PSNR is frame 0 of the timed inputs vs "
+        "the float64 staged-path oracle (`bench_oracle.py`), gated at 55 dB "
+        "(40 dB for the bfloat16 learned-upscaler row). Inputs are device-"
+        "resident: the TPU sits behind a network relay here, so a host-fed "
+        "measurement would time the relay, not the framework "
+        "(`runner.run_clip` provides the overlapped host feed for real "
+        "deployments).")
+    tmp = "BENCH_DETAILS.md.tmp"
+    with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
+    os.replace(tmp, "BENCH_DETAILS.md")
+    if failures:
+        print(f"PSNR FAILURES: {failures}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

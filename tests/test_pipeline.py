@@ -2,6 +2,7 @@
 configs at reduced sizes, against an independent float64 numpy oracle."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
@@ -391,3 +392,68 @@ def test_pack_surface_serving_paths():
             planes, rt))
         ref = np.asarray(_pack_surface_xla(jnp.asarray(plain), "rgba8"))
         np.testing.assert_array_equal(packed, ref)
+
+
+def test_serving_rt_key_validation():
+    """A typo'd rt key fails loudly with the allowed set instead of silently
+    leaving the kernel path (VERDICT r2 #9)."""
+    import pytest
+    from videorenderer_tpu.pipeline import (HDR10Metadata, make_serving_fn,
+                                            plan_pipeline, serving_rt_keys)
+    from videorenderer_tpu.csputils import Primaries, TRC
+
+    src = SourceDescriptor(format=ColorFormat.P010, width=64, height=32,
+                           matrix=CSP.BT_2020_NC, primaries=Primaries.BT_2020,
+                           transfer=TRC.PQ, hdr10=HDR10Metadata())
+    dst = OutputDescriptor(width=64, height=32, bits=10, hdr=True)
+    st = Settings(convert_to_sdr=False, hdr_passthrough=True,
+                  hdr_local_tone_mapping=True, hdr_display_max_nits=600)
+    plan = plan_pipeline(st, src, dst)
+    fn = make_serving_fn(plan)
+    assert fn.allowed_rt_keys == frozenset(serving_rt_keys(plan))
+    assert "hdr" in fn.allowed_rt_keys and "cmat" in fn.allowed_rt_keys
+    rng = np.random.default_rng(0)
+    planes = tuple(jnp.asarray(rng.integers(64, 941, s, np.uint16) << 6)
+                   for s in ((32, 64), (16, 32), (16, 32)))
+    fn(planes, {"hdr": {"mastering_min_nits": 0.01,
+                        "mastering_max_nits": 1000.0, "max_cll": 900.0,
+                        "max_fall": 300.0, "display_max_nits": 500.0}})
+    with pytest.raises(ValueError, match="hdr10"):
+        fn(planes, {"hdr10": {}})      # the typo'd key from the VERDICT
+    # a known key whose stage is absent in THIS plan also raises
+    with pytest.raises(ValueError, match="l2_trims"):
+        fn(planes, {"l2_trims": {}})
+    with pytest.raises(ValueError, match="dovi_curves"):
+        fn(planes, {"dovi_curves": {}})
+
+
+def test_serving_dovi_structure_guard_default():
+    """make_serving_fn surfaces the plan's reshape structure and its
+    pack_curves validates against it by default (ADVICE r2)."""
+    import pytest
+    from videorenderer_tpu.ops import dovi as dovi_ops
+    from videorenderer_tpu.pipeline import make_serving_fn, plan_pipeline
+
+    meta = dovi_ops.DoviMetadata(
+        curves=(dovi_ops.identity_curve(),) * 3,
+        ycc_to_rgb_matrix=np.eye(3), ycc_to_rgb_offset=np.zeros(3),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+    src = SourceDescriptor(format=ColorFormat.P010, width=64, height=32,
+                           matrix=CSP.BT_2020_NC, transfer=TRC.PQ,
+                           primaries=Primaries.BT_2020, dovi=meta)
+    dst = OutputDescriptor(width=64, height=32, bits=10)
+    plan = plan_pipeline(Settings(convert_to_sdr=True), src, dst)
+    fn = make_serving_fn(plan)
+    assert fn.dovi_structure == dovi_ops.curve_structure(meta)
+    packed = fn.pack_curves(meta)          # same structure: fine
+    assert "pivots" in packed
+    # structurally different scene metadata raises through the default path
+    from videorenderer_tpu.ops.dovi import ReshapeCurve
+    poly2 = dovi_ops.DoviMetadata(
+        curves=(ReshapeCurve(pivots=(0.5,),
+                             poly=np.array([[0.0, 1.0, 0.0]] * 2),
+                             method=(0, 0)),) * 3,
+        ycc_to_rgb_matrix=np.eye(3), ycc_to_rgb_offset=np.zeros(3),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+    with pytest.raises(ValueError, match="structure"):
+        fn.pack_curves(poly2)

@@ -98,12 +98,13 @@ def test_spatial_guards():
     dst = OutputDescriptor(width=64, height=64, bits=8)
     plan = plan_pipeline(Settings(), src, dst)
     with pytest.raises(ValueError, match="not divisible"):
-        make_spatial_frame_fn(plan, mesh)
+        make_spatial_frame_fn(plan, mesh, pad_to_mesh=False)
     src2 = SourceDescriptor(format=ColorFormat.NV12, width=64, height=64,
                             matrix=CSP.BT_709)
     dst2 = OutputDescriptor(width=64, height=66, bits=8)
     with pytest.raises(ValueError, match="not divisible"):
-        make_spatial_frame_fn(plan_pipeline(Settings(), src2, dst2), mesh)
+        make_spatial_frame_fn(plan_pipeline(Settings(), src2, dst2), mesh,
+                              pad_to_mesh=False)
     # non-fusable plan (DoVi-free check: shader-order corrections)
     plan3 = plan_pipeline(Settings(vp_scaling=False), src2,
                           OutputDescriptor(width=64, height=64))
@@ -158,3 +159,57 @@ def test_spatial_pack_surface():
     ref = np.asarray(_pack_surface_xla(plain, "rgba8"))
     assert packed.shape == (H * 2, W * 2)
     np.testing.assert_array_equal(packed, ref)
+
+
+def test_spatial_pad_and_crop_1080p():
+    """Pad-and-crop fallback (VERDICT r2): 1080p NV12 on an 8-shard mesh —
+    1080/540 rows are not divisible by 8, so planes pad to 1088/544 with
+    zero-weight rows and the surface pads to the next mesh multiple; the
+    cropped output is bit-identical to the single-chip fused path."""
+    from videorenderer_tpu.parallel.spatial import (pad_shard_planes_rows,
+                                                    spatial_padded_heights)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("spatial",))
+    w, h = 128, 108            # 1080p geometry /10: same divisibility shape
+    ow, oh = 64, 54
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=ow, height=oh, bits=8)
+    plan = plan_pipeline(Settings(upscaling=Upscaling.LANCZOS3), src, dst)
+    src_h_pad, surf_h_pad = spatial_padded_heights(plan, 8)
+    assert src_h_pad == 112 and surf_h_pad == 56
+
+    rng = np.random.default_rng(7)
+    planes = (rng.integers(0, 256, (h, w), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    sp = pad_shard_planes_rows(plan, mesh, planes)
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(sp))
+    assert got.shape[-2] == surf_h_pad
+    np.testing.assert_array_equal(got[..., :oh, :], ref)
+    # pad rows are black fill
+    assert np.all(got[..., oh:, :] == 0)
+
+
+def test_spatial_pad_batched_and_packed():
+    """Pad-and-crop with a batch dim and packed-surface output."""
+    from videorenderer_tpu.parallel.spatial import pad_shard_planes_rows
+    from videorenderer_tpu.pipeline import _pack_surface_xla
+    mesh = Mesh(np.array(jax.devices()[:8]), ("spatial",))
+    w, h, ow, oh = 64, 52, 64, 52
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=ow, height=oh, bits=8)
+    plan = plan_pipeline(Settings(), src, dst)
+    rng = np.random.default_rng(8)
+    planes = (rng.integers(0, 256, (2, h, w), np.uint8),
+              rng.integers(0, 256, (2, h // 2, w // 2), np.uint8),
+              rng.integers(0, 256, (2, h // 2, w // 2), np.uint8))
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    sp = pad_shard_planes_rows(plan, mesh, planes)
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(sp))
+    np.testing.assert_array_equal(got[..., :oh, :], ref)
+    packed = np.asarray(jax.jit(make_spatial_frame_fn(
+        plan, mesh, pack_surface=True))(sp))
+    ref_p = np.asarray(_pack_surface_xla(jnp.asarray(got), "rgba8"))
+    np.testing.assert_array_equal(packed, ref_p)

@@ -43,12 +43,23 @@ class VideoRenderer:
     pipeline, metrics, and the last displayed frame (for screenshots and
     paused redraw, Source/VideoRenderer.cpp:555-560)."""
 
-    def __init__(self, settings: Settings | None = None):
+    def __init__(self, settings: Settings | None = None,
+                 pack_surface: bool = False):
+        """``pack_surface``: emit packed R10G10B10A2/RGBA8 dword surfaces
+        (the swap-chain backbuffer format) instead of planar float — the
+        fused kernels pack in-kernel (3x less output HBM traffic) and
+        subtitles/OSD/alpha-bitmap composite directly onto the packed
+        surface, as the reference draws onto the backbuffer after FinalPass
+        (Source/DX11VideoProcessor.cpp:2741-2767)."""
         self.settings = (settings or Settings()).validate()
+        self._pack_surface = bool(pack_surface)
+        self._out_fmt: str | None = None      # "rgb10a2"/"rgba8" when packed
         self._src: SourceDescriptor | None = None
         self._dst: OutputDescriptor | None = None
         self._plan = None
         self._fn = None
+        self._fn_cache: dict = {}             # trace key -> (plan, jitted fn)
+        self._shot_cache = None               # (key, jitted source-size fn)
         self._rotation = 0
         self._flip = False
         self._stereo3d_transform = 0
@@ -251,9 +262,31 @@ class VideoRenderer:
                 and info.depth == 8
                 and not self._src.is_hdr)
 
+    def _trace_key(self):
+        """Everything that determines the traced program (Configure's diff
+        set).  Model weights and user shader fns key by identity; may raise
+        TypeError when a descriptor holds arrays (DoVi metadata) — the
+        caller then skips the cache."""
+        sr, vh = self._superres, self._videohdr
+        return (self.settings.trace_relevant(), self._src, self._dst,
+                self._rotation, self._flip, self._stereo3d_transform,
+                tuple(self._user_pre_fns), tuple(self._user_post_fns),
+                None if sr is None else (id(sr[0]), sr[1]),
+                None if vh is None else (id(vh[0]), vh[1]),
+                self._pack_surface)
+
     def _rebuild(self) -> None:
         import dataclasses as _dc
         from .pipeline import OutputDescriptor as _OD
+
+        try:
+            key = self._trace_key()
+            hit = self._fn_cache.get(key)
+        except TypeError:
+            key = hit = None
+        if hit is not None:
+            self._plan, self._fn, self._out_fmt = hit
+            return
 
         src, dst = self._src, self._dst
         if self._rotation in (90, 270):
@@ -286,7 +319,16 @@ class VideoRenderer:
                       if ext_tail and self._plan.dither_bits else 0)
         base_plan = (_dc.replace(self._plan, dither_bits=0) if ext_dither
                      else self._plan)
-        base = make_frame_fn(base_plan)
+        # packed-surface output: when nothing post-processes the planar RGB
+        # the fused kernels pack in-kernel; any float tail (geometry, user
+        # shaders, stereo, models) defers the packing to the end of the
+        # wrapper chain — either way self._fn emits packed dwords
+        from .pipeline import _pack_surface_xla, surface_pack_format
+        fmt = surface_pack_format(self._dst) if self._pack_surface else None
+        float_tail = (ext_tail or sr_engaged or hdr_engaged
+                      or bool(self._rotation) or self._flip)
+        base = make_frame_fn(base_plan,
+                             pack_surface=fmt is not None and not float_tail)
         if sr_engaged or hdr_engaged:
             inner = base
             sr = self._superres
@@ -327,9 +369,16 @@ class VideoRenderer:
                 else:
                     rgb = _dither_ops.ordered_dither(
                         _jnp.clip(rgb, 0.0, 1.0), ext_dither)
+            if fmt is not None and float_tail:
+                rgb = _pack_surface_xla(rgb, fmt)
             return rgb
 
         self._fn = jax.jit(fn)
+        self._out_fmt = fmt
+        if key is not None:
+            if len(self._fn_cache) >= 8:
+                self._fn_cache.pop(next(iter(self._fn_cache)))
+            self._fn_cache[key] = (self._plan, self._fn, self._out_fmt)
 
     # -- subtitles / OSD overlays ----------------------------------------------
 
@@ -364,7 +413,20 @@ class VideoRenderer:
                                   np.asarray(alpha, np.float32), x, y)
 
     def _composite_overlays(self, out, time: float | None):
-        from .ops.overlay import blend_in_rect
+        """Draw subtitles / alpha bitmap / stats OSD onto the output.  On a
+        packed surface this blends directly against the quantized dword
+        backbuffer (ops.overlay.blend_in_rect_packed) — the featured path
+        and the benched fast path are the same program, as in the reference
+        where all overlays draw on the swap-chain backbuffer after the
+        dithered final pass (Source/DX11VideoProcessor.cpp:2741-2767)."""
+        from .ops.overlay import blend_in_rect, blend_in_rect_packed
+        if self._out_fmt is not None:
+            blend = lambda base, rgb, a, x, y: blend_in_rect_packed(
+                base, rgb, a, x=x, y=y, fmt=self._out_fmt)
+        else:
+            blend = lambda base, rgb, a, x, y: blend_in_rect(
+                base, rgb, a, x=x, y=y)
+
         def prep(rgb):
             # SDR-authored overlays on a PQ output get pre-compensated to the
             # selected OSD luminance (ps_convert_bitmap_to_pq.hlsl)
@@ -380,12 +442,11 @@ class VideoRenderer:
                 if self._stereo3d_transform == 1 else 0)
         if self._subpic_queue is not None and time is not None:
             for p in self._subpic_queue.lookup(time):
-                out = blend_in_rect(out, prep(p.rgb), jnp.asarray(p.alpha),
-                                    x=p.x + xoff, y=p.y)
+                out = blend(out, prep(p.rgb), jnp.asarray(p.alpha),
+                            p.x + xoff, p.y)
         if self._alpha_bitmap is not None:
             rgb, alpha, x, y = self._alpha_bitmap
-            out = blend_in_rect(out, prep(rgb), jnp.asarray(alpha),
-                                x=x + xoff, y=y)
+            out = blend(out, prep(rgb), jnp.asarray(alpha), x + xoff, y)
         if self.settings.show_stats:
             from .osd import render_stats_overlay
             rgb, alpha = render_stats_overlay(
@@ -393,8 +454,8 @@ class VideoRenderer:
                 graph_values=self.metrics.sync_graph.values())
             h = min(alpha.shape[0], out.shape[-2] - 8)
             w = min(alpha.shape[1], out.shape[-1] - 8)
-            out = blend_in_rect(out, prep(rgb[:, :h, :w]),
-                                jnp.asarray(alpha[:h, :w]), x=8, y=8)
+            out = blend(out, prep(rgb[:, :h, :w]),
+                        jnp.asarray(alpha[:h, :w]), 8, 8)
         return out
 
     def process_frame(self, frame_or_planes, time: float | None = None):
@@ -474,28 +535,60 @@ class VideoRenderer:
 
     def get_displayed_image(self, as_uint: bool = True):
         """displayedImage: the last output frame
-        (Source/DX11VideoProcessor.cpp:3622-3696)."""
+        (Source/DX11VideoProcessor.cpp:3622-3696).  8-bit outputs return
+        interleaved uint8 RGB; 10-bit outputs return interleaved **BGR48**
+        (uint16, codes MSB-aligned <<6) exactly as the reference converts
+        its 10-bit backbuffer (ConvertR10G10B10A2toBGR48,
+        Source/Helper.cpp:836-857)."""
+        from .formats import rgb10_dwords_to_bgr48, unpack_rgba8
         if self._last_output is None:
             return None
-        img = np.moveaxis(np.asarray(self._last_output), -3, -1)
+        out = np.asarray(self._last_output)
+        if self._out_fmt is not None:           # packed dword surface
+            dwords = out.view(np.uint32) if out.dtype != np.uint32 else out
+            if not as_uint:
+                from .formats import unpack_rgb10
+                return (unpack_rgb10(dwords) if self._out_fmt == "rgb10a2"
+                        else unpack_rgba8(dwords))
+            if self._out_fmt == "rgb10a2":
+                return rgb10_dwords_to_bgr48(dwords)
+            return pack_rgb8(unpack_rgba8(dwords))
+        img = np.moveaxis(out, -3, -1)
         if not as_uint:
             return img
         if self._dst.bits == 10:
-            return pack_rgb10(img)
+            return rgb10_dwords_to_bgr48(pack_rgb10(img))
         return pack_rgb8(img)
 
     def get_current_image(self):
         """GetCurrentImage: the current frame converted to RGB at *source*
-        size, bypassing scaling (Source/DX11VideoProcessor.cpp:3505-3620)."""
+        size, bypassing scaling (Source/DX11VideoProcessor.cpp:3505-3620).
+        The jitted conversion is cached per media type, so repeated
+        screenshots never recompile."""
         if self._last_input is None:
             return None
-        shot_dst = OutputDescriptor(width=self._src.width,
-                                    height=self._src.height, bits=8)
-        plan = plan_pipeline(self.settings, self._src, shot_dst)
-        out = jax.jit(make_frame_fn(plan))(self._last_input)
+        try:
+            key = (self.settings.trace_relevant(), self._src)
+            hash(key)
+        except TypeError:
+            key = None
+        if key is None or self._shot_cache is None \
+                or self._shot_cache[0] != key:
+            shot_dst = OutputDescriptor(width=self._src.width,
+                                        height=self._src.height, bits=8)
+            plan = plan_pipeline(self.settings, self._src, shot_dst)
+            self._shot_cache = (key, jax.jit(make_frame_fn(plan)))
+        out = self._shot_cache[1](self._last_input)
         return pack_rgb8(np.moveaxis(np.asarray(out), -3, -1))
 
     # -- stats -----------------------------------------------------------------
 
     def get_stats(self) -> dict:
         return self.metrics.snapshot()
+
+    def record_sync_offset(self, offset_s: float) -> None:
+        """Feed a presentation sync offset (e.g. ``PresentClock.wait_for``'s
+        return) into the IQualProp accounting (avg/dev sync offset,
+        Source/renbase2.cpp:185-188) and the OSD sync graph."""
+        self.metrics.render_stats.record_sync_offset(offset_s)
+        self.metrics.sync_graph.add(offset_s)

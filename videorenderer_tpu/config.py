@@ -232,6 +232,24 @@ class Settings:
                 kwargs[k] = v
         return cls(**kwargs).validate()
 
+    # presentation-only fields: consumed host-side (OSD, pacing, display
+    # control), never part of the traced computation
+    _PRESENTATION_ONLY = ("show_stats", "resize_stats", "swap_effect",
+                          "exclusive_fullscreen", "vblank_before_present",
+                          "adjust_present_time", "reinit_by_display",
+                          "hdr_toggle_display", "hdr_osd_brightness",
+                          "hdr_prefer_dovi")
+
+    def trace_relevant(self) -> "Settings":
+        """These settings with presentation-only fields normalized to their
+        defaults: two Settings whose ``trace_relevant()`` compare equal
+        compile to the same program.  The jit-cache-key half of Configure's
+        diff-and-minimal-rebuild (Source/DX11VideoProcessor.cpp:3812-4062) —
+        toggling e.g. ``show_stats`` must never recompile the pipeline."""
+        d = Settings()
+        return dataclasses.replace(
+            self, **{f: getattr(d, f) for f in self._PRESENTATION_ONLY})
+
     def save(self, path: str | os.PathLike[str]) -> None:
         with open(path, "w") as f:
             json.dump(self.to_dict(), f, indent=2)

@@ -558,3 +558,25 @@ def unpack_rgb10(dwords: np.ndarray) -> np.ndarray:
 def pack_rgb16(rgb: np.ndarray) -> np.ndarray:
     """float RGB [0,1] (H,W,3) -> interleaved uint16 (H,W,3)."""
     return np.clip(np.rint(rgb * 65535.0), 0, 65535).astype(np.uint16)
+
+
+def rgb10_dwords_to_bgr48(dwords: np.ndarray) -> np.ndarray:
+    """R10G10B10A2 dwords (H,W) -> interleaved BGR48 uint16 (H,W,3), the
+    10-bit codes MSB-aligned (<<6) in B,G,R channel order — exactly
+    ConvertR10G10B10A2toBGR48 (Source/Helper.cpp:836-857), the reference's
+    10-bit GetDisplayedImage conversion
+    (Source/DX11VideoProcessor.cpp:3622-3696)."""
+    d = dwords.astype(np.uint32)
+    b = ((d >> 20) & 0x3FF).astype(np.uint16) << 6
+    g = ((d >> 10) & 0x3FF).astype(np.uint16) << 6
+    r = (d & 0x3FF).astype(np.uint16) << 6
+    return np.stack([b, g, r], axis=-1)
+
+
+def unpack_rgba8(dwords: np.ndarray) -> np.ndarray:
+    """Packed RGBA8 dwords (H,W) -> float RGB [0,1] (H,W,3)."""
+    d = dwords.astype(np.uint32)
+    r = (d & 0xFF).astype(np.float32)
+    g = ((d >> 8) & 0xFF).astype(np.float32)
+    b = ((d >> 16) & 0xFF).astype(np.float32)
+    return np.stack([r, g, b], axis=-1) / 255.0

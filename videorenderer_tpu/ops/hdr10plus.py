@@ -64,9 +64,12 @@ def scene_peak_nits(meta: HDR10PlusMetadata) -> float:
     distribution carries it (the conventional HDR10+ peak estimator),
     otherwise max(maxscl); 0 when the metadata is empty."""
     w = meta.windows[0] if meta.windows else HDR10PlusWindow()
-    for pct, val in w.distribution_maxrgb:
-        if pct >= 99:
-            return float(val) * 10000.0
+    # highest percentage >= 99 (tuple order varies between encoders; a
+    # (99, v) entry listed before (99.98, v') must not shadow the peak)
+    best = max((e for e in w.distribution_maxrgb if e[0] >= 99),
+               key=lambda e: e[0], default=None)
+    if best is not None:
+        return float(best[1]) * 10000.0
     return float(max(w.maxscl)) * 10000.0
 
 
@@ -80,10 +83,17 @@ def hdr_params_from_hdr10plus(meta: HDR10PlusMetadata, hdr10,
                               tonemap_type: int) -> tuple[HDRParams, int]:
     """Local-tone-map parameters with the scene statistics substituted for
     the static mastering metadata (the DoVi-L1 pattern,
+    ops/dovi_ext.hdr_params_from_extensions).  When the window carries a
+    guided basis curve (tone_mapping_flag=1) the operator upgrades to
+    selection 7 — :func:`videorenderer_tpu.ops.tonemap.st2094_40_guided`
+    consumes the knee + Bezier anchors (the L1→ST2094-10 upgrade pattern,
     ops/dovi_ext.hdr_params_from_extensions)."""
     peak = scene_peak_nits(meta)
     avg = scene_average_nits(meta)
     mn = hdr10.mastering_min_nits if hdr10 is not None else 0.005
+    w0 = meta.windows[0] if meta.windows else HDR10PlusWindow()
+    if w0.tone_mapping_flag and peak > 0.0:
+        tonemap_type = 7
     if peak <= 0.0:
         h = hdr10
         if h is None:

@@ -555,7 +555,7 @@ _JINC2_DISCRETE_Q = 16       # small rational periods: exact two-sided SVD
 _JINC2_SV_CUTOFF = 3e-7
 
 
-@functools.cache
+@functools.lru_cache(maxsize=8)
 def jinc2_lr_matrices(in_h: int, out_h: int, in_w: int, out_w: int):
     """Per-rank banded axis matrices + normalization vectors:
 

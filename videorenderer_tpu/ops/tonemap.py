@@ -270,7 +270,7 @@ def dolby_vision_trims(linear: jnp.ndarray, t: DoviTrims, axis: int = -1,
 
 def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
                         trims: DoviTrims | None = None,
-                        axis: int = -1) -> jnp.ndarray:
+                        axis: int = -1, window=None) -> jnp.ndarray:
     """Runtime-parameter variant of :func:`local_tonemap_pq`: the HDR10
     luminance metadata arrives as traced scalars (keys mastering_min_nits /
     mastering_max_nits / max_cll / max_fall / display_max_nits), so per-title
@@ -293,6 +293,10 @@ def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
     color = dec(pq_rgb)
     if trims is not None and trims.l2_enabled:
         color = dolby_vision_trims(color, trims, axis=axis)
+
+    if selection == 7:  # ST 2094-40 guided (max_cll carries the scene peak)
+        color = st2094_40_guided(color, disp, mcll, window, axis=axis)
+        return enc(color)
 
     if selection == 5:  # BT.2390
         safe = jnp.where(mcll > 10.0, mcll, jnp.where(mmax > 10.0, mmax, 1000.0))
@@ -391,6 +395,10 @@ def local_tonemap_rt_scalars(selection: int, p: dict):
     mfall = jnp.asarray(p["max_fall"], f)
     disp = jnp.asarray(p["display_max_nits"], f)
 
+    if selection == 7:    # ST 2094-40 guided: [disp, scene_peak, 0, 0, 0]
+        z = jnp.zeros_like(disp)
+        return jnp.stack([disp, mcll, z, z, z])
+
     if selection == 5:    # BT.2390: [disp, safe, max_pq, target_pq, ks]
         safe = jnp.where(mcll > 10.0, mcll,
                          jnp.where(mmax > 10.0, mmax, 1000.0))
@@ -446,7 +454,7 @@ def local_tonemap_rt_scalars(selection: int, p: dict):
 
 def local_tonemap_pq_from_scalars(pq_rgb: jnp.ndarray, selection: int, sc,
                                   trims: DoviTrims | None = None,
-                                  axis: int = -1) -> jnp.ndarray:
+                                  axis: int = -1, window=None) -> jnp.ndarray:
     """Per-pixel half of the runtime local tone map: ``sc`` is the 5-scalar
     block from :func:`local_tonemap_rt_scalars` (SMEM-resident inside the
     fused tail kernel).  Only vector math and plain scalar arithmetic run
@@ -454,6 +462,10 @@ def local_tonemap_pq_from_scalars(pq_rgb: jnp.ndarray, selection: int, sc,
     color = st2084_to_linear(pq_rgb, 10000.0)
     if trims is not None and trims.l2_enabled:
         color = dolby_vision_trims(color, trims, axis=axis)
+
+    if selection == 7:    # ST 2094-40 guided
+        color = st2094_40_guided(color, sc[0], sc[1], window, axis=axis)
+        return linear_to_st2084(color, 10000.0)
 
     if selection == 5:    # BT.2390
         disp, safe, max_pq, target_pq, ks = (sc[i] for i in range(5))
@@ -490,15 +502,43 @@ def local_tonemap_pq_from_scalars(pq_rgb: jnp.ndarray, selection: int, sc,
     return linear_to_st2084(c * disp, 10000.0)
 
 
+def st2094_40_guided(color: jnp.ndarray, disp, peak, window,
+                     axis: int = -1) -> jnp.ndarray:
+    """ST 2094-40 (HDR10+) guided tone map — selection 7: scene luminance
+    normalized to the scene peak runs through the metadata's knee + Bezier
+    basis curve (:func:`videorenderer_tpu.ops.hdr10plus.apply_hdr10plus_curve`),
+    rescaled to the display peak, ratio-preserving on RGB.  The curve's
+    knee/anchors are STATIC (plan metadata, like the reshape structure);
+    ``disp``/``peak`` may be traced scalars (serving mode).  Linear in/out,
+    nits domain."""
+    from .hdr10plus import apply_hdr10plus_curve
+    kx = float(window.knee_point_x)
+    ky = float(window.knee_point_y)
+    xn = _luma(color, axis) / peak
+    yn = apply_hdr10plus_curve(jnp.clip(xn, 0.0, 1.0), window)
+    # below the knee the curve is exactly linear (slope ky/kx), so the
+    # scale is constant there — avoids the 0/0 at black
+    slope0 = (ky / kx) if kx > 1e-6 else 1.0
+    scale = jnp.where(xn <= max(kx, 1e-6), slope0 * disp / peak,
+                      yn * disp / jnp.maximum(xn * peak, 1e-9))
+    return jnp.where(disp >= peak, color, color * scale)
+
+
 def local_tonemap_pq(pq_rgba: jnp.ndarray, selection: int, p: HDRParams,
-                     trims: DoviTrims | None = None, axis: int = -1) -> jnp.ndarray:
+                     trims: DoviTrims | None = None, axis: int = -1,
+                     window=None) -> jnp.ndarray:
     """Full ps_hdr10_tonemap main() (ps_hdr10_tonemap.hlsl:265-331):
     PQ in -> PQ out, operator chosen by ``selection`` (ToneMapType).
-    Channel axis must hold exactly R,G,B."""
+    Channel axis must hold exactly R,G,B.  ``selection == 7``: the HDR10+
+    guided curve (``window`` = the plan's HDR10PlusWindow)."""
     color = st2084_to_linear(pq_rgba, 10000.0)
     if trims is not None and trims.l2_enabled:
         color = dolby_vision_trims(color, trims, axis=axis)
 
+    if selection == 7:
+        color = st2094_40_guided(color, float(p.display_max_nits),
+                                 float(p.max_cll), window, axis=axis)
+        return linear_to_st2084(color, 10000.0)
     if selection == 5:
         color = bt2390(color, p, axis=axis)
         return linear_to_st2084(color, 10000.0)

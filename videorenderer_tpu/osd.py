@@ -117,7 +117,9 @@ def render_stats_overlay(stats: dict, graph_values: list[float] | None = None,
         f"Paint: {stats.get('paint_ms', 0.0):6.2f} ms  "
         f"Present: {stats.get('present_ms', 0.0):6.2f} ms\n"
         f"Sync offset: {stats.get('sync_offset_ms', 0.0):+6.2f} ms "
-        f"(avg {stats.get('avg_sync_offset_ms', 0.0):+6.2f})"
+        f"(avg {stats.get('avg_sync_offset_ms', 0.0):+6.2f} "
+        f"dev {stats.get('dev_sync_offset_ms', 0.0):6.2f})\n"
+        f"Jitter: {stats.get('jitter_ms', 0.0):6.2f} ms"
     )
     alpha = render_text(text, size).astype(np.float32) / 255.0
 

@@ -148,18 +148,38 @@ class _RowResize:
         return jnp.moveaxis(out, -1, -2)
 
 
+def spatial_padded_heights(plan: PipelinePlan, n: int) -> tuple[int, int]:
+    """(padded source height, padded surface height) for an ``n``-shard row
+    mesh: the smallest heights divisible by n for every plane (luma AND
+    chroma) and for the surface.  1080p NV12 on 8 shards pads 1080 -> 1088
+    (chroma 540 -> 544); already-divisible geometry pads by zero."""
+    info = plan.info
+    dh = info.chroma_div[1] if info.cs_type == ColorSystem.YUV else 1
+    unit = n * dh
+    src_h_pad = -(-plan.src.height // unit) * unit
+    surf_h_pad = -(-plan.dst.height // n) * n
+    return src_h_pad, surf_h_pad
+
+
 def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
                           axis: str = "spatial", dtype=jnp.float32,
-                          pack_surface: bool = False):
+                          pack_surface: bool = False,
+                          pad_to_mesh: bool = True):
     """Row-sharded version of the fused pipeline.
 
     Input planes are (..., H, W) sharded on H over ``mesh[axis]``; output is
     (..., 3, dst.height, dst.width) sharded the same way, bit-identical to
     the single-chip fused path — or, with ``pack_surface``, an
     (..., dst.height, dst.width) int32 packed-dword surface (each shard
-    packs its own rows).  Requires a fusable plan (pipeline._can_fuse)
-    and plane/surface heights divisible by the mesh size.
-    """
+    packs its own rows).  Requires a fusable plan (pipeline._can_fuse).
+
+    Heights not divisible by the mesh size are handled by ``pad_to_mesh``
+    (default): plane heights zero-pad to :func:`spatial_padded_heights`
+    (use :func:`pad_shard_planes_rows` to prepare inputs; the pad rows get
+    zero weight in the embedded H maps, so they never touch the output) and
+    the returned surface has ``surf_h_pad`` rows whose trailing pad rows
+    are black — crop with ``out[..., :dst.height, :]``.  With
+    ``pad_to_mesh=False`` non-divisible heights raise."""
     if not _can_fuse(plan):
         raise ValueError(
             "spatial sharding requires a fusable (linear-prefix) plan: "
@@ -178,16 +198,15 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
     l1, t1, r1, b1 = dst.video_rect or (0, 0, dst.width, dst.height)
     surf_w, surf_h = dst.width, dst.height
 
-    if src.height % n:
-        raise ValueError(f"source height {src.height} is not divisible by "
-                         f"the {n}-shard spatial mesh")
-    if surf_h % n:
-        raise ValueError(f"output height {surf_h} is not divisible by "
-                         f"the {n}-shard spatial mesh")
     dw, dh = info.chroma_div
-    if info.cs_type == ColorSystem.YUV and (src.height // dh) % n:
-        raise ValueError(f"chroma height {src.height // dh} is not divisible "
-                         f"by the {n}-shard spatial mesh")
+    src_h_pad, surf_h_pad = spatial_padded_heights(plan, n)
+    if not pad_to_mesh and (src_h_pad != src.height or surf_h_pad != surf_h):
+        raise ValueError(
+            f"a height (src {src.height}, chroma "
+            f"{src.height // dh if info.cs_type == ColorSystem.YUV else '-'},"
+            f" surface {surf_h}) is not divisible by the {n}-shard "
+            "spatial mesh; enable pad_to_mesh for the pad-and-crop fallback")
+    pad_rows = surf_h_pad != surf_h
 
     # --- axis maps, exactly as _make_fused_fn builds them ------------------
     cx = scale_ops.select_scaler(crop_w, vid_w, s.upscaling,
@@ -217,17 +236,18 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
     # at t1 in the surface; zero columns produce the black fill).  An
     # identity map materializes whenever embedding or sharding itself makes
     # the H contraction non-trivial.
-    embed_h = plan.src_rect is not None or dst.video_rect is not None
+    embed_h = (plan.src_rect is not None or dst.video_rect is not None
+               or src_h_pad != src.height or pad_rows)
     def h_map(m, in_full, in_off, in_vid):
         if m is None and not embed_h:
             return None
         if m is None:
             m = np.eye(in_vid)
         return _embed(np.asarray(m), in_total=in_full, in_off=in_off,
-                      out_total=surf_h, out_off=t1)
+                      out_total=surf_h_pad, out_off=t1)
 
-    my_luma = h_map(wy_luma, src.height, t0, crop_h)
-    my_chroma = h_map(cwy, src.height // dh, t0 // dh, crop_h // dh) \
+    my_luma = h_map(wy_luma, src_h_pad, t0, crop_h)
+    my_chroma = h_map(cwy, src_h_pad // dh, t0 // dh, crop_h // dh) \
         if info.cs_type == ColorSystem.YUV else None
 
     norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
@@ -241,7 +261,7 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
                             pre_scale=None if cwx is not None else norm)
                  if info.cs_type == ColorSystem.YUV else None)
 
-    hs_surf = surf_h // n
+    hs_surf = surf_h_pad // n
     has_vrect = dst.video_rect is not None
     from ..pipeline import _pack_surface_xla, surface_pack_format
     fmt = surface_pack_format(dst) if pack_surface else None
@@ -300,7 +320,7 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
             else:
                 rgb = dither_ops.ordered_dither(rgb, db,
                                                 row_offset=row0 - t1)
-        if has_vrect:
+        if has_vrect or pad_rows:
             gr = row0 + jnp.arange(hs_surf)
             mask = ((gr >= t1) & (gr < b1)).astype(rgb.dtype)
             rgb = rgb * mask[:, None]
@@ -337,3 +357,25 @@ def shard_planes_rows(mesh: Mesh, planes, axis: str = "spatial"):
         parts[-2] = axis
         return jax.device_put(x, NamedSharding(mesh, P(*parts)))
     return tuple(put(p) for p in planes)
+
+
+def pad_shard_planes_rows(plan: PipelinePlan, mesh: Mesh, planes,
+                          axis: str = "spatial"):
+    """Zero-pad plane heights to :func:`spatial_padded_heights` and shard —
+    the input half of the pad-and-crop fallback (the pad rows carry zero
+    weight in the embedded H maps, so their values never reach the
+    output)."""
+    n = mesh.shape[axis]
+    src_h_pad, _ = spatial_padded_heights(plan, n)
+    info = plan.info
+    dh = info.chroma_div[1]
+    out = []
+    for i, p in enumerate(planes):
+        target = (src_h_pad // dh
+                  if i > 0 and info.cs_type == ColorSystem.YUV else src_h_pad)
+        ph = p.shape[-2]
+        if ph < target:
+            pads = [(0, 0)] * (p.ndim - 2) + [(0, target - ph), (0, 0)]
+            p = jnp.pad(jnp.asarray(p), pads)
+        out.append(p)
+    return shard_planes_rows(mesh, tuple(out), axis)

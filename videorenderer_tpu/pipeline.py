@@ -182,6 +182,9 @@ class PipelinePlan:
     # resolved local-tone-map parameters + (possibly L1-upgraded) operator
     tonemap_params: "object | None" = None   # ops.tonemap.HDRParams
     tonemap_type: int = 0
+    # static ST 2094-40 window when tonemap_type == 7 (HDR10+ guided curve:
+    # knee/anchors are plan structure, like the DoVi reshape curves)
+    hdr10plus_window: "object | None" = None
     # output-side HDR10 static metadata (swap-chain SetHDRMetaData analogue,
     # Source/DX11VideoProcessor.cpp:2629-2739) — what a sink should program
     output_hdr10: HDR10Metadata | None = None
@@ -262,6 +265,7 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
     # (Source/DX11VideoProcessor.cpp:2728-2736)
     tm_type = int(settings.hdr_local_tone_mapping_type)
     output_hdr10 = src.hdr10 if dst.hdr else None
+    h10p_window = None
     if dovi_ext is not None:
         from .ops import dovi_ext as dovi_ext_ops
         tm_params, tm_type = dovi_ext_ops.hdr_params_from_extensions(
@@ -274,6 +278,8 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
         tm_params, tm_type = h10p_ops.hdr_params_from_hdr10plus(
             src.hdr10plus, src.hdr10, float(settings.hdr_display_max_nits),
             tm_type)
+        if tm_type == 7:
+            h10p_window = src.hdr10plus.windows[0]
         if dst.hdr:
             output_hdr10 = h10p_ops.merge_hdr10(src.hdr10, src.hdr10plus)
     else:
@@ -308,6 +314,7 @@ def plan_pipeline(settings: Settings, src: SourceDescriptor,
         dovi=dovi, dovi_trims=dovi_trims, dovi_ext=dovi_ext,
         src_rect=src.src_rect, tonemap_params=tm_params,
         tonemap_type=tm_type, output_hdr10=output_hdr10,
+        hdr10plus_window=h10p_window,
     )
 
 
@@ -519,7 +526,8 @@ def _local_tonemap(plan: PipelinePlan, rgb: jnp.ndarray,
                    trims=None) -> jnp.ndarray:
     return tonemap_ops.local_tonemap_pq(
         rgb, plan.tonemap_type, plan.tonemap_params,
-        trims=trims if trims is not None else plan.dovi_trims, axis=-3)
+        trims=trims if trims is not None else plan.dovi_trims, axis=-3,
+        window=plan.hdr10plus_window)
 
 
 def _resolve_rt_trims(plan: PipelinePlan, rt: dict | None):
@@ -723,10 +731,12 @@ def _tail_common(plan: PipelinePlan, rgb: jnp.ndarray,
             # kernel path: derived scalars via SMEM (scalar transcendentals
             # are not legal inside Mosaic kernels — precomputed outside)
             rgb = tonemap_ops.local_tonemap_pq_from_scalars(
-                rgb, plan.tonemap_type, hdr_sc, trims=trims, axis=-3)
+                rgb, plan.tonemap_type, hdr_sc, trims=trims, axis=-3,
+                window=plan.hdr10plus_window)
         elif hdr is not None:
             rgb = tonemap_ops.local_tonemap_pq_rt(
-                rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
+                rgb, plan.tonemap_type, hdr, trims=trims, axis=-3,
+                window=plan.hdr10plus_window)
         else:
             rgb = _local_tonemap(plan, rgb, trims=trims)
     db = plan.dither_bits
@@ -980,7 +990,8 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False,
             hdr = rt.get("hdr")
             if hdr is not None:
                 rgb = tonemap_ops.local_tonemap_pq_rt(
-                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
+                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3,
+                    window=plan.hdr10plus_window)
             else:
                 rgb = _local_tonemap(plan, rgb, trims=trims)
         rgb = _final_pass(plan, rgb)
@@ -1165,7 +1176,8 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
             hdr = rt.get("hdr")
             if hdr is not None:
                 rgb = tonemap_ops.local_tonemap_pq_rt(
-                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
+                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3,
+                    window=plan.hdr10plus_window)
             else:
                 rgb = _local_tonemap(plan, rgb, trims=trims)
         rgb = _final_pass(plan, rgb)
@@ -1316,6 +1328,22 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
     return fn
 
 
+def serving_rt_keys(plan: PipelinePlan) -> set:
+    """The rt keys this plan's serving program accepts — one per stage that
+    exists statically (the cbuffer-segment discipline of :func:`_rt_layout`,
+    independent of which execution path serves the plan)."""
+    out = set()
+    if plan.apply_matrix:
+        out.add("cmat")
+    if plan.local_tonemap:
+        out.add("hdr")
+    if plan.dovi_trims is not None and plan.dovi_trims.l2_enabled:
+        out.add("l2_trims")
+    if plan.dovi is not None:
+        out.add("dovi_curves")
+    return out
+
+
 def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32,
                     pack_surface: bool = False):
     """Serving-mode pipeline: ONE compiled program that takes per-frame
@@ -1337,20 +1365,62 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32,
     parameters (dynamic).  On the fused path the parameters ride the tail
     kernel's SMEM scalar block (:func:`_rt_layout`); elsewhere they are
     traced tensors — either way, no retrace.
+
+    The returned fn validates rt keys at trace time: unknown keys, or
+    known keys whose stage does not exist in this plan, raise with the
+    allowed set (a typo'd key must fail loudly, not silently fall off the
+    kernel path onto a 2x-slower program).  Attributes on the returned fn
+    (survive one ``jax.jit`` wrap via inspection before jitting):
+
+      fn.allowed_rt_keys — the plan's valid rt keys;
+      fn.dovi_structure  — the reshape structure the program was traced
+                           for (None without DoVi);
+      fn.pack_curves(meta) — packs a scene's RPU curves validated against
+                           that structure (structural drift raises instead
+                           of silently corrupting frames).
     """
     s = plan.settings
     dst = plan.dst
     fmt = surface_pack_format(dst) if pack_surface else None
 
+    allowed = serving_rt_keys(plan)
+    structure = None
+    if plan.dovi is not None:
+        from .ops import dovi as dovi_ops
+        structure = dovi_ops.curve_structure(plan.dovi)
+
+    def _finish(inner):
+        def checked(planes, rt=None):
+            rt = rt or {}
+            bad = set(rt) - allowed
+            if bad:
+                raise ValueError(
+                    f"unknown serving rt key(s) {sorted(bad)}; this plan "
+                    f"accepts {sorted(allowed)} (stage presence is static "
+                    "— re-plan to add stages)")
+            return inner(planes, rt)
+
+        checked.allowed_rt_keys = frozenset(allowed)
+        checked.dovi_structure = structure
+        if structure is not None:
+            from .ops import dovi as dovi_ops
+
+            def pack_scene_curves(meta):
+                return dovi_ops.pack_curves(meta, like=structure)
+
+            checked.pack_curves = pack_scene_curves
+        return checked
+
     if _can_fuse(plan):
         # the fused linear-prefix path supports the cmat/hdr/l2_trims
         # runtime hooks directly
-        return _make_fused_fn(plan, dtype, with_rt=True, pack_format=fmt)
+        return _finish(_make_fused_fn(plan, dtype, with_rt=True,
+                                      pack_format=fmt))
     if _can_split_fuse(plan):
         # DoVi serving: split-fused path with runtime reshape curves —
         # per-scene RPU updates stay on the banded kernels
-        return _make_dovi_fused_fn(plan, dtype, with_rt=True,
-                                   pack_format=fmt)
+        return _finish(_make_dovi_fused_fn(plan, dtype, with_rt=True,
+                                           pack_format=fmt))
 
     def fn(planes, rt):
         rgb = _convert_color(plan, planes, dtype,
@@ -1370,7 +1440,8 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32,
             hdr = rt.get("hdr")
             if hdr is not None:
                 rgb = tonemap_ops.local_tonemap_pq_rt(
-                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3)
+                    rgb, plan.tonemap_type, hdr, trims=trims, axis=-3,
+                    window=plan.hdr10plus_window)
             else:
                 rgb = _local_tonemap(plan, rgb, trims=trims)
         rgb = _final_pass(plan, rgb)
@@ -1378,7 +1449,7 @@ def make_serving_fn(plan: PipelinePlan, dtype=jnp.float32,
             rgb = _pack_surface_xla(rgb, fmt)
         return rgb
 
-    return fn
+    return _finish(fn)
 
 
 def make_deint_frame_fn(plan: PipelinePlan, field: int,

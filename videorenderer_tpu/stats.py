@@ -73,21 +73,47 @@ class FrameStats(FrameTimestamps):
         super().add(ts)
 
 
+def _std_dev(n: int, sum_sq: float, total: float) -> float:
+    """Per-frame standard-deviation estimate, the CBaseVideoRenderer2
+    GetStdDev formula (Source/renbase2.h:190-201):
+    sqrt((sum_sq - total^2/(n-1)) / (n-2)), 0 while n <= 3."""
+    if n <= 3:
+        return 0.0
+    var = (sum_sq - total * total / (n - 1)) / (n - 2)
+    return var ** 0.5 if var > 0 else 0.0
+
+
 @dataclass
 class DrawStats:
-    """Drawn-frame accounting (CDrawStats, Source/FrameStats.h:130-143)."""
+    """Drawn-frame accounting (CDrawStats, Source/FrameStats.h:130-143)
+    plus the inter-frame time accumulators behind IQualProp's get_Jitter
+    (m_iSumFrameTime/m_iSumSqFrameTime, Source/renbase2.cpp:196-202)."""
 
     frames: int = 0
     drops: int = 0
     fails: int = 0
     _ring: FrameTimestamps = field(default_factory=FrameTimestamps)
+    _last_ts: float | None = None
+    _sum_frame_s: float = 0.0
+    _sum_sq_frame_s: float = 0.0
 
     def frame_drawn(self, ts: float | None = None) -> None:
         self.frames += 1
-        self._ring.add(ts if ts is not None else precise_tick())
+        ts = ts if ts is not None else precise_tick()
+        if self._last_ts is not None:
+            dt = ts - self._last_ts
+            self._sum_frame_s += dt
+            self._sum_sq_frame_s += dt * dt
+        self._last_ts = ts
+        self._ring.add(ts)
 
     def fps(self) -> float:
         return self._ring.fps()
+
+    def jitter(self) -> float:
+        """Standard deviation of the inter-frame draw time, seconds
+        (IQualProp get_Jitter, Source/renbase2.cpp:962-974)."""
+        return _std_dev(self.frames, self._sum_sq_frame_s, self._sum_frame_s)
 
 
 @dataclass
@@ -104,11 +130,36 @@ class RenderStats:
     dropped2: int = 0
     skipped_interval: int = 0
     sync_offset_s: float = 0.0
+    # lateness accumulators for IQualProp get_AvgSyncOffset /
+    # get_DevSyncOffset (m_iTotAcc/m_iSumSqAcc, Source/renbase2.cpp:185-188)
+    sync_count: int = 0
+    _sum_sync_s: float = 0.0
+    _sum_sq_sync_s: float = 0.0
+
+    def record_sync_offset(self, offset_s: float) -> None:
+        self.sync_offset_s = offset_s
+        self.sync_count += 1
+        self._sum_sync_s += offset_s
+        self._sum_sq_sync_s += offset_s * offset_s
+
+    def avg_sync_offset(self) -> float:
+        if self.sync_count < 2:
+            return 0.0
+        # the reference averages over (frames drawn - 1), renbase2.cpp:861
+        return self._sum_sync_s / (self.sync_count - 1)
+
+    def dev_sync_offset(self) -> float:
+        """Std dev of the sync offset, seconds (IQualProp
+        get_DevSyncOffset, Source/renbase2.cpp:951-959)."""
+        return _std_dev(self.sync_count, self._sum_sq_sync_s,
+                        self._sum_sync_s)
 
     def reset(self) -> None:
         self.copy_s = self.paint_s = self.present_s = 0.0
         self.failed = self.dropped2 = self.skipped_interval = 0
         self.sync_offset_s = 0.0
+        self.sync_count = 0
+        self._sum_sync_s = self._sum_sq_sync_s = 0.0
 
 
 class MovingAverage:
@@ -158,4 +209,8 @@ class Metrics:
             "present_ms": self.render_stats.present_s * 1e3,
             "sync_offset_ms": self.render_stats.sync_offset_s * 1e3,
             "avg_sync_offset_ms": self.sync_graph.average() * 1e3,
+            # IQualProp parity (Source/renbase2.h:206-211): std dev of the
+            # inter-frame draw time / of the recorded sync offsets
+            "jitter_ms": self.draw_stats.jitter() * 1e3,
+            "dev_sync_offset_ms": self.render_stats.dev_sync_offset() * 1e3,
         }
