@@ -128,7 +128,7 @@ def build_plan(key: str):
     if key == "c3sr":
         # SuperRes path: pipeline runs 1:1, the net performs the 2x
         return plan_pipeline(
-            Settings(vp_superres=SuperResolution.ALWAYS),
+            Settings(vp_superres=SuperResolution.P1080),
             _src_nv12_1080(), OutputDescriptor(width=1920, height=1080, bits=8))
     if key == "c4":
         return plan_pipeline(
@@ -179,7 +179,10 @@ def input_spec(key: str):
     if key in ("c4", "c6"):
         return ColorFormat.P010, 3840, 2160, 32
     if key in ("c5", "c5s"):
-        return ColorFormat.P010, 3840, 2160, 8
+        # throughput batch: the ~4 ms fixed per-dispatch cost of the remote
+        # relay dominates small batches (measured: 774 us/frame at batch 6
+        # vs 218 at batch 32 for one W kernel)
+        return ColorFormat.P010, 3840, 2160, 32
     if key == "c7":
         return ColorFormat.P010, 3840, 2160, 16
     if key == "c8":

@@ -4,96 +4,155 @@
 // compiler autovectorizes the byte-shuffle loops; exposed to Python via
 // ctypes (videorenderer_tpu/io/native.py).
 //
-// All functions take tightly-packed (pitch == width * packsize) source
-// buffers and write canonical planar outputs matching
+// The *_p entry points take a src_pitch (bytes per packed/luma row, like
+// the reference copiers' src_pitch argument, Source/Helper.cpp:414-428) so
+// pitched decoder buffers repack straight to planar with no intermediate
+// host copy; negative pitch = bottom-up rows for the DIB RGB formats.
+// The pitchless entry points forward with the tight pitch.  Outputs match
 // videorenderer_tpu/formats.py semantics (10-bit values MSB-aligned into
 // uint16 planes, value << 6).
 
 #include <cstdint>
 #include <cstring>
+#include <cstddef>
+
+using std::ptrdiff_t;
 
 extern "C" {
 
-// NV12: Y plane passthrough + UV deinterleave.
+// NV12: Y plane passthrough + UV deinterleave (pitched).
+void vrt_nv12_split_p(const uint8_t* src, int width, int height,
+                      int src_pitch, uint8_t* y, uint8_t* u, uint8_t* v) {
+    for (int row = 0; row < height; row++)
+        std::memcpy(y + (size_t)row * width, src + (size_t)row * src_pitch,
+                    width);
+    const uint8_t* uvp = src + (size_t)src_pitch * height;
+    const int cw = width / 2;
+    for (int row = 0; row < height / 2; row++) {
+        const uint8_t* uv = uvp + (size_t)row * src_pitch;
+        uint8_t* ur = u + (size_t)row * cw;
+        uint8_t* vr = v + (size_t)row * cw;
+        for (int i = 0; i < cw; i++) {
+            ur[i] = uv[2 * i];
+            vr[i] = uv[2 * i + 1];
+        }
+    }
+}
+
 void vrt_nv12_split(const uint8_t* src, int width, int height,
                     uint8_t* y, uint8_t* u, uint8_t* v) {
-    const size_t ysize = (size_t)width * height;
-    std::memcpy(y, src, ysize);
-    const uint8_t* uv = src + ysize;
-    const size_t n = ysize / 4;  // chroma pixels
-    for (size_t i = 0; i < n; i++) {
-        u[i] = uv[2 * i];
-        v[i] = uv[2 * i + 1];
+    vrt_nv12_split_p(src, width, height, width, y, u, v);
+}
+
+// P010/P016 + P210/P216: 16-bit biplanar split (pitch in BYTES; chroma_div_h
+// 2 for 4:2:0, 1 for 4:2:2).
+void vrt_p01x_split_p(const uint16_t* src, int width, int height,
+                      int src_pitch, int chroma_div_h,
+                      uint16_t* y, uint16_t* u, uint16_t* v) {
+    const int pitch_w = src_pitch / 2;
+    for (int row = 0; row < height; row++)
+        std::memcpy(y + (size_t)row * width, src + (size_t)row * pitch_w,
+                    (size_t)width * 2);
+    const uint16_t* uvp = src + (size_t)pitch_w * height;
+    const int cw = width / 2;
+    for (int row = 0; row < height / chroma_div_h; row++) {
+        const uint16_t* uv = uvp + (size_t)row * pitch_w;
+        uint16_t* ur = u + (size_t)row * cw;
+        uint16_t* vr = v + (size_t)row * cw;
+        for (int i = 0; i < cw; i++) {
+            ur[i] = uv[2 * i];
+            vr[i] = uv[2 * i + 1];
+        }
     }
 }
 
-// P010/P016: 16-bit biplanar split.
 void vrt_p010_split(const uint16_t* src, int width, int height,
                     uint16_t* y, uint16_t* u, uint16_t* v) {
-    const size_t ysize = (size_t)width * height;
-    std::memcpy(y, src, ysize * 2);
-    const uint16_t* uv = src + ysize;
-    const size_t n = ysize / 4;
-    for (size_t i = 0; i < n; i++) {
-        u[i] = uv[2 * i];
-        v[i] = uv[2 * i + 1];
-    }
+    vrt_p01x_split_p(src, width, height, width * 2, 2, y, u, v);
 }
 
-// P210/P216: 16-bit biplanar 4:2:2 split.
 void vrt_p210_split(const uint16_t* src, int width, int height,
                     uint16_t* y, uint16_t* u, uint16_t* v) {
-    const size_t ysize = (size_t)width * height;
-    std::memcpy(y, src, ysize * 2);
-    const uint16_t* uv = src + ysize;
-    const size_t n = ysize / 2;
-    for (size_t i = 0; i < n; i++) {
-        u[i] = uv[2 * i];
-        v[i] = uv[2 * i + 1];
+    vrt_p01x_split_p(src, width, height, width * 2, 1, y, u, v);
+}
+
+// YUY2 (Y0 U Y1 V) -> planar Y + half-width U,V (pitched).
+void vrt_yuy2_to_planar_p(const uint8_t* src, int width, int height,
+                          int src_pitch, uint8_t* y, uint8_t* u, uint8_t* v) {
+    const int cw = width / 2;
+    for (int row = 0; row < height; row++) {
+        const uint8_t* s = src + (size_t)row * src_pitch;
+        uint8_t* yr = y + (size_t)row * width;
+        uint8_t* ur = u + (size_t)row * cw;
+        uint8_t* vr = v + (size_t)row * cw;
+        for (int i = 0; i < cw; i++) {
+            yr[2 * i] = s[4 * i];
+            ur[i] = s[4 * i + 1];
+            yr[2 * i + 1] = s[4 * i + 2];
+            vr[i] = s[4 * i + 3];
+        }
     }
 }
 
-// YUY2 (Y0 U Y1 V) -> planar Y + half-width U,V.
 void vrt_yuy2_to_planar(const uint8_t* src, int width, int height,
                         uint8_t* y, uint8_t* u, uint8_t* v) {
-    const size_t pairs = (size_t)width / 2 * height;
-    for (size_t i = 0; i < pairs; i++) {
-        y[2 * i] = src[4 * i];
-        u[i] = src[4 * i + 1];
-        y[2 * i + 1] = src[4 * i + 2];
-        v[i] = src[4 * i + 3];
+    vrt_yuy2_to_planar_p(src, width, height, width * 2, y, u, v);
+}
+
+// UYVY (U Y0 V Y1) -> planar (pitched).
+void vrt_uyvy_to_planar_p(const uint8_t* src, int width, int height,
+                          int src_pitch, uint8_t* y, uint8_t* u, uint8_t* v) {
+    const int cw = width / 2;
+    for (int row = 0; row < height; row++) {
+        const uint8_t* s = src + (size_t)row * src_pitch;
+        uint8_t* yr = y + (size_t)row * width;
+        uint8_t* ur = u + (size_t)row * cw;
+        uint8_t* vr = v + (size_t)row * cw;
+        for (int i = 0; i < cw; i++) {
+            ur[i] = s[4 * i];
+            yr[2 * i] = s[4 * i + 1];
+            vr[i] = s[4 * i + 2];
+            yr[2 * i + 1] = s[4 * i + 3];
+        }
     }
 }
 
-// UYVY (U Y0 V Y1) -> planar.
 void vrt_uyvy_to_planar(const uint8_t* src, int width, int height,
                         uint8_t* y, uint8_t* u, uint8_t* v) {
-    const size_t pairs = (size_t)width / 2 * height;
-    for (size_t i = 0; i < pairs; i++) {
-        u[i] = src[4 * i];
-        y[2 * i] = src[4 * i + 1];
-        v[i] = src[4 * i + 2];
-        y[2 * i + 1] = src[4 * i + 3];
+    vrt_uyvy_to_planar_p(src, width, height, width * 2, y, u, v);
+}
+
+// Y210/Y216 (u16 Y0 U Y1 V) -> planar 16-bit (pitch in bytes).
+void vrt_y210_to_planar_p(const uint16_t* src, int width, int height,
+                          int src_pitch, uint16_t* y, uint16_t* u,
+                          uint16_t* v) {
+    const int pitch_w = src_pitch / 2;
+    const int cw = width / 2;
+    for (int row = 0; row < height; row++) {
+        const uint16_t* s = src + (size_t)row * pitch_w;
+        uint16_t* yr = y + (size_t)row * width;
+        uint16_t* ur = u + (size_t)row * cw;
+        uint16_t* vr = v + (size_t)row * cw;
+        for (int i = 0; i < cw; i++) {
+            yr[2 * i] = s[4 * i];
+            ur[i] = s[4 * i + 1];
+            yr[2 * i + 1] = s[4 * i + 2];
+            vr[i] = s[4 * i + 3];
+        }
     }
 }
 
-// Y210/Y216 (u16 Y0 U Y1 V) -> planar 16-bit.
 void vrt_y210_to_planar(const uint16_t* src, int width, int height,
                         uint16_t* y, uint16_t* u, uint16_t* v) {
-    const size_t pairs = (size_t)width / 2 * height;
-    for (size_t i = 0; i < pairs; i++) {
-        y[2 * i] = src[4 * i];
-        u[i] = src[4 * i + 1];
-        y[2 * i + 1] = src[4 * i + 2];
-        v[i] = src[4 * i + 3];
-    }
+    vrt_y210_to_planar_p(src, width, height, width * 4, y, u, v);
 }
 
 // v210: 6 px / 16 bytes, 128-byte aligned rows -> planar 16-bit MSB-aligned
 // (CopyFrameV210 analogue, straight to planar instead of Y210).
-void vrt_v210_to_planar(const uint32_t* src, int width, int height,
-                        uint16_t* y, uint16_t* u, uint16_t* v) {
-    const int row_dwords = ((width + 47) / 48) * 32;
+void vrt_v210_to_planar_p(const uint32_t* src, int width, int height,
+                          int src_pitch, uint16_t* y, uint16_t* u,
+                          uint16_t* v) {
+    const int row_dwords = src_pitch / 4;
     const int groups = row_dwords / 4;
     const int cw = width / 2;
     for (int row = 0; row < height; row++) {
@@ -143,43 +202,89 @@ void vrt_v210_to_planar(const uint32_t* src, int width, int height,
     }
 }
 
+void vrt_v210_to_planar(const uint32_t* src, int width, int height,
+                        uint16_t* y, uint16_t* u, uint16_t* v) {
+    vrt_v210_to_planar_p(src, width, height, ((width + 47) / 48) * 128,
+                         y, u, v);
+}
+
 // 10-bit LSB -> 16-bit MSB-aligned (CopyPlane10to16 analogue, value << 6).
 void vrt_shift10to16(const uint16_t* src, uint16_t* dst, size_t n) {
     for (size_t i = 0; i < n; i++) dst[i] = (uint16_t)(src[i] << 6);
 }
 
-// RGB24 (BGR bytes) -> separate R,G,B planes (CopyFrameRGB24 analogue).
-void vrt_rgb24_to_planar(const uint8_t* src, int width, int height,
-                         uint8_t* r, uint8_t* g, uint8_t* b) {
-    const size_t n = (size_t)width * height;
-    for (size_t i = 0; i < n; i++) {
-        b[i] = src[3 * i];
-        g[i] = src[3 * i + 1];
-        r[i] = src[3 * i + 2];
+// RGB24 (BGR bytes) -> separate R,G,B planes (CopyFrameRGB24 analogue;
+// negative pitch = bottom-up DIB rows, the reference starts at
+// srcData + srcPitch * (1 - lines), Source/DX11VideoProcessor.cpp:1245-1248).
+void vrt_rgb24_to_planar_p(const uint8_t* src, int width, int height,
+                           int src_pitch, uint8_t* r, uint8_t* g,
+                           uint8_t* b) {
+    for (int row = 0; row < height; row++) {
+        const int srow = src_pitch < 0 ? height - 1 - row : row;
+        const uint8_t* s = src + (ptrdiff_t)srow *
+            (src_pitch < 0 ? -src_pitch : src_pitch);
+        uint8_t* rr = r + (size_t)row * width;
+        uint8_t* gr = g + (size_t)row * width;
+        uint8_t* br = b + (size_t)row * width;
+        for (int i = 0; i < width; i++) {
+            br[i] = s[3 * i];
+            gr[i] = s[3 * i + 1];
+            rr[i] = s[3 * i + 2];
+        }
     }
 }
 
-// BGRA32 -> planes.
+void vrt_rgb24_to_planar(const uint8_t* src, int width, int height,
+                         uint8_t* r, uint8_t* g, uint8_t* b) {
+    vrt_rgb24_to_planar_p(src, width, height, width * 3, r, g, b);
+}
+
+// BGRA32 -> planes (pitched; negative pitch = bottom-up).
+void vrt_bgra32_to_planar_p(const uint8_t* src, int width, int height,
+                            int src_pitch, uint8_t* r, uint8_t* g,
+                            uint8_t* b) {
+    for (int row = 0; row < height; row++) {
+        const int srow = src_pitch < 0 ? height - 1 - row : row;
+        const uint8_t* s = src + (ptrdiff_t)srow *
+            (src_pitch < 0 ? -src_pitch : src_pitch);
+        uint8_t* rr = r + (size_t)row * width;
+        uint8_t* gr = g + (size_t)row * width;
+        uint8_t* br = b + (size_t)row * width;
+        for (int i = 0; i < width; i++) {
+            br[i] = s[4 * i];
+            gr[i] = s[4 * i + 1];
+            rr[i] = s[4 * i + 2];
+        }
+    }
+}
+
 void vrt_bgra32_to_planar(const uint8_t* src, int width, int height,
                           uint8_t* r, uint8_t* g, uint8_t* b) {
-    const size_t n = (size_t)width * height;
-    for (size_t i = 0; i < n; i++) {
-        b[i] = src[4 * i];
-        g[i] = src[4 * i + 1];
-        r[i] = src[4 * i + 2];
-    }
+    vrt_bgra32_to_planar_p(src, width, height, width * 4, r, g, b);
 }
 
 // r210 (big-endian 2|R10|G10|B10) -> 16-bit planes (CopyFrameR210 analogue).
+void vrt_r210_to_planar_p(const uint32_t* src, int width, int height,
+                          int src_pitch, uint16_t* r, uint16_t* g,
+                          uint16_t* b) {
+    const int pitch_d = src_pitch / 4;
+    for (int row = 0; row < height; row++) {
+        const uint32_t* s = src + (size_t)row * pitch_d;
+        uint16_t* rr = r + (size_t)row * width;
+        uint16_t* gr = g + (size_t)row * width;
+        uint16_t* br = b + (size_t)row * width;
+        for (int i = 0; i < width; i++) {
+            const uint32_t x = __builtin_bswap32(s[i]);
+            rr[i] = (uint16_t)(((x >> 20) & 0x3FF) << 6);
+            gr[i] = (uint16_t)(((x >> 10) & 0x3FF) << 6);
+            br[i] = (uint16_t)((x & 0x3FF) << 6);
+        }
+    }
+}
+
 void vrt_r210_to_planar(const uint32_t* src, int width, int height,
                         uint16_t* r, uint16_t* g, uint16_t* b) {
-    const size_t n = (size_t)width * height;
-    for (size_t i = 0; i < n; i++) {
-        const uint32_t x = __builtin_bswap32(src[i]);
-        r[i] = (uint16_t)(((x >> 20) & 0x3FF) << 6);
-        g[i] = (uint16_t)(((x >> 10) & 0x3FF) << 6);
-        b[i] = (uint16_t)((x & 0x3FF) << 6);
-    }
+    vrt_r210_to_planar_p(src, width, height, width * 4, r, g, b);
 }
 
 // float32 [0,1] interleave-pack to RGB8 (presentation path).

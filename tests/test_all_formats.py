@@ -122,3 +122,33 @@ def test_pitched_errors():
         formats.unpack_frame(ColorFormat.NV12, b"\0" * 100, 48, 16, pitch=64)
     with pytest.raises(ValueError, match="pitch"):
         formats.unpack_frame(ColorFormat.NV12, b"\0" * 4608, 48, 16, pitch=32)
+
+
+def test_device_unpack_parity_all_formats():
+    """Every packed format with a device-side unpacker produces the same
+    canonical planes as the host unpack_frame path (VERDICT r2 #7: the
+    reference samples all of these on-GPU, Source/Shaders.cpp:82-529)."""
+    import jax.numpy as jnp
+    from videorenderer_tpu import formats as fm
+    from videorenderer_tpu.kernels import unpack_device as ud
+
+    w, h = 16, 8
+    rng = np.random.default_rng(21)
+    F = fm.ColorFormat
+    cases = {
+        F.AYUV: np.uint8, F.Y410: np.uint32, F.Y416: np.uint16,
+        F.RGB24: np.uint8, F.XRGB32: np.uint8, F.ARGB32: np.uint8,
+        F.RGB48: np.uint16, F.BGR48: np.uint16, F.BGRA64: np.uint16,
+        F.B64A: np.uint16, F.R210: np.uint32,
+    }
+    for fmt, view_dtype in cases.items():
+        info = fm.get_format_info(fmt)
+        nbytes = w * h * info.pack_size
+        raw = rng.integers(0, 256, nbytes, np.uint8).tobytes()
+        host = fm.unpack_frame(fmt, raw, w, h)
+        buf = jnp.asarray(np.frombuffer(raw, view_dtype))
+        dev = ud.unpack_frame_device(info.name, buf, w, h)
+        assert len(dev) == len(host.planes) == 3, info.name
+        for dp, hp in zip(dev, host.planes):
+            np.testing.assert_array_equal(np.asarray(dp), hp,
+                                          err_msg=info.name)

@@ -97,3 +97,47 @@ def test_native_rebuilds_on_stale_so(tmp_path, monkeypatch):
     assert native._load() is not None
     assert so.stat().st_mtime > old_mtime
     os.utime(src)  # restore sane mtimes
+
+
+def test_native_pitched_no_intermediate(monkeypatch):
+    """Pitched buffers repack through the native *_p copiers directly —
+    formats.repitch (the intermediate host copy) is never called
+    (VERDICT r2 #7; the reference copiers take src_pitch,
+    Source/Helper.cpp:414-428)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    w, h, pitch = 32, 16, 48
+    rng = np.random.default_rng(9)
+    tight = rng.integers(0, 256, w * h * 3 // 2, np.uint8)
+    seg_y = tight[:w * h].reshape(h, w)
+    seg_uv = tight[w * h:].reshape(h // 2, w)
+    buf = np.zeros(pitch * h + pitch * (h // 2), np.uint8)
+    for r in range(h):
+        buf[r * pitch:r * pitch + w] = seg_y[r]
+    off = pitch * h
+    for r in range(h // 2):
+        buf[off + r * pitch:off + r * pitch + w] = seg_uv[r]
+
+    ref = formats.unpack_frame(formats.ColorFormat.NV12, tight.tobytes(),
+                               w, h)
+
+    def boom(*a, **k):
+        raise AssertionError("repitch called on the native pitched path")
+
+    monkeypatch.setattr(formats, "repitch", boom)
+    got = formats.unpack_frame(formats.ColorFormat.NV12, buf.tobytes(),
+                               w, h, pitch=pitch)
+    for g, r in zip(got.planes, ref.planes):
+        np.testing.assert_array_equal(g, r)
+
+    # negative (bottom-up) pitch on the RGB24 native path
+    rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+    bott = np.zeros((h, 64 * 3), np.uint8)
+    for r in range(h):
+        bott[h - 1 - r, :w * 3] = rgb[r].reshape(-1)
+    ref2 = formats.unpack_frame(formats.ColorFormat.RGB24,
+                                rgb.tobytes(), w, h)
+    got2 = formats.unpack_frame(formats.ColorFormat.RGB24, bott.tobytes(),
+                                w, h, pitch=-64 * 3)
+    for g, r in zip(got2.planes, ref2.planes):
+        np.testing.assert_array_equal(g, r)

@@ -654,3 +654,107 @@ def test_kernel_path_fuzz_interpret(monkeypatch):
         assert got.shape == ref.shape == (3, oh, ow), (i, up, w, h, ow, oh)
         assert d.max() <= 1.5 / 255, (i, up, w, h, ow, oh, d.max())
         assert (d > 0.5 / 255).mean() < 0.01, (i, up, w, h, ow, oh)
+
+
+def test_deint_kernel_path_interpret():
+    """Fully-fused deint chain (deint3_rows_dual + cols3_tail) vs the XLA
+    double-rate path: same math, no full-size float round-trip."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.csputils import CSP, Levels, Primaries, TRC
+    from videorenderer_tpu.pipeline import (HDR10Metadata,
+                                            make_deint_fields_fn,
+                                            plan_pipeline)
+
+    w, h = 64, 32
+    src = SourceDescriptor(format=ColorFormat.P010, width=w, height=h,
+                           matrix=CSP.BT_2020_NC, levels=Levels.TV,
+                           primaries=Primaries.BT_2020, transfer=TRC.PQ,
+                           interlaced=True, hdr10=HDR10Metadata())
+    dst = OutputDescriptor(width=32, height=16, bits=8)
+    plan = plan_pipeline(Settings(convert_to_sdr=True,
+                                  upscaling=Upscaling.LANCZOS3), src, dst)
+
+    rng = np.random.default_rng(0)
+    mk = lambda s: (rng.integers(64, 941, (2, h, w), np.uint16) << 6,
+                    rng.integers(64, 961, (2, h // 2, w // 2), np.uint16) << 6,
+                    rng.integers(64, 961, (2, h // 2, w // 2), np.uint16) << 6)
+    p, c, n = mk(0), mk(1), mk(2)
+
+    ref_fn = make_deint_fields_fn(plan)
+    r0, r1 = ref_fn(p, c, n)
+    with pltpu.force_tpu_interpret_mode():
+        k_fn = make_deint_fields_fn(plan, force_kernel=True)
+        g0, g1 = k_fn(tuple(jnp.asarray(x) for x in p),
+                      tuple(jnp.asarray(x) for x in c),
+                      tuple(jnp.asarray(x) for x in n))
+    assert g0.shape == r0.shape == (2, 3, 16, 32)
+    # H-then-W vs W-then-H flips quantization-boundary codes by <= 1 LSB
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(r0),
+                               atol=1.01 / 255.0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
+                               atol=1.01 / 255.0)
+    # quantized codes (8-bit grid): nearly all pixels identical
+    same0 = np.mean(np.asarray(g0) == np.asarray(r0))
+    assert same0 > 0.98, same0
+
+
+def test_deint_kernel_packed_interpret():
+    """Packed-surface output of the kernel deint path decodes to the planar
+    result."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.csputils import CSP
+    from videorenderer_tpu.pipeline import (make_deint_fields_fn,
+                                            plan_pipeline)
+
+    w, h = 64, 32
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709, interlaced=True)
+    dst = OutputDescriptor(width=64, height=32, bits=8)
+    plan = plan_pipeline(Settings(), src, dst)
+    rng = np.random.default_rng(3)
+    mk = lambda: (rng.integers(0, 256, (h, w), np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+    p, c, n = mk(), mk(), mk()
+    with pltpu.force_tpu_interpret_mode():
+        plain = make_deint_fields_fn(plan, force_kernel=True)
+        f0, _ = plain(p, c, n)
+        packed_fn = make_deint_fields_fn(plan, force_kernel=True,
+                                         pack_surface=True)
+        p0, _ = packed_fn(p, c, n)
+    assert p0.dtype == jnp.int32 and p0.shape == (32, 64)
+    d = np.asarray(p0).view(np.uint32)
+    got = np.stack([(d >> s) & 0xFF for s in (0, 8, 16)], 0) / 255.0
+    np.testing.assert_allclose(got, np.asarray(f0), atol=1e-7)
+
+
+def test_deint_kernel_nondivisible_heights_interpret():
+    """Plane heights not divisible by 16 (1080p chroma = 540) pad inside the
+    kernel; the bottom-row bob clamp references the REAL last row."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.csputils import CSP
+    from videorenderer_tpu.pipeline import (make_deint_fields_fn,
+                                            plan_pipeline)
+
+    w, h = 64, 40                      # chroma height 20: 20 % 16 != 0
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709, interlaced=True)
+    dst = OutputDescriptor(width=32, height=24, bits=8)
+    plan = plan_pipeline(Settings(use_dither=False), src, dst)
+    rng = np.random.default_rng(5)
+    mk = lambda: (rng.integers(0, 256, (h, w), np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+    p, c, n = mk(), mk(), mk()
+    r0, r1 = make_deint_fields_fn(plan)(p, c, n)
+    with pltpu.force_tpu_interpret_mode():
+        g0, g1 = make_deint_fields_fn(plan, force_kernel=True)(p, c, n)
+    # H-then-W rounding flips isolated quantization-boundary codes by 1 LSB
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(r0),
+                               atol=1.01 / 255.0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
+                               atol=1.01 / 255.0)
+    assert (np.asarray(g0) == np.asarray(r0)).mean() > 0.99

@@ -332,7 +332,8 @@ def pitched_buffer_size(fmt: ColorFormat, w: int, h: int, pitch: int) -> int:
 USE_NATIVE = True
 
 
-def _try_native(fmt: ColorFormat, buf, w: int, h: int):
+def _try_native(fmt: ColorFormat, buf, w: int, h: int,
+                pitch: int | None = None):
     if not USE_NATIVE:
         return None
     try:
@@ -345,25 +346,25 @@ def _try_native(fmt: ColorFormat, buf, w: int, h: int):
         buf, (bytes, bytearray, memoryview)) else np.asarray(buf)
     F = ColorFormat
     if fmt == F.NV12:
-        return native.nv12_split(a, w, h)
+        return native.nv12_split(a, w, h, pitch=pitch)
     if fmt in (F.P010, F.P016):
-        return native.p010_split(a, w, h, 2)
+        return native.p010_split(a, w, h, 2, pitch=pitch)
     if fmt in (F.P210, F.P216):
-        return native.p010_split(a, w, h, 1)
+        return native.p010_split(a, w, h, 1, pitch=pitch)
     if fmt == F.YUY2:
-        return native.packed422_to_planar(a, w, h, "yuy2")
+        return native.packed422_to_planar(a, w, h, "yuy2", pitch=pitch)
     if fmt == F.UYVY:
-        return native.packed422_to_planar(a, w, h, "uyvy")
+        return native.packed422_to_planar(a, w, h, "uyvy", pitch=pitch)
     if fmt in (F.Y210, F.Y216):
-        return native.packed422_to_planar(a, w, h, "y210")
+        return native.packed422_to_planar(a, w, h, "y210", pitch=pitch)
     if fmt == F.V210:
-        return native.packed422_to_planar(a, w, h, "v210")
+        return native.packed422_to_planar(a, w, h, "v210", pitch=pitch)
     if fmt == F.RGB24:
-        return native.rgb_to_planar(a, w, h, "rgb24")
+        return native.rgb_to_planar(a, w, h, "rgb24", pitch=pitch)
     if fmt in (F.XRGB32, F.ARGB32):
-        return native.rgb_to_planar(a, w, h, "bgra32")
+        return native.rgb_to_planar(a, w, h, "bgra32", pitch=pitch)
     if fmt == F.R210:
-        return native.rgb_to_planar(a, w, h, "r210")
+        return native.rgb_to_planar(a, w, h, "r210", pitch=pitch)
     return None
 
 
@@ -385,6 +386,12 @@ def unpack_frame(fmt: ColorFormat, buf: bytes | np.ndarray, width: int,
     F = ColorFormat
 
     if pitch is not None and pitch != default_pitch(info, w):
+        # pitched native fast path: the *_p copiers take src_pitch directly
+        # (Source/Helper.cpp:414-428) — no intermediate repitch copy
+        native_planes = _try_native(fmt, buf, w, h, pitch=pitch)
+        if native_planes is not None:
+            return PlanarFrame(info=info, width=w, height=h,
+                               planes=tuple(native_planes))
         buf = repitch(fmt, buf, w, h, pitch)
 
     native_planes = _try_native(fmt, buf, w, h)

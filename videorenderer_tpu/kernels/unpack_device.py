@@ -55,3 +55,117 @@ def nv12_split_device(buf: jnp.ndarray, width: int, height: int):
     y = buf[..., :ysize].reshape(lead + (height, width))
     uv = buf[..., ysize:].reshape(lead + (height // 2, width // 2, 2))
     return y, uv[..., 0], uv[..., 1]
+
+
+def _shift10to16(v):
+    """10-bit codes -> MSB-aligned 16-bit (the <<6 texture convention)."""
+    return v.astype(jnp.uint16) << 6
+
+
+def ayuv_unpack_device(buf: jnp.ndarray, width: int, height: int):
+    """(..., H*W*4) uint8 AYUV (byte order V U Y A, MSDN layout) ->
+    (Y, U, V) uint8 planes — device analogue of the host AYUV branch in
+    formats.unpack_frame (reference samples it on-GPU,
+    Source/Shaders.cpp:120-127)."""
+    lead = buf.shape[:-1]
+    a = buf.reshape(lead + (height, width, 4))
+    return a[..., 2], a[..., 1], a[..., 0]
+
+
+def y410_unpack_device(dwords: jnp.ndarray, width: int, height: int):
+    """(..., H*W) uint32 Y410 dwords (U 0-9 | Y 10-19 | V 20-29 | A) ->
+    (Y, U, V) uint16 MSB-aligned planes."""
+    lead = dwords.shape[:-1]
+    d = dwords.reshape(lead + (height, width))
+    u = _shift10to16(d & 0x3FF)
+    y = _shift10to16((d >> 10) & 0x3FF)
+    v = _shift10to16((d >> 20) & 0x3FF)
+    return y, u, v
+
+
+def y416_unpack_device(words: jnp.ndarray, width: int, height: int):
+    """(..., H*W*4) uint16 Y416 (U Y V A) -> (Y, U, V) uint16 planes."""
+    lead = words.shape[:-1]
+    a = words.reshape(lead + (height, width, 4))
+    return a[..., 1], a[..., 0], a[..., 2]
+
+
+def rgb24_unpack_device(buf: jnp.ndarray, width: int, height: int):
+    """(..., H*W*3) uint8 BGR (DIB convention, CopyFrameRGB24
+    Source/Helper.cpp:430-470) -> (R, G, B) uint8 planes."""
+    lead = buf.shape[:-1]
+    a = buf.reshape(lead + (height, width, 3))
+    return a[..., 2], a[..., 1], a[..., 0]
+
+
+def bgra32_unpack_device(buf: jnp.ndarray, width: int, height: int):
+    """(..., H*W*4) uint8 BGRA/BGRX -> (R, G, B) uint8 planes."""
+    lead = buf.shape[:-1]
+    a = buf.reshape(lead + (height, width, 4))
+    return a[..., 2], a[..., 1], a[..., 0]
+
+
+def rgb48_unpack_device(words: jnp.ndarray, width: int, height: int,
+                        order: str = "rgb"):
+    """(..., H*W*3) uint16 RGB48/BGR48 -> (R, G, B) uint16 planes
+    (CopyFrameRGB48/CopyFrameBGR48, Source/Helper.cpp:472-530)."""
+    lead = words.shape[:-1]
+    a = words.reshape(lead + (height, width, 3))
+    if order == "bgr":
+        return a[..., 2], a[..., 1], a[..., 0]
+    return a[..., 0], a[..., 1], a[..., 2]
+
+
+def bgra64_unpack_device(words: jnp.ndarray, width: int, height: int):
+    """(..., H*W*4) uint16 BGRA64 -> (R, G, B) uint16 planes."""
+    lead = words.shape[:-1]
+    a = words.reshape(lead + (height, width, 4))
+    return a[..., 2], a[..., 1], a[..., 0]
+
+
+def b64a_unpack_device(words: jnp.ndarray, width: int, height: int):
+    """(..., H*W*4) uint16 b64a (big-endian A R G B, CopyFrameB64A) ->
+    (R, G, B) uint16 planes."""
+    lead = words.shape[:-1]
+    a = words.reshape(lead + (height, width, 4))
+    sw = ((a & jnp.uint16(0xFF)) << 8) | (a >> 8)     # byteswap u16
+    return sw[..., 1], sw[..., 2], sw[..., 3]
+
+
+def r210_unpack_device(dwords: jnp.ndarray, width: int, height: int):
+    """(..., H*W) uint32 r210 big-endian dwords -> (R, G, B) uint16
+    MSB-aligned planes (CopyFrameR210, Source/Helper.cpp:762-790)."""
+    lead = dwords.shape[:-1]
+    d = dwords.reshape(lead + (height, width))
+    # byteswap via shifts (XLA int ops)
+    sw = (((d & 0xFF) << 24) | ((d & 0xFF00) << 8)
+          | ((d >> 8) & 0xFF00) | (d >> 24))
+    r = _shift10to16((sw >> 20) & 0x3FF)
+    g = _shift10to16((sw >> 10) & 0x3FF)
+    b = _shift10to16(sw & 0x3FF)
+    return r, g, b
+
+
+_DEVICE_UNPACKERS = {
+    "AYUV": ayuv_unpack_device,
+    "Y410": y410_unpack_device,
+    "Y416": y416_unpack_device,
+    "RGB24": rgb24_unpack_device,
+    "RGB32": bgra32_unpack_device,
+    "ARGB32": bgra32_unpack_device,
+    "RGB48": rgb48_unpack_device,
+    "BGR48": lambda b, w, h: rgb48_unpack_device(b, w, h, "bgr"),
+    "BGRA64": bgra64_unpack_device,
+    "b64a": b64a_unpack_device,
+    "r210": r210_unpack_device,
+}
+
+
+def unpack_frame_device(fmt_name: str, buf: jnp.ndarray, width: int,
+                        height: int):
+    """Dispatch device-side unpack by ColorFormat name; raises KeyError for
+    formats without a device unpacker (use the host path)."""
+    fn = _DEVICE_UNPACKERS.get(fmt_name)
+    if fn is None:
+        raise KeyError(f"no device unpacker for {fmt_name}")
+    return fn(buf, width, height)

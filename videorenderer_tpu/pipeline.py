@@ -1106,6 +1106,39 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
         app = lambda p, a, b, ps: _fused_apply2d(p, a, b, use_pallas, ps,
                                                  dtype)
         keys_ok = set(rt) <= ({"dovi_curves", "cmat"} | rt_keys_b)
+        if use_rows3_a and use_rows3_b and keys_ok and len(planes) == 3:
+            # single-intermediate chain (VERDICT r2 #5): chroma W upsample,
+            # then ONE rows3_mid kernel runs [chroma H-up -> reshape + ycc
+            # matrix + LMS -> H-downscale] per column stripe — the
+            # full-source-res PQ RGB between the old stages A/B (~100
+            # MB/frame at 4K) never exists — and cols3_tail finishes with
+            # W-resize + corrections + dither (+ packing) per frame, like
+            # the reference's one-pass DoVi chain (Source/Shaders.cpp:531-859)
+            from .kernels import resize_pallas as rp
+            from .kernels.deint_pallas import cols3_tail, rows3_mid
+            yp, up, vp = planes
+            uw = up if ux_f is None else rp.banded_resize_last_axis(
+                up, ux_f, pre_scale=norm)
+            vw = vp if ux_f is None else rp.banded_resize_last_axis(
+                vp, ux_f, pre_scale=norm)
+            rt_a = (_pack_stage_a_rt(rt)
+                    if rt.keys() & {"dovi_curves", "cmat"} else None)
+            mid = rows3_mid(
+                yp, uw, vw, by_f, uy_f, src_h,
+                _epi_a_rt if rt_a is not None else _epi_a,
+                wy_f, vid_h,
+                y_scale=norm, c_scale=norm if ux_f is None else None,
+                rt_scalars=rt_a)
+            rt_tail = {k: rt[k] for k in rt_keys_b & set(rt)}
+            chs = [mid[..., i, :, :] for i in range(3)]
+            if rt_tail and epi_b_rt is not None:
+                return cols3_tail(
+                    chs[0], chs[1], chs[2], wx_f, wx_f, vid_w, epi_b_rt,
+                    rt_scalars=_pack_rt_all(plan, rt_tail, dtype,
+                                            with_cmat=False),
+                    pack_format=pack_format)
+            return cols3_tail(chs[0], chs[1], chs[2], wx_f, wx_f, vid_w,
+                              epi_b, pack_format=pack_format)
         if use_rows3_a and keys_ok and len(planes) == 3:
             from .kernels import resize_pallas as rp
             yp, up, vp = planes
@@ -1483,19 +1516,92 @@ def make_deint_frame_fn(plan: PipelinePlan, field: int,
     return fn
 
 
+def _can_kernel_deint(plan: PipelinePlan) -> bool:
+    """The fully-fused deint path (deint3_rows_dual + cols3_tail): VP-order
+    fusable plan, planar-YUV 420/444 source, no geometry embeds, 16-divisible
+    plane heights, TPU accel backend."""
+    s = plan.settings
+    info = plan.info
+    dw, dh = info.chroma_div
+    return (s.use_accel_backend and jax.default_backend() == "tpu"
+            and _vp_format_allowed(s, info) and _can_fuse(plan)
+            and info.cs_type == ColorSystem.YUV and dw in (1, 2)
+            and plan.src_rect is None and plan.dst.video_rect is None)
+
+
 def make_deint_fields_fn(plan: PipelinePlan, top_field_first: bool = True,
                          dtype=jnp.float32,
                          motion_threshold: float = 8.0 / 255.0,
-                         pack_surface: bool = False):
+                         pack_surface: bool = False,
+                         force_kernel: bool = False):
     """Double-rate variant of :func:`make_deint_frame_fn`: ONE traced
     program renders BOTH temporal fields of a frame, so the integer→float
     casts and the |next - prev| motion field are computed once and shared
-    (XLA CSE) instead of once per field, and the two field renders dispatch
-    as a single call.  Returns fn(prev, cur, next) -> (field0, field1)."""
+    instead of once per field, and the two field renders dispatch as a
+    single call.  Returns fn(prev, cur, next) -> (field0, field1).
+
+    On TPU with a fusable plan the whole chain runs in kernels with NO
+    full-size float round-trip (VERDICT r2 #4): stage A fuses the
+    motion-adaptive select into the banded H-resize prologue of all three
+    planes for both fields (kernels/deint_pallas.deint3_rows_dual — the
+    rate-converter blt analogue, Source/D3D11VP.cpp:893-960), stage B runs
+    each field's W-resize + color matrix + corrections + dither (+ packing)
+    in one cols3_tail kernel."""
     from .ops import deinterlace as di
 
-    base = make_frame_fn(plan, dtype, pack_surface=pack_surface)
     maxval = 2.0 ** plan.info.plane_bits - 1.0
+    fmt = surface_pack_format(plan.dst) if pack_surface else None
+
+    if force_kernel or _can_kernel_deint(plan):
+        from .kernels.deint_pallas import cols3_tail, deint3_rows_dual
+        s = plan.settings
+        src, dst = plan.src, plan.dst
+        info = plan.info
+        vid_w, vid_h = dst.video_size
+        cx = scale_ops.select_scaler(src.width, vid_w, s.upscaling,
+                                     s.downscaling, s.interpolate_at_50pct)
+        cy = scale_ops.select_scaler(src.height, vid_h, s.upscaling,
+                                     s.downscaling, s.interpolate_at_50pct)
+        wx = scale_ops.build_axis_matrix(cx, src.width, vid_w)
+        wy = scale_ops.build_axis_matrix(cy, src.height, vid_h)
+        dw, dh = info.chroma_div
+        ux, uy = chroma_ops.chroma_upsample_matrices(
+            src.width // dw, src.height // dh, info.subsampling,
+            s.chroma_scaling, src.chroma_location)
+        cwx = _compose(ux, wx)
+        cwy = _compose(uy, wy)
+        norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
+        # stage A needs actual H maps for the in-kernel band dot
+        my_y = np.asarray(wy if wy is not None else np.eye(src.height),
+                          np.float32)
+        my_c = np.asarray(cwy if cwy is not None else
+                          np.eye(src.height // dh), np.float32)
+        wx_f = None if wx is None else np.asarray(wx, np.float32)
+        cwx_f = None if cwx is None else np.asarray(cwx, np.float32)
+        epi = _make_tail_epilogue(plan, dtype)
+        thr = motion_threshold * maxval
+
+        def fn(prev_planes, cur_planes, next_planes):
+            f0, f1 = deint3_rows_dual(
+                tuple(prev_planes), tuple(cur_planes), tuple(next_planes),
+                my_y, my_c, vid_h, thr, top_field_first=top_field_first,
+                y_scale=norm, c_scale=norm, keep_pad=True)
+            outs = []
+            for yf, uf, vf in (f0, f1):
+                out = cols3_tail(
+                    yf, uf, vf, wx_f, cwx_f, vid_w, epi,
+                    y_scale=1.0 if wx_f is None else None,
+                    c_scale=1.0 if cwx_f is None else None,
+                    pack_format=fmt)
+                # stage A handed over its padded rows (no re-pad copy);
+                # crop them from the final surface
+                outs.append(out[..., :vid_h, :] if out.shape[-2] != vid_h
+                            else out)
+            return outs[0], outs[1]
+
+        return fn
+
+    base = make_frame_fn(plan, dtype, pack_surface=pack_surface)
 
     def fn(prev_planes, cur_planes, next_planes):
         d0, d1 = [], []
