@@ -172,7 +172,11 @@ def build_plan(key: str):
 
 def input_spec(key: str):
     """(format, w, h, timing batch) per config."""
-    if key in ("c1", "c3", "c3rot", "c3sr"):
+    if key == "c3sr":
+        # the conv net keeps (B, 1080, 1920, 32) f32 activations live:
+        # batch 32 would need ~34 GB HBM
+        return ColorFormat.NV12, 1920, 1080, 4
+    if key in ("c1", "c3", "c3rot"):
         return ColorFormat.NV12, 1920, 1080, 32
     if key == "c2":
         return ColorFormat.P010, 3840, 2160, 60

@@ -209,7 +209,14 @@ def main() -> None:
     rows = []
     failures = []
     for key in keys:
-        samples, psnr = run_config(key, dev)
+        try:
+            samples, psnr = run_config(key, dev)
+        except Exception as e:          # one config must not kill the suite
+            print(json.dumps({"config": bc.NAMES[key],
+                              "error": f"{type(e).__name__}: {e}"[:300]}))
+            failures.append((key, "error", str(e)[:120]))
+            rows.append((key, bc.NAMES[key], 0.0, 0.0, 0.0, 0.0, False))
+            continue
         med = float(np.median(samples))
         lo, hi = float(min(samples)), float(max(samples))
         bar = PSNR_BAR.get(key, DEFAULT_BAR)

@@ -152,3 +152,29 @@ def test_device_unpack_parity_all_formats():
         for dp, hp in zip(dev, host.planes):
             np.testing.assert_array_equal(np.asarray(dp), hp,
                                           err_msg=info.name)
+
+
+@pytest.mark.parametrize("fmt", [ColorFormat.NV12, ColorFormat.P010,
+                                 ColorFormat.YUY2, ColorFormat.UYVY,
+                                 ColorFormat.Y210, ColorFormat.V210,
+                                 ColorFormat.AYUV, ColorFormat.Y410,
+                                 ColorFormat.RGB24, ColorFormat.RGB48])
+def test_process_packed_matches_host_unpack(fmt):
+    """VideoProcessor.process_packed ships packed bytes to the device and
+    unpacks there; output equals unpacking host-side then processing."""
+    from videorenderer_tpu import (OutputDescriptor, Settings,
+                                   SourceDescriptor, VideoProcessor)
+    from videorenderer_tpu import formats as fm
+    from videorenderer_tpu.csputils import CSP
+
+    w, h = 48, 16
+    info = fm.get_format_info(fmt)
+    rng = np.random.default_rng(int(fmt))
+    nbytes = info.buffer_size(w, h)
+    raw = rng.integers(0, 256, nbytes, np.uint8).tobytes()
+    src = SourceDescriptor(format=fmt, width=w, height=h, matrix=CSP.BT_709)
+    vp = VideoProcessor(Settings(use_dither=False), src,
+                        OutputDescriptor(width=w, height=h, bits=8))
+    host = np.asarray(vp.process(fm.unpack_frame(fmt, raw, w, h).planes))
+    dev = np.asarray(vp.process_packed(raw))
+    np.testing.assert_allclose(dev, host, atol=1e-6)

@@ -578,12 +578,17 @@ def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
             return (sm[:TILE, :TILE], sm[:TILE, TILE:],
                     sm[TILE:, :TILE], sm[TILE:, TILE:])
 
-        cur = wdots(0)
+        # NO cross-tile software pipelining here: issuing wdots(jr+1) before
+        # tile jr's H/AR/cmat chain (the single-plane kernel's pattern)
+        # MISCOMPILES on real TPUs for this 3-plane variant — the three
+        # (rh, (r+2)*128) W-dot results held live across the loop boundary
+        # corrupt whole output row tiles (measured max err 0.58 at every
+        # size; interpret mode is exact, so it is a Mosaic scheduling
+        # hazard, not kernel math).  Caught by the per-config hardware PSNR
+        # gate (bench_configs r3); do not reintroduce without re-running
+        # the gate on hardware.
         for jr in range(n_jr):
-            # software pipelining: next tile's W dots issue before this
-            # tile's dependent H/AR/cmat chain
-            nxt = wdots(jr + 1) if jr + 1 < n_jr else None
-            ty, tu, tv = cur
+            ty, tu, tv = wdots(jr)
             un_y = hpass(jr, ty, tshy, tsly, ahy, aly, rh_y)
             un_u = hpass(jr, tu, tshc, tslc, ahc, alc, rh_c)
             un_v = hpass(jr, tv, tshc, tslc, ahc, alc, rh_c)
@@ -618,7 +623,6 @@ def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
                     pack_surface_tiles(res, pack_format)
             else:
                 o_ref[0, :, pl.ds(jr * TILE, TILE), :] = res
-            cur = nxt
 
     return kern
 

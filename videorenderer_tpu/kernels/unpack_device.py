@@ -146,7 +146,53 @@ def r210_unpack_device(dwords: jnp.ndarray, width: int, height: int):
     return r, g, b
 
 
+def p01x_split_device(buf: jnp.ndarray, width: int, height: int,
+                      div_h: int = 2):
+    """(..., H*W + (H//div_h)*W) uint8/uint16 biplanar buffer (NV12/P010/
+    P016/P210/P216) -> (Y, U, V) planes."""
+    lead = buf.shape[:-1]
+    ysize = width * height
+    y = buf[..., :ysize].reshape(lead + (height, width))
+    uv = buf[..., ysize:].reshape(lead + (height // div_h, width // 2, 2))
+    return y, uv[..., 0], uv[..., 1]
+
+
+def yuy2_unpack_device(buf: jnp.ndarray, width: int, height: int,
+                       order: str = "yuy2"):
+    """(..., H*W*2) uint8 YUY2 (Y0 U Y1 V) or UYVY (U Y0 V Y1) -> planar."""
+    lead = buf.shape[:-1]
+    q = buf.reshape(lead + (height, width // 2, 4))
+    if order == "uyvy":
+        y = jnp.stack([q[..., 1], q[..., 3]], axis=-1)
+        u, v = q[..., 0], q[..., 2]
+    else:
+        y = jnp.stack([q[..., 0], q[..., 2]], axis=-1)
+        u, v = q[..., 1], q[..., 3]
+    return y.reshape(lead + (height, width)), u, v
+
+
+def _v210_frame(buf, w, h):
+    row_dwords = ((w + 47) // 48) * 32
+    lead = buf.shape[:-1]
+    return v210_unpack_device(buf.reshape(lead + (h, row_dwords)), w)
+
+
+def _y210_frame(buf, w, h):
+    lead = buf.shape[:-1]
+    return y210_unpack_device(buf.reshape(lead + (h, w * 2)), w)
+
+
 _DEVICE_UNPACKERS = {
+    "NV12": p01x_split_device,
+    "P010": p01x_split_device,
+    "P016": p01x_split_device,
+    "P210": lambda b, w, h: p01x_split_device(b, w, h, 1),
+    "P216": lambda b, w, h: p01x_split_device(b, w, h, 1),
+    "YUY2": yuy2_unpack_device,
+    "UYVY": lambda b, w, h: yuy2_unpack_device(b, w, h, "uyvy"),
+    "Y210": _y210_frame,
+    "Y216": _y210_frame,
+    "v210": _v210_frame,
     "AYUV": ayuv_unpack_device,
     "Y410": y410_unpack_device,
     "Y416": y416_unpack_device,
@@ -160,11 +206,30 @@ _DEVICE_UNPACKERS = {
     "r210": r210_unpack_device,
 }
 
+# numpy view dtype of the flat per-frame buffer each unpacker expects
+DEVICE_BUFFER_DTYPE = {
+    "NV12": np.uint8, "P010": np.uint16, "P016": np.uint16,
+    "P210": np.uint16, "P216": np.uint16,
+    "YUY2": np.uint8, "UYVY": np.uint8,
+    "Y210": np.uint16, "Y216": np.uint16, "v210": np.uint32,
+    "AYUV": np.uint8, "Y410": np.uint32, "Y416": np.uint16,
+    "RGB24": np.uint8, "RGB32": np.uint8, "ARGB32": np.uint8,
+    "RGB48": np.uint16, "BGR48": np.uint16, "BGRA64": np.uint16,
+    "b64a": np.uint16, "r210": np.uint32,
+}
+
+
+def has_device_unpacker(fmt_name: str) -> bool:
+    return fmt_name in _DEVICE_UNPACKERS
+
 
 def unpack_frame_device(fmt_name: str, buf: jnp.ndarray, width: int,
                         height: int):
-    """Dispatch device-side unpack by ColorFormat name; raises KeyError for
-    formats without a device unpacker (use the host path)."""
+    """Dispatch device-side unpack by ColorFormat name over a flat
+    (..., n_words) device buffer; raises KeyError for formats without a
+    device unpacker (use the host path).  The Y210/P010-class 10-bit
+    formats come out MSB-aligned already (the container stores them so);
+    Y410/v210/r210 shift in-op."""
     fn = _DEVICE_UNPACKERS.get(fmt_name)
     if fn is None:
         raise KeyError(f"no device unpacker for {fmt_name}")

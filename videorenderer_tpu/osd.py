@@ -47,14 +47,92 @@ def glyph_atlas(size: int = 16) -> dict:
             ImageDraw.Draw(img).text((0, 0), ch, fill=255, font=font)
             atlas[ch] = np.asarray(img, dtype=np.uint8)
         return atlas
-    # minimal fallback: 3x5 blocky digits/letters drawn as filled boxes
+    # Pillow-free fallback: the bundled 5x7 bitmap font, scaled to ~size
+    # (legible stats text instead of filled boxes)
+    scale = max(1, size // 8)
     atlas = {}
     for ch in chars:
-        g = np.zeros((size, size // 2), np.uint8)
-        if not ch.isspace():
-            g[2:-2, 1:-1] = 255
-        atlas[ch] = g
+        g = _FONT5X7.get(ch)
+        if g is None:
+            g = _FONT5X7.get(ch.upper())
+        if g is None:
+            bits = np.zeros((7, 5), np.uint8) if ch == " " else \
+                np.pad(np.ones((5, 3), np.uint8), ((1, 1), (1, 1)))
+        else:
+            bits = g
+        img = np.kron(bits, np.ones((scale, scale), np.uint8)) * 255
+        # 1-pixel-scaled letter spacing column
+        atlas[ch] = np.pad(img, ((0, scale), (0, scale)))
     return atlas
+
+
+def _f57(*rows: str) -> np.ndarray:
+    """7 strings of 5 chars ('#' = on) -> (7, 5) uint8 bitmap."""
+    return np.array([[1 if c == "#" else 0 for c in r.ljust(5)]
+                     for r in rows], np.uint8)
+
+
+# classic 5x7 glyph set (the stats panel's working set; other characters
+# fall back to a box) — replaces the illegible filled-box fallback
+_FONT5X7 = {
+    " ": _f57("", "", "", "", "", "", ""),
+    "0": _f57(" ### ", "#   #", "#  ##", "# # #", "##  #", "#   #", " ### "),
+    "1": _f57("  #  ", " ##  ", "  #  ", "  #  ", "  #  ", "  #  ", " ### "),
+    "2": _f57(" ### ", "#   #", "    #", "   # ", "  #  ", " #   ", "#####"),
+    "3": _f57(" ### ", "#   #", "    #", "  ## ", "    #", "#   #", " ### "),
+    "4": _f57("   # ", "  ## ", " # # ", "#  # ", "#####", "   # ", "   # "),
+    "5": _f57("#####", "#    ", "#### ", "    #", "    #", "#   #", " ### "),
+    "6": _f57(" ### ", "#    ", "#    ", "#### ", "#   #", "#   #", " ### "),
+    "7": _f57("#####", "    #", "   # ", "  #  ", " #   ", " #   ", " #   "),
+    "8": _f57(" ### ", "#   #", "#   #", " ### ", "#   #", "#   #", " ### "),
+    "9": _f57(" ### ", "#   #", "#   #", " ####", "    #", "    #", " ### "),
+    "A": _f57(" ### ", "#   #", "#   #", "#####", "#   #", "#   #", "#   #"),
+    "B": _f57("#### ", "#   #", "#   #", "#### ", "#   #", "#   #", "#### "),
+    "C": _f57(" ### ", "#   #", "#    ", "#    ", "#    ", "#   #", " ### "),
+    "D": _f57("#### ", "#   #", "#   #", "#   #", "#   #", "#   #", "#### "),
+    "E": _f57("#####", "#    ", "#    ", "#### ", "#    ", "#    ", "#####"),
+    "F": _f57("#####", "#    ", "#    ", "#### ", "#    ", "#    ", "#    "),
+    "G": _f57(" ### ", "#   #", "#    ", "# ###", "#   #", "#   #", " ####"),
+    "H": _f57("#   #", "#   #", "#   #", "#####", "#   #", "#   #", "#   #"),
+    "I": _f57(" ### ", "  #  ", "  #  ", "  #  ", "  #  ", "  #  ", " ### "),
+    "J": _f57("  ###", "   # ", "   # ", "   # ", "   # ", "#  # ", " ##  "),
+    "K": _f57("#   #", "#  # ", "# #  ", "##   ", "# #  ", "#  # ", "#   #"),
+    "L": _f57("#    ", "#    ", "#    ", "#    ", "#    ", "#    ", "#####"),
+    "M": _f57("#   #", "## ##", "# # #", "# # #", "#   #", "#   #", "#   #"),
+    "N": _f57("#   #", "##  #", "# # #", "#  ##", "#   #", "#   #", "#   #"),
+    "O": _f57(" ### ", "#   #", "#   #", "#   #", "#   #", "#   #", " ### "),
+    "P": _f57("#### ", "#   #", "#   #", "#### ", "#    ", "#    ", "#    "),
+    "Q": _f57(" ### ", "#   #", "#   #", "#   #", "# # #", "#  # ", " ## #"),
+    "R": _f57("#### ", "#   #", "#   #", "#### ", "# #  ", "#  # ", "#   #"),
+    "S": _f57(" ####", "#    ", "#    ", " ### ", "    #", "    #", "#### "),
+    "T": _f57("#####", "  #  ", "  #  ", "  #  ", "  #  ", "  #  ", "  #  "),
+    "U": _f57("#   #", "#   #", "#   #", "#   #", "#   #", "#   #", " ### "),
+    "V": _f57("#   #", "#   #", "#   #", "#   #", "#   #", " # # ", "  #  "),
+    "W": _f57("#   #", "#   #", "#   #", "# # #", "# # #", "# # #", " # # "),
+    "X": _f57("#   #", "#   #", " # # ", "  #  ", " # # ", "#   #", "#   #"),
+    "Y": _f57("#   #", "#   #", " # # ", "  #  ", "  #  ", "  #  ", "  #  "),
+    "Z": _f57("#####", "    #", "   # ", "  #  ", " #   ", "#    ", "#####"),
+    ":": _f57("", "  #  ", "  #  ", "", "  #  ", "  #  ", ""),
+    ".": _f57("", "", "", "", "", " ##  ", " ##  "),
+    ",": _f57("", "", "", "", " ##  ", "  #  ", " #   "),
+    "-": _f57("", "", "", "#####", "", "", ""),
+    "+": _f57("", "  #  ", "  #  ", "#####", "  #  ", "  #  ", ""),
+    "(": _f57("   # ", "  #  ", " #   ", " #   ", " #   ", "  #  ", "   # "),
+    ")": _f57(" #   ", "  #  ", "   # ", "   # ", "   # ", "  #  ", " #   "),
+    "%": _f57("##   ", "##  #", "   # ", "  #  ", " #   ", "#  ##", "   ##"),
+    "/": _f57("    #", "    #", "   # ", "  #  ", " #   ", "#    ", "#    "),
+    "=": _f57("", "", "#####", "", "#####", "", ""),
+    "#": _f57(" # # ", " # # ", "#####", " # # ", "#####", " # # ", " # # "),
+    "_": _f57("", "", "", "", "", "", "#####"),
+    "'": _f57("  #  ", "  #  ", "", "", "", "", ""),
+    "!": _f57("  #  ", "  #  ", "  #  ", "  #  ", "  #  ", "", "  #  "),
+    "?": _f57(" ### ", "#   #", "    #", "   # ", "  #  ", "", "  #  "),
+    "[": _f57(" ### ", " #   ", " #   ", " #   ", " #   ", " #   ", " ### "),
+    "]": _f57(" ### ", "   # ", "   # ", "   # ", "   # ", "   # ", " ### "),
+    "<": _f57("   # ", "  #  ", " #   ", "#    ", " #   ", "  #  ", "   # "),
+    ">": _f57(" #   ", "  #  ", "   # ", "    #", "   # ", "  #  ", " #   "),
+    "*": _f57("", "# # #", " ### ", "#####", " ### ", "# # #", ""),
+}
 
 
 def render_text(text: str, size: int = 16) -> np.ndarray:

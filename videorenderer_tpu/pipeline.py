@@ -1642,3 +1642,27 @@ class VideoProcessor:
     def process_frame(self, frame) -> jax.Array:
         """Process an unpacked :class:`videorenderer_tpu.formats.PlanarFrame`."""
         return self.process(frame.planes)
+
+    def process_packed(self, buf) -> jax.Array:
+        """Ship the PACKED frame bytes to the device (smallest transfer) and
+        unpack there — the analogue of the reference sampling packed
+        textures on-GPU (Source/Shaders.cpp:82-529) instead of repacking on
+        the CPU.  ``buf``: bytes or array holding one tightly-packed frame
+        (leading batch dims allowed on arrays already shaped (..., n_words)).
+        Falls back to the host unpackers for formats without a device
+        unpacker."""
+        from .formats import unpack_frame
+        from .kernels.unpack_device import (DEVICE_BUFFER_DTYPE,
+                                            has_device_unpacker,
+                                            unpack_frame_device)
+        info = self.plan.info
+        src = self.plan.src
+        if not has_device_unpacker(info.name):
+            return self.process(
+                unpack_frame(info.cformat, buf, src.width, src.height).planes)
+        if isinstance(buf, (bytes, bytearray, memoryview)):
+            buf = np.frombuffer(buf, DEVICE_BUFFER_DTYPE[info.name])
+        if not hasattr(self, "_packed_fn"):
+            self._packed_fn = jax.jit(lambda b: self._fn(unpack_frame_device(
+                info.name, b, src.width, src.height)))
+        return self._packed_fn(jnp.asarray(buf))
