@@ -188,9 +188,11 @@ def input_spec(key: str):
         # vs 218 at batch 32 for one W kernel)
         return ColorFormat.P010, 3840, 2160, 32
     if key == "c7":
-        return ColorFormat.P010, 3840, 2160, 16
+        return ColorFormat.P010, 3840, 2160, 32
     if key == "c8":
-        return ColorFormat.P010, 3840, 2160, 8
+        # batch 32 amortizes the ~4 ms relay dispatch cost that dominated
+        # batch 8 (measured 272 -> 370 f/s); peak HBM ~7 GB of 16
+        return ColorFormat.P010, 3840, 2160, 32
     if key == "c9":
         return ColorFormat.P010, 7680, 4320, 4
     raise KeyError(key)

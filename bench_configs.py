@@ -246,10 +246,13 @@ def main() -> None:
         "measurement would time the relay, not the framework "
         "(`runner.run_clip` provides the overlapped host feed for real "
         "deployments).")
-    tmp = "BENCH_DETAILS.md.tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    os.replace(tmp, "BENCH_DETAILS.md")
+    if set(keys) == set(bc.ALL_KEYS):
+        # only a FULL run may rewrite the table (one atomic source of
+        # truth; partial runs print JSON only and never mix into old rows)
+        tmp = "BENCH_DETAILS.md.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, "BENCH_DETAILS.md")
     if failures:
         print(f"PSNR FAILURES: {failures}", file=sys.stderr)
         sys.exit(1)

@@ -577,6 +577,53 @@ def test_dovi_stage_a_smem_curves_mmr_interpret(monkeypatch):
     assert (d > 0.5 / 1023).mean() < 0.01
 
 
+def test_dovi_mid_kernel_opt_in_interpret(monkeypatch):
+    """The single-intermediate rows3_mid + cols3_tail DoVi chain (opt-in
+    via VRT_TPU_DOVI_MID; slower than two-stage on v5e but wins when HBM
+    is the constraint) matches the XLA path with runtime curves."""
+    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
+                                   SourceDescriptor)
+    from videorenderer_tpu.csputils import CSP, Primaries, TRC
+    from videorenderer_tpu.ops import dovi as dovi_ops
+    from videorenderer_tpu.pipeline import (HDR10Metadata, make_serving_fn,
+                                            plan_pipeline)
+
+    rng = np.random.default_rng(29)
+    meta = dovi_ops.DoviMetadata(
+        curves=(dovi_ops.identity_curve(),) * 3,
+        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
+                                    [1, -0.164553, -0.571353],
+                                    [1, 1.8814, 0]]),
+        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+
+    def mk_plan(accel):
+        src = SourceDescriptor(format=ColorFormat.P010, width=64, height=48,
+                               transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                               matrix=CSP.BT_2020_NC, dovi=meta,
+                               hdr10=HDR10Metadata())
+        dst = OutputDescriptor(width=32, height=24, bits=10)
+        st = Settings(convert_to_sdr=True, use_accel_backend=accel)
+        return plan_pipeline(st, src, dst)
+
+    planes = (rng.integers(64, 941, (48, 64), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6,
+              rng.integers(64, 961, (24, 32), np.uint16) << 6)
+    curves = {k: jnp.asarray(v) for k, v in dovi_ops.pack_curves(meta).items()}
+    rt = {"dovi_curves": curves}
+    ref = np.asarray(make_serving_fn(mk_plan(False))(planes, rt))
+
+    monkeypatch.setenv("VRT_TPU_DOVI_MID", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_serving_fn(mk_plan(True))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes, rt))
+    d = np.abs(got - ref)
+    assert got.shape == ref.shape == (3, 24, 32)
+    assert d.max() <= 2.5 / 1023
+    assert (d > 0.5 / 1023).mean() < 0.01
+
+
 def test_jinc2_convert_fused_422_interpret(monkeypatch):
     """3-plane convert+Jinc2 kernel with a 4:2:2 source (W-only chroma
     upsample composition, chroma height = luma height)."""

@@ -49,20 +49,31 @@ def superres_engages(level: SuperResolution, src_w: int, src_h: int,
 
 @dataclass(frozen=True)
 class SuperResConfig:
-    channels: int = 32
+    """TPU-shaped defaults: the conv stack runs in a ``s2d``× space-to-depth
+    domain (1080p -> 270x480 grid) so the per-pixel matmuls have channel
+    dims that fill the 128-wide MXU lanes.  At channels=32 on the full-res
+    grid (the naive ESPCN shape) the MXU runs at ~6% lane utilization —
+    measured 26 f/s at 1080p; s2d=4/c=128 is the same per-pixel FLOP
+    budget at 83.8 f/s (measured, batch 4, v5e)."""
+    channels: int = 128
     num_blocks: int = 4
-    scale: int = 2           # pixel-shuffle factor
+    scale: int = 2           # output upscale factor
+    s2d: int = 4             # space-to-depth factor for the conv domain
     dtype: object = jnp.bfloat16
 
 
 def _conv(x, w, b):
-    # compute in float32 with DEFAULT precision: on TPU this lowers to
-    # bfloat16 MXU passes (fast) while keeping dtypes uniform for autodiff
+    # all-bf16 operands/output: XLA-on-TPU does NOT demote f32
+    # *convolutions* to bf16 passes the way it demotes f32 matmuls
+    # (measured 6.5% MXU efficiency on f32 convs); the MXU still
+    # accumulates in f32 internally and rounds once at the output, and
+    # uniform dtypes keep the conv VJP legal (preferred_element_type=f32
+    # would hand the transpose an f32 cotangent against bf16 weights)
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32), w.astype(jnp.float32),
+        x, w.astype(x.dtype),
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + b.astype(jnp.float32)
+    return y + b.astype(y.dtype)
 
 
 def init_params(key: jax.Array, cfg: SuperResConfig = SuperResConfig()):
@@ -72,39 +83,63 @@ def init_params(key: jax.Array, cfg: SuperResConfig = SuperResConfig()):
         w = jax.random.normal(k, (kh, kw, cin, cout), dtype=jnp.float32) * std
         return {"w": w.astype(cfg.dtype), "b": jnp.zeros((cout,), cfg.dtype)}
 
+    k = cfg.s2d
     keys = jax.random.split(key, cfg.num_blocks * 2 + 3)
     params = {
-        "head": conv_init(keys[0], 3, 3, 3, cfg.channels),
+        "head": conv_init(keys[0], 3, 3, 3 * k * k, cfg.channels),
         "body": [
             {"c1": conv_init(keys[1 + 2 * i], 3, 3, cfg.channels, cfg.channels),
              "c2": conv_init(keys[2 + 2 * i], 3, 3, cfg.channels, cfg.channels)}
             for i in range(cfg.num_blocks)
         ],
         "tail": conv_init(keys[-2], 3, 3, cfg.channels,
-                          3 * cfg.scale * cfg.scale),
+                          3 * (cfg.scale * k) ** 2),
     }
     return params
+
+
+def _space_to_depth(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/k, W/k, C*k*k); channel order (di, dj, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // k, k, w // k, k, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // k, w // k, k * k * c)
+
+
+def _depth_to_space(x: jnp.ndarray, k: int, c_out: int) -> jnp.ndarray:
+    """(N, H, W, k*k*c_out) -> (N, H*k, W*k, c_out); inverse channel order."""
+    n, h, w, _ = x.shape
+    x = x.reshape(n, h, w, k, k, c_out)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * k, w * k, c_out)
 
 
 def apply_fn(params, lr_rgb: jnp.ndarray, cfg: SuperResConfig = SuperResConfig()):
     """lr_rgb: (N, H, W, 3) in [0,1] -> (N, H*scale, W*scale, 3).
 
     Predicts a residual over nearest-upsampled input (stable identity init
-    behavior), pixel-shuffle tail for the spatial expansion.
+    behavior).  With ``cfg.s2d > 1`` the conv stack runs in the
+    space-to-depth domain — (H/k, W/k) grid, channels*k*k-wide matmuls —
+    and the tail pixel-shuffles by ``scale*k`` straight back to output
+    resolution (one domain change in, one out; no per-conv shuffles).
     """
     x = lr_rgb.astype(cfg.dtype)
-    h = jax.nn.relu(_conv(x, params["head"]["w"], params["head"]["b"]))
+    k, s = cfg.s2d, cfg.scale
+    n, in_h, in_w, _ = x.shape
+    ph, pw = (-in_h) % k, (-in_w) % k
+    if ph or pw:                       # pad to the s2d grid, crop at the end
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    h = _space_to_depth(x, k) if k > 1 else x
+    h = jax.nn.relu(_conv(h, params["head"]["w"], params["head"]["b"]))
     for blk in params["body"]:
         r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
         r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
         h = h + r
     res = _conv(h, params["tail"]["w"], params["tail"]["b"])
-    n, hh, ww, _ = res.shape
-    s = cfg.scale
-    res = res.reshape(n, hh, ww, s, s, 3)
-    res = res.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh * s, ww * s, 3)
+    res = _depth_to_space(res, s * k, 3)
     base = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
-    return (base + res).astype(jnp.float32)
+    out = (base + res).astype(jnp.float32)
+    if ph or pw:
+        out = out[:, :in_h * s, :in_w * s, :]
+    return out
 
 
 def loss_fn(params, lr, hr, cfg: SuperResConfig = SuperResConfig()):

@@ -31,6 +31,7 @@ because the Windows fixed-function VP lacks BT.2020 support).
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 
 
@@ -1106,7 +1107,14 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
         app = lambda p, a, b, ps: _fused_apply2d(p, a, b, use_pallas, ps,
                                                  dtype)
         keys_ok = set(rt) <= ({"dovi_curves", "cmat"} | rt_keys_b)
-        if use_rows3_a and use_rows3_b and keys_ok and len(planes) == 3:
+        # rows3_mid measured SLOWER than the two-stage form on hardware
+        # (260.5 vs 273.7 f/s, c8 4K batch 8): the saved ~100 MB/frame of
+        # intermediate HBM traffic does not pay for the per-column-stripe
+        # W-dot recompute.  Kept as an opt-in (it wins when HBM is the
+        # constraint, e.g. oversized frames near the memory roof).
+        use_mid = bool(os.environ.get("VRT_TPU_DOVI_MID"))
+        if (use_mid and use_rows3_a and use_rows3_b and keys_ok
+                and len(planes) == 3):
             # single-intermediate chain (VERDICT r2 #5): chroma W upsample,
             # then ONE rows3_mid kernel runs [chroma H-up -> reshape + ycc
             # matrix + LMS -> H-downscale] per column stripe — the
