@@ -30,17 +30,38 @@ REF_DIR = ".bench_refs"
 SUB_W, SUB_H, SUB_X, SUB_Y = 800, 96, 560, 950
 
 
+# bump when the generation scheme changes: ensure_refs() compares this (via
+# the .spec.json sidecar) so stale float64 references regenerate instead of
+# silently gating PSNR against inputs that no longer match
+RNG_SCHEME = 2
+
+
 def make_planes(fmt: ColorFormat, w, h, batch, seed=0):
-    rng = np.random.default_rng(seed)
+    # one independent rng per plane: frame i's content must not depend on
+    # the batch size (a single sequential rng made frame 0's chroma shift
+    # whenever a config's timing batch was retuned, silently invalidating
+    # the cached float64 references)
+    rngs = [np.random.default_rng((seed, i)) for i in range(3)]
     if fmt == ColorFormat.NV12:
-        return (rng.integers(16, 236, (batch, h, w), np.uint8),
-                rng.integers(16, 241, (batch, h // 2, w // 2), np.uint8),
-                rng.integers(16, 241, (batch, h // 2, w // 2), np.uint8))
+        return (rngs[0].integers(16, 236, (batch, h, w), np.uint8),
+                rngs[1].integers(16, 241, (batch, h // 2, w // 2), np.uint8),
+                rngs[2].integers(16, 241, (batch, h // 2, w // 2), np.uint8))
     if fmt == ColorFormat.P010:
-        return (rng.integers(64, 941, (batch, h, w), np.uint16) << 6,
-                rng.integers(64, 961, (batch, h // 2, w // 2), np.uint16) << 6,
-                rng.integers(64, 961, (batch, h // 2, w // 2), np.uint16) << 6)
+        return (rngs[0].integers(64, 941, (batch, h, w), np.uint16) << 6,
+                rngs[1].integers(64, 961, (batch, h // 2, w // 2),
+                                 np.uint16) << 6,
+                rngs[2].integers(64, 961, (batch, h // 2, w // 2),
+                                 np.uint16) << 6)
     raise ValueError(fmt)
+
+
+def ref_spec(key: str) -> dict:
+    """Identity of a cached float64 reference: if any of this changes, the
+    .npy under ``.bench_refs/`` no longer matches the timed inputs and must
+    regenerate (the batch size is deliberately absent — frames are
+    batch-invariant under RNG_SCHEME 2)."""
+    fmt, w, h, _ = input_spec(key)
+    return {"fmt": fmt.name, "w": w, "h": h, "scheme": RNG_SCHEME}
 
 
 def subtitle_overlay():

@@ -79,8 +79,18 @@ def load_ref(key):
     return np.load(path) if os.path.exists(path) else None
 
 
+def _ref_fresh(key) -> bool:
+    if load_ref(key) is None:
+        return False
+    try:
+        with open(os.path.join(bc.REF_DIR, f"{key}.spec.json")) as f:
+            return json.load(f) == bc.ref_spec(key)
+    except (OSError, ValueError):
+        return False
+
+
 def ensure_refs(keys):
-    missing = [k for k in keys if load_ref(k) is None]
+    missing = [k for k in keys if not _ref_fresh(k)]
     if not missing:
         return
     print(f"generating float64 references for {missing} (CPU subprocess)...",
@@ -175,10 +185,11 @@ def run_config(key: str, dev) -> tuple[list[float], float]:
 
     # plain frame-fn configs
     if key == "c3rot":
+        # geometry rides the packed surface (a dword is one pixel): the
+        # base keeps its in-kernel pack, rotation is an int32 transpose
         from videorenderer_tpu.ops import geometry as geo
-        base = make_frame_fn(plan)
-        fn = jax.jit(lambda p: _pack_surface_xla(
-            geo.rotate_flip(base(p), 90, True), "rgba8"))
+        base = make_frame_fn(plan, pack_surface=True)
+        fn = jax.jit(lambda p: geo.rotate_flip(base(p), 90, True))
     elif key == "c3sr":
         from videorenderer_tpu.models.superres import enhance_plane_chw
         params, cfg = bc.superres_params()

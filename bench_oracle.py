@@ -34,10 +34,10 @@ from videorenderer_tpu.pipeline import (make_deint_fields_fn, make_frame_fn,
 
 
 def _frame0(key):
-    # the rng fills plane-by-plane, so frame 0's chroma depends on the batch
-    # size: generate at the TIMING batch and slice, or inputs won't match
-    fmt, w, h, batch = bc.input_spec(key)
-    return tuple(p[0] for p in bc.make_planes(fmt, w, h, batch, seed=0))
+    # frame content is batch-invariant (per-plane rngs, bench_common
+    # RNG_SCHEME 2) so batch 1 here matches frame 0 of any timing batch
+    fmt, w, h, _ = bc.input_spec(key)
+    return tuple(p[0] for p in bc.make_planes(fmt, w, h, 1, seed=0))
 
 
 def compute_ref(key: str) -> np.ndarray:
@@ -45,8 +45,8 @@ def compute_ref(key: str) -> np.ndarray:
     f64 = jnp.float64
 
     if key in ("c5", "c5s"):
-        fmt, w, h, batch = bc.input_spec(key)
-        b = bc.make_planes(fmt, w, h, batch, seed=0)
+        fmt, w, h, _ = bc.input_spec(key)
+        b = bc.make_planes(fmt, w, h, 2, seed=0)
         f0 = tuple(p[0] for p in b)
         f1 = tuple(p[1] for p in b)
         fn = make_deint_fields_fn(plan, dtype=f64)
@@ -79,17 +79,27 @@ def compute_ref(key: str) -> np.ndarray:
 
 
 def main() -> None:
+    import json
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     force = "--force" in sys.argv
     keys = args or bc.ALL_KEYS
     os.makedirs(bc.REF_DIR, exist_ok=True)
     for key in keys:
         path = os.path.join(bc.REF_DIR, f"{key}.npy")
+        spec_path = os.path.join(bc.REF_DIR, f"{key}.spec.json")
+        spec = bc.ref_spec(key)
         if os.path.exists(path) and not force:
-            print(f"{key}: cached")
-            continue
+            try:
+                cached = json.load(open(spec_path))
+            except (OSError, ValueError):
+                cached = None
+            if cached == spec:
+                print(f"{key}: cached")
+                continue
         ref = compute_ref(key)
         np.save(path, ref.astype(np.float32))
+        with open(spec_path, "w") as f:
+            json.dump(spec, f)
         print(f"{key}: wrote {path} {ref.shape}")
 
 

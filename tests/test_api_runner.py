@@ -624,11 +624,28 @@ def test_pack_surface_renderer_paths():
     disp = vrp.get_displayed_image()
     assert disp.dtype == np.uint8 and disp.shape == (16, 32, 3)
 
-    vrp.flt_set("rotation", 180)     # float tail -> deferred packing
+    # geometry-only tail: the pack stays IN-KERNEL and rotation permutes
+    # the packed dwords — output must bit-equal rotating the unrotated
+    # packed surface (a dword is one pixel)
+    vrp.flt_set("rotation", 180)
     out_rot = np.asarray(vrp.process_frame(planes))
     assert out_rot.dtype in (np.int32, np.uint32)
     got_rot = unpack_rgba8(out_rot.view(np.uint32))
     np.testing.assert_array_equal(got_rot, got[::-1, ::-1])
+
+    # 90 + flip on a non-square source (surface dims swap): the packed
+    # in-kernel path must match the planar renderer's rotated output
+    vrp.flt_set("rotation", 90)
+    vrp.flt_set("flip", 1)
+    out_90 = np.asarray(vrp.process_frame(planes))
+    assert out_90.shape == (16, 32)     # content rotates INTO the surface
+    got_90 = unpack_rgba8(out_90.view(np.uint32))
+    vrf = _open_renderer(32, 16)
+    vrf.flt_set("rotation", 90)
+    vrf.flt_set("flip", 1)
+    ref_90 = np.asarray(vrf.process_frame(planes))
+    np.testing.assert_allclose(np.moveaxis(got_90, -1, 0), ref_90,
+                               atol=1 / 255.0)
 
 
 def test_packed_overlay_composite_bitequal():

@@ -327,8 +327,18 @@ class VideoRenderer:
         fmt = surface_pack_format(self._dst) if self._pack_surface else None
         float_tail = (ext_tail or sr_engaged or hdr_engaged
                       or bool(self._rotation) or self._flip)
-        base = make_frame_fn(base_plan,
-                             pack_surface=fmt is not None and not float_tail)
+        # rotation/flip permute whole pixels, and a packed dword IS one
+        # pixel: when geometry is the ONLY float tail, keep the in-kernel
+        # pack and rotate the packed int32 surface instead — the 3-channel
+        # float intermediate (+ separate XLA pack pass) never exists.
+        # Dither phase stays pre-rotation either way (the plan runs at
+        # swapped dims), matching the reference's rotated-resize semantics
+        # (ResizeShaderPass, Source/DX11VideoProcessor.cpp:3125-3135).
+        geo_only_tail = (fmt is not None and float_tail and not ext_tail
+                         and not sr_engaged and not hdr_engaged)
+        base = make_frame_fn(
+            base_plan,
+            pack_surface=fmt is not None and (not float_tail or geo_only_tail))
         if sr_engaged or hdr_engaged:
             inner = base
             sr = self._superres
@@ -369,7 +379,7 @@ class VideoRenderer:
                 else:
                     rgb = _dither_ops.ordered_dither(
                         _jnp.clip(rgb, 0.0, 1.0), ext_dither)
-            if fmt is not None and float_tail:
+            if fmt is not None and float_tail and not geo_only_tail:
                 rgb = _pack_surface_xla(rgb, fmt)
             return rgb
 
