@@ -238,7 +238,7 @@ NAMES = {
     "c7": "7. 4K HDR10 passthrough + BT.2390 tone map, serving (per-scene "
           "metadata, no retrace, packed surface)",
     "c8": "8. 4K Dolby Vision -> 1080p SDR, serving (per-scene RPU curves, "
-          "no retrace)",
+          "no retrace, packed surface)",
     "c9": "9. 8K HDR10 -> 4K SDR, row-sharded (oversized-frame path)",
 }
 

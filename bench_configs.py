@@ -171,7 +171,7 @@ def run_config(key: str, dev) -> tuple[list[float], float]:
         return samples, bc.psnr_db(got, load_ref(key))
 
     if key in ("c7", "c8"):
-        fn = jax.jit(make_serving_fn(plan, pack_surface=key == "c7"))
+        fn = jax.jit(make_serving_fn(plan, pack_surface=True))
         bs = device_batches(key, dev)
         rts = ([bc.c7_rt(0), bc.c7_rt(1)] if key == "c7"
                else [{"dovi_curves": bc.dovi_rt(i)} for i in (0, 1)])

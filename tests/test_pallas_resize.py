@@ -513,12 +513,23 @@ def test_dovi_stage_b_rows3_tail_interpret(monkeypatch):
                   "display_max_nits": 650.0}}
     ref = np.asarray(make_serving_fn(mk_plan(False))(planes, rt))
 
+    monkeypatch.setenv("VRT_TPU_DOVI_MID", "0")   # pin the two-stage form
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     fn = make_serving_fn(mk_plan(True))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fn(planes, rt))
     assert got.shape == ref.shape == (3, 96, 128)
     d = np.abs(got - ref)
+    assert d.max() <= 2.5 / 1023
+    assert (d > 0.5 / 1023).mean() < 0.01
+
+    # the mid chain (default) with the same hdr-only rt set — the
+    # cols3_tail epilogue consumes the SMEM scalars there instead
+    monkeypatch.setenv("VRT_TPU_DOVI_MID", "1")
+    fn_mid = make_serving_fn(mk_plan(True))
+    with pltpu.force_tpu_interpret_mode():
+        got_mid = np.asarray(fn_mid(planes, rt))
+    d = np.abs(got_mid - ref)
     assert d.max() <= 2.5 / 1023
     assert (d > 0.5 / 1023).mean() < 0.01
 
@@ -567,6 +578,7 @@ def test_dovi_stage_a_smem_curves_mmr_interpret(monkeypatch):
     rt = {"dovi_curves": curves}
     ref = np.asarray(make_serving_fn(mk_plan(False))(planes, rt))
 
+    monkeypatch.setenv("VRT_TPU_DOVI_MID", "0")   # pin the two-stage form
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     fn = make_serving_fn(mk_plan(True))
     with pltpu.force_tpu_interpret_mode():
@@ -578,9 +590,10 @@ def test_dovi_stage_a_smem_curves_mmr_interpret(monkeypatch):
 
 
 def test_dovi_mid_kernel_opt_in_interpret(monkeypatch):
-    """The single-intermediate rows3_mid + cols3_tail DoVi chain (opt-in
-    via VRT_TPU_DOVI_MID; slower than two-stage on v5e but wins when HBM
-    is the constraint) matches the XLA path with runtime curves."""
+    """The single-intermediate rows3_mid + cols3_tail DoVi chain (the
+    DEFAULT since the fast-pow change made the saved intermediate traffic
+    win; VRT_TPU_DOVI_MID=0 selects two-stage) matches the XLA path with
+    runtime curves."""
     from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
                                    SourceDescriptor)
     from videorenderer_tpu.csputils import CSP, Primaries, TRC

@@ -1107,12 +1107,13 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
         app = lambda p, a, b, ps: _fused_apply2d(p, a, b, use_pallas, ps,
                                                  dtype)
         keys_ok = set(rt) <= ({"dovi_curves", "cmat"} | rt_keys_b)
-        # rows3_mid measured SLOWER than the two-stage form on hardware
-        # (260.5 vs 273.7 f/s, c8 4K batch 8): the saved ~100 MB/frame of
-        # intermediate HBM traffic does not pay for the per-column-stripe
-        # W-dot recompute.  Kept as an opt-in (it wins when HBM is the
-        # constraint, e.g. oversized frames near the memory roof).
-        use_mid = bool(os.environ.get("VRT_TPU_DOVI_MID"))
+        # the fast-pow change flipped this tradeoff: with the LMS PQ round
+        # trip ~35% cheaper, the ~100 MB/frame of saved intermediate HBM
+        # traffic now beats the per-column-stripe W-dot recompute (578.1
+        # vs 563.4 f/s planar, 598.5 vs 578.1 packed; c8 4K batch 32 —
+        # pre-fast-pow it measured 260.5 vs 273.7 the other way).  The
+        # two-stage form stays reachable with VRT_TPU_DOVI_MID=0.
+        use_mid = os.environ.get("VRT_TPU_DOVI_MID", "1") != "0"
         if (use_mid and use_rows3_a and use_rows3_b and keys_ok
                 and len(planes) == 3):
             # single-intermediate chain (VERDICT r2 #5): chroma W upsample,
