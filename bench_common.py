@@ -61,7 +61,18 @@ def ref_spec(key: str) -> dict:
     regenerate (the batch size is deliberately absent — frames are
     batch-invariant under RNG_SCHEME 2)."""
     fmt, w, h, _ = input_spec(key)
-    return {"fmt": fmt.name, "w": w, "h": h, "scheme": RNG_SCHEME}
+    spec = {"fmt": fmt.name, "w": w, "h": h, "scheme": RNG_SCHEME}
+    if key == "c3sr":
+        # the reference depends on the model weights: fingerprint the
+        # shipped checkpoint so retraining invalidates the cached oracle
+        import hashlib
+        import os
+        if os.path.exists(_SR_CKPT):
+            with open(_SR_CKPT, "rb") as f:
+                spec["weights"] = hashlib.sha256(f.read()).hexdigest()[:16]
+        else:
+            spec["weights"] = "init-v2"     # v2: zero-init tail
+    return spec
 
 
 def subtitle_overlay():
@@ -72,12 +83,22 @@ def subtitle_overlay():
     return rgb, alpha
 
 
+_SR_CKPT = "weights/superres_2x.npz"
+
+
 def superres_params():
-    """Deterministic small SuperRes weights (the learned-upscaler slot)."""
+    """SuperRes weights for the learned-upscaler row: the SHIPPED trained
+    checkpoint when present (what a user runs), else deterministic init.
+    Either way the oracle uses the identical parameters, so the row's
+    PSNR measures bfloat16 model numerics, not model quality."""
+    import os
     import jax
     from videorenderer_tpu.models.superres import SuperResConfig, init_params
     cfg = SuperResConfig()
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if os.path.exists(_SR_CKPT):
+        from videorenderer_tpu.models.checkpoint import load_params
+        params = load_params(_SR_CKPT, params)
     return params, cfg
 
 

@@ -85,7 +85,22 @@ def cmd_process(args) -> int:
     dst = OutputDescriptor(width=ow, height=oh, bits=args.out_bits,
                            hdr=args.hdr_passthrough)
 
+    if args.superres:
+        from .config import SuperResolution
+        import dataclasses as _dc
+        settings = _dc.replace(
+            settings, vp_superres=_enum(SuperResolution, args.superres))
+
     vr = VideoRenderer(settings)
+    if args.superres:
+        from .models.checkpoint import load_params
+        from .models.superres import SuperResConfig, init_params
+        import jax as _jax
+        cfg = SuperResConfig()
+        like = init_params(_jax.random.PRNGKey(0), cfg)
+        weights = (load_params(args.superres_weights, like)
+                   if args.superres_weights else like)
+        vr.set_superres_params(weights, cfg)
     if args.rotation:
         vr.flt_set("rotation", args.rotation)
     if args.flip:
@@ -197,6 +212,35 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_train_superres(args) -> int:
+    """Train the learned 2x upscaler on synthetic frames degraded by the
+    framework's own downscalers; writes a checkpoint usable with
+    ``process --superres ... --superres-weights``."""
+    import jax as _jax
+    from .models.checkpoint import load_params, save_params
+    from .models.sr_train import evaluate_psnr, synth_frames, train
+    from .models.superres import SuperResConfig, init_params
+
+    cfg = SuperResConfig()
+    data = synth_frames(seed=args.seed, n=args.frames, size=args.patch)
+    val = synth_frames(seed=args.seed + 777, n=16, size=args.patch)
+    params = None
+    if args.resume:
+        params = load_params(args.resume,
+                             init_params(_jax.random.PRNGKey(0), cfg))
+    params, losses = train(cfg, steps=args.steps, batch=args.batch,
+                           data_hr=data, seed=args.seed,
+                           learning_rate=args.lr, log_every=args.log_every,
+                           params=params)
+    net_db, base_db = evaluate_psnr(params, cfg, val)
+    save_params(args.out, params)
+    print(json.dumps({"steps": args.steps, "final_loss": losses[-1],
+                      "val_psnr_net_db": round(net_db, 2),
+                      "val_psnr_catmull_db": round(base_db, 2),
+                      "out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="videorenderer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -235,6 +279,11 @@ def main(argv=None) -> int:
                     help="frame rate for subtitle timing")
     pp.add_argument("--screenshot", default=None,
                     help="also save the first output frame as PNG/BMP")
+    pp.add_argument("--superres", default=None,
+                    help="learned 2x upscaler gate level: SD/P720/P1080/P1440")
+    pp.add_argument("--superres-weights", default=None,
+                    help="trained checkpoint (.npz from train-superres); "
+                         "omit for untrained weights (residual ~ identity)")
     pp.set_defaults(fn=cmd_process)
 
     pi = sub.add_parser("info", help="device / processor info")
@@ -253,6 +302,20 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.add_argument("--frames", type=int, default=32)
     pb.set_defaults(fn=cmd_bench)
+
+    pt = sub.add_parser("train-superres",
+                        help="train the learned 2x upscaler (synthetic data)")
+    pt.add_argument("--out", required=True, help="checkpoint .npz path")
+    pt.add_argument("--steps", type=int, default=2000)
+    pt.add_argument("--batch", type=int, default=16)
+    pt.add_argument("--frames", type=int, default=256,
+                    help="synthetic training frames")
+    pt.add_argument("--patch", type=int, default=128, help="HR patch size")
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--resume", default=None, help="checkpoint to continue")
+    pt.add_argument("--log-every", type=int, default=100)
+    pt.set_defaults(fn=cmd_train_superres)
 
     args = p.parse_args(argv)
     try:

@@ -1,0 +1,178 @@
+"""SuperRes training: synthetic data, training loop, sharded DP step.
+
+The reference's SuperRes slot is an opaque driver network enabled per
+size class (NVIDIA/Intel VPE GUIDs, Source/D3D11VP.cpp:712-844); a
+standalone framework has to ship its own weights.  This module makes the
+learned upscaler REAL: a self-contained trainer whose degradation model
+is the framework's own resampling math, so the net learns to invert
+exactly the downscale a playback chain would apply.
+
+ * :func:`synth_frames` — procedural HR content (gradients, oriented
+   edges, sinusoid textures, checkerboards, glyph-like blocks).  Video
+   SR nets care about edges and periodic detail; this distribution
+   covers both without any external dataset.
+ * :func:`degrade` — HR -> LR through `ops.scale.downscale_matrix`
+   (the same banded math the pipeline's downscaler uses).
+ * :func:`train` — Adam (optax) with float32 master weights (the model
+   computes in bfloat16 either way — `_conv` casts weights to the
+   activation dtype; bf16 master weights stall because updates below
+   ~1/256 of a weight's magnitude round away), optionally data-parallel
+   over a `jax.sharding.Mesh` (batch sharded, params replicated; XLA
+   inserts the gradient psum).
+ * :func:`evaluate_psnr` — PSNR of the net vs a classical upscaler
+   baseline on held-out frames; the shipped checkpoint must BEAT the
+   baseline (tests/test_sr_train.py gates a reduced config, the
+   shipped weights are gated at full config by test_sr_checkpoint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .superres import SuperResConfig, apply_fn, init_params
+
+
+# ---------------------------------------------------------------- data
+
+def synth_frames(seed: int, n: int, size: int) -> np.ndarray:
+    """(n, size, size, 3) float32 HR frames in [0, 1]."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    out = np.empty((n, size, size, 3), np.float32)
+    for i in range(n):
+        kind = rng.integers(0, 4)
+        base = np.zeros((size, size, 3), np.float32)
+        # smooth background gradient in a random direction per channel
+        for c in range(3):
+            gx, gy = rng.normal(size=2)
+            base[..., c] = 0.5 + 0.25 * np.tanh(2.0 * (gx * (xx - 0.5)
+                                                       + gy * (yy - 0.5)))
+        if kind == 0:      # oriented hard edges / bars
+            for _ in range(rng.integers(3, 9)):
+                gx, gy = rng.normal(size=2)
+                off = rng.uniform(-0.5, 0.5)
+                m = (gx * (xx - 0.5) + gy * (yy - 0.5) > off)
+                base[m] = rng.uniform(0, 1, 3)
+        elif kind == 1:    # sinusoid texture (aliasing-prone detail)
+            fx, fy = rng.uniform(2, size / 4, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            t = 0.5 + 0.5 * np.sin(2 * np.pi * (fx * xx + fy * yy) + ph)
+            base = 0.4 * base + 0.6 * t[..., None] * rng.uniform(0.3, 1, 3)
+        elif kind == 2:    # checkerboard blocks at random scale
+            k = int(rng.integers(2, 16))
+            t = ((np.arange(size) // k)[:, None]
+                 + (np.arange(size) // k)[None, :]) % 2
+            base = 0.3 * base + 0.7 * t[..., None].astype(np.float32) \
+                * rng.uniform(0.3, 1, 3)
+        else:              # glyph-like rectangles (OSD/subtitle content)
+            for _ in range(rng.integers(6, 18)):
+                w = int(rng.integers(2, size // 4))
+                h = int(rng.integers(2, size // 4))
+                x0 = int(rng.integers(0, size - w))
+                y0 = int(rng.integers(0, size - h))
+                base[y0:y0 + h, x0:x0 + w] = rng.uniform(0, 1)
+        out[i] = np.clip(base, 0.0, 1.0)
+    return out
+
+
+def degrade(hr: np.ndarray, scale: int = 2, method=None) -> np.ndarray:
+    """HR -> LR with the framework's own downscale matrices (box default,
+    matching a mastering-chain decimation; any `Downscaling` works)."""
+    from ..config import Downscaling
+    from ..ops.scale import downscale_matrix
+    method = Downscaling.BICUBIC if method is None else method
+    n, h, w, c = hr.shape
+    mh = downscale_matrix(method, h, h // scale).astype(np.float32)
+    mw = downscale_matrix(method, w, w // scale).astype(np.float32)
+    lr = np.einsum("nhwc,hy->nywc", hr, mh)
+    lr = np.einsum("nywc,wx->nyxc", lr, mw)
+    return np.clip(lr, 0.0, 1.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------- training
+
+def train(cfg: SuperResConfig, steps: int, batch: int,
+          data_hr: np.ndarray, seed: int = 0,
+          learning_rate: float = 1e-3, lr_decay: float = 0.3,
+          mesh=None, log_every: int = 0, params=None):
+    """Adam training with f32 master weights; returns (params, losses).
+
+    With ``mesh`` (any 1-axis `jax.sharding.Mesh`), the batch shards over
+    the axis and parameters replicate — the canonical DP layout; XLA
+    inserts the gradient all-reduce.  The LR decays by ``lr_decay`` at
+    60% and 85% of the schedule.
+    """
+    import optax
+
+    from .superres import loss_fn
+
+    hr = jnp.asarray(data_hr)
+    lr_frames = jnp.asarray(degrade(data_hr, cfg.scale))
+    if params is None:
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+    # f32 master weights: bf16 compute happens inside apply_fn regardless
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32), params)
+
+    sched = optax.piecewise_constant_schedule(
+        learning_rate, {int(steps * 0.6): lr_decay, int(steps * 0.85): lr_decay})
+    tx = optax.adam(sched)
+    opt = tx.init(params)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        repl = NamedSharding(mesh, P())
+        datash = NamedSharding(mesh, P(axis))
+        params = jax.device_put(params, repl)
+        opt = jax.device_put(opt, repl)
+
+        def put_batch(a):
+            return jax.device_put(a, datash)
+    else:
+        put_batch = lambda a: a
+
+    @jax.jit
+    def step_fn(params, opt, lrb, hrb):
+        loss, grads = jax.value_and_grad(loss_fn)(params, lrb, hrb, cfg)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    rng = np.random.default_rng(seed + 1)
+    losses = []
+    n = data_hr.shape[0]
+    for s in range(steps):
+        idx = rng.integers(0, n, batch)
+        lrb = put_batch(lr_frames[jnp.asarray(idx)])
+        hrb = put_batch(hr[jnp.asarray(idx)])
+        params, opt, loss = step_fn(params, opt, lrb, hrb)
+        if log_every and (s % log_every == 0 or s == steps - 1):
+            print(f"step {s:5d}  loss {float(loss):.5f}", flush=True)
+        losses.append(float(loss))
+    return params, losses
+
+
+def evaluate_psnr(params, cfg: SuperResConfig, hr_val: np.ndarray,
+                  baseline=None) -> tuple[float, float]:
+    """(net PSNR, classical-upscaler PSNR) against HR on held-out frames.
+    Baseline defaults to the pipeline's Catmull-Rom interpolation."""
+    from ..config import Upscaling
+    from ..ops.scale import upscale_matrix
+    baseline = Upscaling.CATMULL_ROM if baseline is None else baseline
+    lr_val = degrade(hr_val, cfg.scale)
+    pred = np.asarray(jax.jit(lambda x: apply_fn(params, x, cfg))(
+        jnp.asarray(lr_val)))
+    n, h, w, c = lr_val.shape
+    mh = upscale_matrix(baseline, h, h * cfg.scale).astype(np.float32)
+    mw = upscale_matrix(baseline, w, w * cfg.scale).astype(np.float32)
+    up = np.einsum("nhwc,hy->nywc", lr_val, mh)
+    up = np.einsum("nywc,wx->nyxc", up, mw)
+
+    def psnr(a):
+        mse = float(np.mean((np.clip(a, 0, 1) - hr_val) ** 2))
+        return float(10 * np.log10(1.0 / mse)) if mse else float("inf")
+
+    return psnr(pred), psnr(up)

@@ -92,8 +92,13 @@ def init_params(key: jax.Array, cfg: SuperResConfig = SuperResConfig()):
              "c2": conv_init(keys[2 + 2 * i], 3, 3, cfg.channels, cfg.channels)}
             for i in range(cfg.num_blocks)
         ],
-        "tail": conv_init(keys[-2], 3, 3, cfg.channels,
-                          3 * (cfg.scale * k) ** 2),
+        # zero-init tail: the residual starts at exactly zero, so an
+        # untrained net IS the nearest-upsample baseline (standard
+        # residual-branch init; large He-init tails start ~3 Charbonnier
+        # units away and waste the first epochs un-learning noise)
+        "tail": {"w": jnp.zeros((3, 3, cfg.channels,
+                                 3 * (cfg.scale * k) ** 2), cfg.dtype),
+                 "b": jnp.zeros((3 * (cfg.scale * k) ** 2,), cfg.dtype)},
     }
     return params
 
