@@ -62,13 +62,14 @@ def ref_spec(key: str) -> dict:
     batch-invariant under RNG_SCHEME 2)."""
     fmt, w, h, _ = input_spec(key)
     spec = {"fmt": fmt.name, "w": w, "h": h, "scheme": RNG_SCHEME}
-    if key == "c3sr":
+    ckpt = {"c3sr": _SR_CKPT, "c1vh": _VH_CKPT}.get(key)
+    if ckpt is not None:
         # the reference depends on the model weights: fingerprint the
         # shipped checkpoint so retraining invalidates the cached oracle
         import hashlib
         import os
-        if os.path.exists(_SR_CKPT):
-            with open(_SR_CKPT, "rb") as f:
+        if os.path.exists(ckpt):
+            with open(ckpt, "rb") as f:
                 spec["weights"] = hashlib.sha256(f.read()).hexdigest()[:16]
         else:
             spec["weights"] = "init-v2"     # v2: zero-init tail
@@ -84,6 +85,23 @@ def subtitle_overlay():
 
 
 _SR_CKPT = "weights/superres_2x.npz"
+_VH_CKPT = "weights/videohdr.npz"
+
+
+def videohdr_params():
+    """VideoHDR weights for the learned SDR->HDR row: the SHIPPED trained
+    checkpoint when present, else deterministic init (== the analytic
+    inverse-Reinhard base).  The oracle uses identical parameters either
+    way, so the row's PSNR measures TPU-vs-CPU model numerics."""
+    import os
+    import jax
+    from videorenderer_tpu.models.videohdr import VideoHDRConfig, init_params
+    cfg = VideoHDRConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if os.path.exists(_VH_CKPT):
+        from videorenderer_tpu.models.checkpoint import load_params
+        params = load_params(_VH_CKPT, params)
+    return params, cfg
 
 
 def superres_params():
@@ -172,6 +190,13 @@ def build_plan(key: str):
         return plan_pipeline(
             Settings(vp_superres=SuperResolution.P1080),
             _src_nv12_1080(), OutputDescriptor(width=1920, height=1080, bits=8))
+    if key == "c1vh":
+        # learned SDR->HDR (RTX Video HDR slot): pipeline converts 1:1 to
+        # sRGB, the gain net emits PQ/BT.2020, packed RGB10
+        return plan_pipeline(
+            Settings(vp_rtx_video_hdr=True),
+            _src_nv12_1080(),
+            OutputDescriptor(width=1920, height=1080, bits=10))
     if key == "c4":
         return plan_pipeline(
             Settings(convert_to_sdr=True),
@@ -218,6 +243,9 @@ def input_spec(key: str):
         # the conv net keeps (B, 1080, 1920, 32) f32 activations live:
         # batch 32 would need ~34 GB HBM
         return ColorFormat.NV12, 1920, 1080, 4
+    if key == "c1vh":
+        # the gain net holds (B, 1080, 1920, 16) f32 activations live
+        return ColorFormat.NV12, 1920, 1080, 8
     if key in ("c1", "c3", "c3rot"):
         return ColorFormat.NV12, 1920, 1080, 32
     if key == "c2":
@@ -240,11 +268,12 @@ def input_spec(key: str):
     raise KeyError(key)
 
 
-ALL_KEYS = ["c1", "c2", "c3", "c3rot", "c3sr", "c4", "c5", "c5s",
+ALL_KEYS = ["c1", "c1vh", "c2", "c3", "c3rot", "c3sr", "c4", "c5", "c5s",
             "c6", "c7", "c8", "c9"]
 
 NAMES = {
     "c1": "1. 1080p NV12->RGB8 1:1 + dither (packed surface out)",
+    "c1vh": "1v. 1080p SDR -> HDR10 PQ (learned Video HDR, packed RGB10)",
     "c2": "2. 4K P010 -> 1080p RGB10 Catmull-Rom (60-frame clips, packed "
           "surface)",
     "c3": "3. 1080p -> 4K Jinc2 + anti-ringing (packed surface)",

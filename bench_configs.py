@@ -39,7 +39,7 @@ from videorenderer_tpu.pipeline import (_pack_surface_xla, make_deint_fields_fn,
 WARMUP = 2
 ITERS = 3
 REPEATS = 5
-PSNR_BAR = {"c3sr": 40.0}
+PSNR_BAR = {"c3sr": 40.0, "c1vh": 40.0}
 DEFAULT_BAR = 55.0
 
 
@@ -197,6 +197,13 @@ def run_config(key: str, dev) -> tuple[list[float], float]:
         base = make_frame_fn(plan)
         fn = jax.jit(lambda p: _pack_surface_xla(
             enhance_plane_chw(params, base(p), cfg), "rgba8"))
+    elif key == "c1vh":
+        from videorenderer_tpu.models.videohdr import enhance_plane_chw
+        params, cfg = bc.videohdr_params()
+        params = jax.device_put(params, dev)
+        base = make_frame_fn(plan)
+        fn = jax.jit(lambda p: _pack_surface_xla(
+            enhance_plane_chw(params, base(p), cfg), "rgb10a2"))
     else:
         fn = jax.jit(make_frame_fn(plan, pack_surface=True))
     bs = device_batches(key, dev)
@@ -207,9 +214,10 @@ def run_config(key: str, dev) -> tuple[list[float], float]:
     samples = measure(dispatch, batch)
     got = bc.decode_output(np.asarray(fn(bs[0]))[0], plan)
     ref = load_ref(key)
-    if key == "c3sr":
+    if key in ("c3sr", "c1vh"):
         # the packed output is quantized; quantize the float oracle alike
-        ref = np.floor(np.clip(ref, 0.0, 1.0) * 255.0 + 0.5) / 255.0
+        maxv = 1023.0 if plan.dst.bits == 10 else 255.0
+        ref = np.floor(np.clip(ref, 0.0, 1.0) * maxv + 0.5) / maxv
     return samples, bc.psnr_db(got, ref)
 
 
@@ -243,7 +251,8 @@ def main() -> None:
     for key, name, med, lo, hi, psnr, ok in rows:
         flag = "" if ok else "  **FAILED <%g dB**" % PSNR_BAR.get(key,
                                                                   DEFAULT_BAR)
-        note = " (model-numerics bar 40 dB)" if key == "c3sr" else ""
+        note = (" (model-numerics bar 40 dB)" if key in ("c3sr", "c1vh")
+                else "")
         lines.append(f"- {name}: **{med:.1f} frames/s** "
                      f"(min-max {lo:.1f}-{hi:.1f}) @ **{psnr:.2f} dB**"
                      f"{note}{flag}")
@@ -252,7 +261,8 @@ def main() -> None:
         f"{ITERS} dispatches (batch per config), regenerated atomically by "
         "one `bench_configs.py` run; PSNR is frame 0 of the timed inputs vs "
         "the float64 staged-path oracle (`bench_oracle.py`), gated at 55 dB "
-        "(40 dB for the bfloat16 learned-upscaler row). Inputs are device-"
+        "(40 dB for the learned-model rows, whose nets compute in reduced "
+        "precision by design). Inputs are device-"
         "resident: the TPU sits behind a network relay here, so a host-fed "
         "measurement would time the relay, not the framework "
         "(`runner.run_clip` provides the overlapped host feed for real "

@@ -75,6 +75,10 @@ def compute_ref(key: str) -> np.ndarray:
         from videorenderer_tpu.models.superres import enhance_plane_chw
         params, cfg = bc.superres_params()
         out = enhance_plane_chw(params, out, cfg)
+    elif key == "c1vh":
+        from videorenderer_tpu.models.videohdr import enhance_plane_chw
+        params, cfg = bc.videohdr_params()
+        out = enhance_plane_chw(params, out, cfg)
     return np.asarray(out)
 
 

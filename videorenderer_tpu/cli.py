@@ -26,6 +26,20 @@ from .pipeline import OutputDescriptor, SourceDescriptor
 from .runner import run_clip, windowed_batches
 
 
+def _enable_jit_cache() -> None:
+    """Persist compilations across processes (the TPU relay's remote
+    compiles are slow; /root/.jax_cache survives them).  TPU-only: CPU
+    AOT cache entries are machine-specific (loading one compiled
+    elsewhere risks SIGILL), and CPU compiles are fast anyway."""
+    import os
+
+    import jax
+    if (os.environ.get("JAX_PLATFORMS", "").lower() != "cpu"
+            and os.path.isdir("/root/.jax_cache")):
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def _parse_size(s: str) -> tuple[int, int]:
     w, h = s.lower().split("x")
     return int(w), int(h)
@@ -42,6 +56,7 @@ def _enum(cls, name: str):
 
 
 def cmd_process(args) -> int:
+    _enable_jit_cache()
     y4m = None
     if args.input.lower().endswith(".y4m"):
         from .io.y4m import Y4MSource
@@ -91,7 +106,20 @@ def cmd_process(args) -> int:
         settings = _dc.replace(
             settings, vp_superres=_enum(SuperResolution, args.superres))
 
+    if args.videohdr or args.videohdr_weights:
+        import dataclasses as _dc
+        settings = _dc.replace(settings, vp_rtx_video_hdr=True)
+
     vr = VideoRenderer(settings)
+    if args.videohdr or args.videohdr_weights:
+        from .models.checkpoint import load_params
+        from .models.videohdr import VideoHDRConfig, init_params
+        import jax as _jax
+        vcfg = VideoHDRConfig()
+        vlike = init_params(_jax.random.PRNGKey(0), vcfg)
+        vr.set_videohdr_params(
+            load_params(args.videohdr_weights, vlike)
+            if args.videohdr_weights else vlike, vcfg)
     if args.superres:
         from .models.checkpoint import load_params
         from .models.superres import SuperResConfig, init_params
@@ -216,6 +244,7 @@ def cmd_train_superres(args) -> int:
     """Train the learned 2x upscaler on synthetic frames degraded by the
     framework's own downscalers; writes a checkpoint usable with
     ``process --superres ... --superres-weights``."""
+    _enable_jit_cache()
     import jax as _jax
     from .models.checkpoint import load_params, save_params
     from .models.sr_train import evaluate_psnr, synth_frames, train
@@ -237,6 +266,39 @@ def cmd_train_superres(args) -> int:
     print(json.dumps({"steps": args.steps, "final_loss": losses[-1],
                       "val_psnr_net_db": round(net_db, 2),
                       "val_psnr_catmull_db": round(base_db, 2),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_train_videohdr(args) -> int:
+    """Train the learned SDR->HDR gain net against the framework's own
+    BT.2390 tone mapper (round-trip consistency); writes a checkpoint
+    usable with ``process --videohdr-weights``."""
+    _enable_jit_cache()
+    import jax as _jax
+    from .models.checkpoint import load_params, save_params
+    from .models.hdr_train import (evaluate_pq_psnr, synth_hdr_frames,
+                                   train)
+    from .models.videohdr import VideoHDRConfig, init_params
+
+    cfg = VideoHDRConfig()
+    data = synth_hdr_frames(seed=args.seed, n=args.frames, size=args.patch,
+                            cfg=cfg)
+    val = synth_hdr_frames(seed=args.seed + 777, n=16, size=args.patch,
+                           cfg=cfg)
+    params = None
+    if args.resume:
+        params = load_params(args.resume,
+                             init_params(_jax.random.PRNGKey(0), cfg))
+    params, losses = train(cfg, steps=args.steps, batch=args.batch,
+                           hdr_nits=data, seed=args.seed,
+                           learning_rate=args.lr, log_every=args.log_every,
+                           params=params)
+    net_db, base_db = evaluate_pq_psnr(params, cfg, val)
+    save_params(args.out, params)
+    print(json.dumps({"steps": args.steps, "final_loss": losses[-1],
+                      "val_pq_psnr_net_db": round(net_db, 2),
+                      "val_pq_psnr_base_db": round(base_db, 2),
                       "out": args.out}))
     return 0
 
@@ -284,6 +346,13 @@ def main(argv=None) -> int:
     pp.add_argument("--superres-weights", default=None,
                     help="trained checkpoint (.npz from train-superres); "
                          "omit for untrained weights (residual ~ identity)")
+    pp.add_argument("--videohdr", action="store_true",
+                    help="learned SDR->HDR (RTX Video HDR slot); untrained "
+                         "weights reduce to the deterministic inverse "
+                         "tone map")
+    pp.add_argument("--videohdr-weights", default=None,
+                    help="trained checkpoint (.npz from train-videohdr); "
+                         "implies --videohdr")
     pp.set_defaults(fn=cmd_process)
 
     pi = sub.add_parser("info", help="device / processor info")
@@ -316,6 +385,21 @@ def main(argv=None) -> int:
     pt.add_argument("--resume", default=None, help="checkpoint to continue")
     pt.add_argument("--log-every", type=int, default=100)
     pt.set_defaults(fn=cmd_train_superres)
+
+    pv = sub.add_parser("train-videohdr",
+                        help="train the learned SDR->HDR gain net "
+                             "(synthetic HDR, BT.2390 round trip)")
+    pv.add_argument("--out", required=True, help="checkpoint .npz path")
+    pv.add_argument("--steps", type=int, default=2000)
+    pv.add_argument("--batch", type=int, default=16)
+    pv.add_argument("--frames", type=int, default=256,
+                    help="synthetic HDR training frames")
+    pv.add_argument("--patch", type=int, default=128, help="patch size")
+    pv.add_argument("--lr", type=float, default=1e-3)
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--resume", default=None, help="checkpoint to continue")
+    pv.add_argument("--log-every", type=int, default=100)
+    pv.set_defaults(fn=cmd_train_videohdr)
 
     args = p.parse_args(argv)
     try:
