@@ -213,3 +213,39 @@ def test_spatial_pad_batched_and_packed():
         plan, mesh, pack_surface=True))(sp))
     ref_p = np.asarray(_pack_surface_xla(jnp.asarray(got), "rgba8"))
     np.testing.assert_array_equal(packed, ref_p)
+
+
+def test_spatial_single_shard_fast_path():
+    """A 1-device mesh takes the no-shard_map fast path (no collectives,
+    static band selection); output stays bit-identical to the fused
+    single-chip function AND to the multi-shard result, dither included."""
+    w, h = 64, 64
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=8)
+    plan = plan_pipeline(Settings(use_dither=True), src, dst)
+    rng = np.random.default_rng(7)
+    planes = tuple(jnp.asarray(p) for p in (
+        rng.integers(0, 256, (h, w), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8)))
+
+    ref = np.asarray(jax.jit(make_frame_fn(plan, fused=True))(planes))
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("spatial",))
+    fn1 = jax.jit(make_spatial_frame_fn(plan, mesh1))
+    got1 = np.asarray(fn1(shard_planes_rows(mesh1, planes)))
+    np.testing.assert_array_equal(got1, ref)
+
+    # the fast path must not drift from the real sharded program
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    fn4 = jax.jit(make_spatial_frame_fn(plan, mesh4))
+    got4 = np.asarray(fn4(shard_planes_rows(mesh4, planes)))
+    np.testing.assert_array_equal(got4, got1)
+
+    # packed-surface variant rides the same fast path
+    fn1p = jax.jit(make_spatial_frame_fn(plan, mesh1, pack_surface=True))
+    got1p = np.asarray(fn1p(shard_planes_rows(mesh1, planes)))
+    from videorenderer_tpu.pipeline import _pack_surface_xla
+    np.testing.assert_array_equal(
+        got1p, np.asarray(_pack_surface_xla(jnp.asarray(ref), "rgba8")))

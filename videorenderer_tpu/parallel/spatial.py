@@ -103,6 +103,7 @@ class _RowResize:
                  use_pallas: bool, pre_scale: float | None = None):
         self.axis = axis
         self.mat = mat
+        self.n = n
         self.pre_scale = pre_scale
         if mat is None:
             return
@@ -129,17 +130,29 @@ class _RowResize:
             if self.pre_scale is not None:
                 return x.astype(dtype) * jnp.asarray(self.pre_scale, dtype)
             return x
-        idx = jax.lax.axis_index(self.axis)
-        ext = halo_exchange(x, self.halo, self.axis)
+        if self.n == 1:
+            # single-shard fast path: no collective, no band select — the
+            # one stacked band IS the global map (halo is 0 by definition)
+            ext = x
+            idx = None
+        else:
+            idx = jax.lax.axis_index(self.axis)
+            ext = halo_exchange(x, self.halo, self.axis)
         if self.use_pallas:
             from ..kernels import resize_pallas as rp
-            pick = lambda a: jax.lax.dynamic_index_in_dim(
-                jnp.asarray(a), idx, axis=0, keepdims=False)
+            if idx is None:
+                pick = lambda a: jnp.asarray(a)[0]
+            else:
+                pick = lambda a: jax.lax.dynamic_index_in_dim(
+                    jnp.asarray(a), idx, axis=0, keepdims=False)
             return rp.banded_resize_rows_packed(
                 ext, pick(self._starts), pick(self._whi), pick(self._wlo),
                 self.hs_out, self._in_pad)
-        m = jax.lax.dynamic_index_in_dim(
-            jnp.asarray(self._mats, dtype), idx, axis=0, keepdims=False)
+        if idx is None:
+            m = jnp.asarray(self._mats[0], dtype)
+        else:
+            m = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(self._mats, dtype), idx, axis=0, keepdims=False)
         if self.pre_scale is not None:
             ext = ext.astype(dtype) * jnp.asarray(self.pre_scale, dtype)
         moved = jnp.moveaxis(ext, -2, -1)
@@ -280,7 +293,9 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
         return scale_ops.resize_axis(x, mx, -1)
 
     def shard_fn(*planes):
-        idx = jax.lax.axis_index(axis)
+        # on a 1-shard mesh there is no axis to index (the fast path below
+        # runs shard_fn outside shard_map entirely)
+        idx = jax.lax.axis_index(axis) if n > 1 else 0
         if info.cs_type == ColorSystem.GRAY:
             y = ry_luma(apply_w(planes[0], wx, l0, r0), dtype)
             m, c = plan.cmat_m, plan.cmat_c
@@ -339,6 +354,12 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
         return P(*parts)
 
     def fn(planes):
+        if n == 1:
+            # single-shard fast path: shard_map over a trivial mesh is pure
+            # dispatch overhead (SPMD wrapping, axis bookkeeping) — the
+            # shard function IS the whole-frame function when halo is empty
+            # and every band stack has one entry
+            return shard_fn(*planes)
         specs = tuple(spec_for(p.ndim) for p in planes)
         out_spec = spec_for(planes[0].ndim + (0 if fmt is not None else 1))
         # check_vma=False: pallas_call outputs can't declare their mesh-axis
