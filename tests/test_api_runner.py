@@ -759,3 +759,51 @@ def test_run_clip_issues_transfer_before_compute(monkeypatch):
     comp_idx = [i for i, e in enumerate(events) if e[0] == "compute"]
     assert put_idx[ids[1]] < comp_idx[0]
     assert put_idx[ids[2]] < comp_idx[1]
+
+
+def test_superres_noninteger_target():
+    """Non-2x upscale targets engage SuperRes too: the net runs its native
+    2x, then the plan's own scaler covers the remainder (driver SR blocks
+    serve arbitrary upscales).  Output bit-equals the manual composition:
+    1:1 pipeline -> net -> resize maps -> dither."""
+    import jax
+    import jax.numpy as jnp
+    from videorenderer_tpu.models import superres
+    from videorenderer_tpu.config import SuperResolution
+    from videorenderer_tpu.ops import dither as dither_ops
+    from videorenderer_tpu.ops import scale as scale_ops
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+    import dataclasses as dc
+
+    cfg = superres.SuperResConfig(channels=8, num_blocks=1, scale=2)
+    params = superres.init_params(jax.random.PRNGKey(0), cfg)
+    vr = VideoRenderer(Settings(vp_superres=SuperResolution.P1080,
+                                use_dither=True))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=32, height=16,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=48, height=24, bits=8)   # 1.5x, not 2x
+    vr.open(src, dst)
+    vr.set_superres_params(params, cfg)
+    assert vr._superres_engaged()
+    planes = _nv12_planes(32, 16)
+    out = np.asarray(vr.process_frame(planes))
+    assert out.shape == (3, 24, 48)
+
+    plan11 = plan_pipeline(dc.replace(vr.settings),
+                           src, OutputDescriptor(width=32, height=16, bits=8))
+    plan11 = dc.replace(plan11, dither_bits=0)
+    rgb = make_frame_fn(plan11)(planes)
+    rgb = superres.enhance_plane_chw(params, rgb, cfg)
+    my, mx = vr._superres_resample(48, 24)
+    rgb = scale_ops.resize_axis(rgb, mx, -1)
+    rgb = scale_ops.resize_axis(rgb, my, -2)
+    ref = dither_ops.ordered_dither(jnp.clip(rgb, 0.0, 1.0), 8)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+    # downward remainder (2x net output downscales to a 1.25x target)
+    dst2 = OutputDescriptor(width=40, height=20, bits=8)
+    vr.open(src, dst2)
+    assert vr._superres_engaged()
+    out2 = np.asarray(vr.process_frame(planes))
+    assert out2.shape == (3, 20, 40)
+    assert np.isfinite(out2).all()

@@ -242,16 +242,34 @@ class VideoRenderer:
         return info
 
     def _superres_engaged(self) -> bool:
+        """The size gate alone decides (SetSuperRes semantics,
+        Source/D3D11VP.cpp:804-844) — non-integer upscale targets engage
+        too: the net performs its native 2x and a classical resample
+        covers the remainder (see _rebuild)."""
         from .models.superres import superres_engages
         if self._superres is None:
             return False
-        params, cfg = self._superres
-        s = cfg.scale
-        return (superres_engages(self.settings.vp_superres,
-                                 self._src.width, self._src.height,
-                                 self._dst.width, self._dst.height)
-                and self._dst.width == self._src.width * s
-                and self._dst.height == self._src.height * s)
+        return superres_engages(self.settings.vp_superres,
+                                self._src.width, self._src.height,
+                                self._dst.width, self._dst.height)
+
+    def _superres_resample(self, target_w: int, target_h: int):
+        """None when the target is exactly the net's native scale; else the
+        (H map, W map) resampling the net's output to the target — chosen
+        by the plan's own scaler selection rule per axis.  ``target_*`` are
+        the pipeline-side dims (rotation-swapped by the caller)."""
+        s = self._superres[1].scale
+        nw, nh = self._src.width * s, self._src.height * s
+        if (target_w, target_h) == (nw, nh):
+            return None
+        from .ops import scale as scale_ops
+        st = self.settings
+        cx = scale_ops.select_scaler(nw, target_w, st.upscaling,
+                                     st.downscaling, st.interpolate_at_50pct)
+        cy = scale_ops.select_scaler(nh, target_h, st.upscaling,
+                                     st.downscaling, st.interpolate_at_50pct)
+        return (scale_ops.build_axis_matrix(cy, nh, target_h),
+                scale_ops.build_axis_matrix(cx, nw, target_w))
 
     def _videohdr_engaged(self) -> bool:
         from .formats import get_format_info
@@ -299,9 +317,13 @@ class VideoRenderer:
                 video_rect=None if vr is None else (vr[1], vr[0], vr[3], vr[2]))
         sr_engaged = self._superres_engaged()
         hdr_engaged = self._videohdr_engaged()
+        sr_maps = None
         if sr_engaged:
             # the model replaces the separable upscaler: pipeline runs 1:1,
-            # the net performs the 2x expansion
+            # the net performs its native 2x expansion; non-integer targets
+            # get a classical resample from the net's output (the driver
+            # SR blocks serve arbitrary upscales the same way)
+            sr_maps = self._superres_resample(dst.width, dst.height)
             dst = _dc.replace(dst, width=src.width, height=src.height)
         if hdr_engaged:
             # deliver SDR RGB from the pipeline; the net produces PQ/2020
@@ -314,7 +336,7 @@ class VideoRenderer:
         # move AFTER them: build the base undithered and quantize at the
         # end of the wrapper chain.
         ext_tail = (bool(self._user_pre_fns) or bool(self._user_post_fns)
-                    or self._stereo3d_transform == 1)
+                    or self._stereo3d_transform == 1 or sr_maps is not None)
         ext_dither = (self._plan.dither_bits
                       if ext_tail and self._plan.dither_bits else 0)
         base_plan = (_dc.replace(self._plan, dither_bits=0) if ext_dither
@@ -345,11 +367,15 @@ class VideoRenderer:
             vh = self._videohdr
 
             def base(planes, _inner=inner, _sr=sr, _vh=vh,
-                     _sr_on=sr_engaged, _hdr_on=hdr_engaged):
+                     _sr_on=sr_engaged, _hdr_on=hdr_engaged, _maps=sr_maps):
                 rgb = _inner(planes)
                 if _sr_on:
                     from .models.superres import enhance_plane_chw
                     rgb = enhance_plane_chw(_sr[0], rgb, _sr[1])
+                    if _maps is not None:
+                        from .ops import scale as _scale_ops
+                        rgb = _scale_ops.resize_axis(rgb, _maps[1], -1)
+                        rgb = _scale_ops.resize_axis(rgb, _maps[0], -2)
                 if _hdr_on:
                     from .models.videohdr import enhance_plane_chw as vh_apply
                     rgb = vh_apply(_vh[0], rgb, _vh[1])
