@@ -10,6 +10,11 @@ stage-A kernel's SMEM scalar vector.
 Run (TPU):  python examples/dovi_serving.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

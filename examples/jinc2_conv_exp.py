@@ -10,6 +10,11 @@ Validates numerics vs ops.scale.jinc2_resize, then times both on the
 current backend.  Run under JAX_PLATFORMS=cpu for the numeric check or on
 TPU for timing.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import math
 import time
 

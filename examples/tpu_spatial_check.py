@@ -3,6 +3,11 @@ spatial program (shard_map + per-shard banded kernels selected by
 axis_index) must compile and match the single-chip fused path bit-exactly.
 Run:  python examples/tpu_spatial_check.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
