@@ -45,7 +45,7 @@ def test_api_composition_fuzz():
         flip = bool(rng.integers(2))
         stereo = int(rng.integers(2))
         shader = bool(rng.integers(2))
-        mode = int(rng.integers(3))       # 0 none, 1 superres, 2 videohdr
+        mode = int(rng.integers(4))  # 0 none, 1 sr, 2 videohdr, 3 both
         dither = bool(rng.integers(2))
 
         st = Settings(use_dither=dither)
@@ -55,6 +55,11 @@ def test_api_composition_fuzz():
         elif mode == 2:
             st = dc.replace(st, vp_rtx_video_hdr=True)
             dst = OutputDescriptor(width=w, height=h, bits=10, hdr=True)
+        elif mode == 3:   # upscale + inverse tone map in one chain
+            st = dc.replace(st, vp_superres=SuperResolution.P1080,
+                            vp_rtx_video_hdr=True)
+            dst = OutputDescriptor(width=w * 2, height=h * 2, bits=10,
+                                   hdr=True)
         else:
             dst = OutputDescriptor(width=48, height=24, bits=8)
         src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
