@@ -159,8 +159,8 @@ def train(cfg: VideoHDRConfig, steps: int, batch: int,
                                     put_batch(sdr[idx]), put_batch(truth[idx]))
         if log_every and (s % log_every == 0 or s == steps - 1):
             print(f"step {s:5d}  loss {float(loss):.5f}", flush=True)
-        losses.append(float(loss))
-    return params, losses
+        losses.append(loss)   # device value: no per-step host sync
+    return params, [float(l) for l in losses]
 
 
 def evaluate_pq_psnr(params, cfg: VideoHDRConfig,

@@ -151,8 +151,8 @@ def train(cfg: SuperResConfig, steps: int, batch: int,
         params, opt, loss = step_fn(params, opt, lrb, hrb)
         if log_every and (s % log_every == 0 or s == steps - 1):
             print(f"step {s:5d}  loss {float(loss):.5f}", flush=True)
-        losses.append(float(loss))
-    return params, losses
+        losses.append(loss)   # device value: no per-step host sync
+    return params, [float(l) for l in losses]
 
 
 def evaluate_psnr(params, cfg: SuperResConfig, hr_val: np.ndarray,
