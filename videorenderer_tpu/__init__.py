@@ -20,7 +20,7 @@ from .pipeline import (HDR10Metadata, OutputDescriptor, SourceDescriptor,
                        VideoProcessor, make_frame_fn, make_serving_fn,
                        plan_pipeline)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from .api import VideoRenderer  # noqa: E402  (needs __version__ above)
 
