@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Real-time latency benchmark: per-frame (batch-1) render cost vs the
+frame budget.
+
+The reference's only implied performance contract is *real-time playback*:
+render one frame in under its duration, twice per frame for double-rate
+deinterlacing, drop the second field if late
+(Source/DX11VideoProcessor.cpp:2176-2197, Source/renbase2.h:46-68).
+BENCH_DETAILS times batch-32/60 dispatches (throughput); this harness
+measures the latency story at batch 1 per config:
+
+ * ``latency_ms``  — median dispatch->sync per-frame latency (what a
+   present-blocking loop would see; through the remote relay this
+   includes a fixed ~4 ms network round trip a local chip does not pay);
+ * ``interval_ms`` — median steady-state frame interval with a dispatch
+   queue depth of 2 (dispatch frame k, then sync frame k-1) — the
+   reference's swap-chain-queue presentation model
+   (Source/DX11VideoProcessor.cpp:1494-1500: 1-6 buffered presents),
+   i.e. one frame of added latency buys transfer/compute pipelining;
+ * ``realtime_60``/``realtime_120`` — interval under 16.67 / 8.33 ms.
+
+Usage: python bench_latency.py [keys...]   (default: c1 c3 c4 c5 c8)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+
+import bench_common as bc
+
+N = 30          # timed frames per config
+WARMUP = 4
+DEFAULT_KEYS = ["c1", "c3", "c4", "c5", "c8"]
+
+
+def _sync(out):
+    np.asarray(out.ravel()[0])
+
+
+def build_dispatch(key: str, dev):
+    """Returns (dispatch(i) -> device array, frames_per_dispatch)."""
+    plan = bc.build_plan(key)
+    fmt, w, h, _ = bc.input_spec(key)
+    # two alternating single-frame inputs so no dispatch can be deduped
+    frames = [tuple(jax.device_put(jnp.asarray(p), dev)
+                    for p in bc.make_planes(fmt, w, h, 1, seed=s))
+              for s in (0, 1)]
+    if key == "c5":
+        from videorenderer_tpu.pipeline import make_deint_fields_fn
+        fn = jax.jit(make_deint_fields_fn(plan, pack_surface=True))
+        # one dispatch = both fields of frame cur (2 presented frames)
+        return (lambda i: fn(frames[i % 2], frames[(i + 1) % 2],
+                             frames[i % 2])[1]), 2
+    if key == "c8":
+        from videorenderer_tpu.pipeline import make_serving_fn
+        fn = jax.jit(make_serving_fn(plan, pack_surface=True))
+        rts = [{"dovi_curves": bc.dovi_rt(i)} for i in (0, 1)]
+        return (lambda i: fn(frames[i % 2], rts[i % 2])), 1
+    from videorenderer_tpu.pipeline import make_frame_fn
+    fn = jax.jit(make_frame_fn(plan, pack_surface=True))
+    return (lambda i: fn(frames[i % 2])), 1
+
+
+def run_config(key: str, dev) -> dict:
+    dispatch, fpd = build_dispatch(key, dev)
+    for i in range(WARMUP):
+        out = dispatch(i)
+    _sync(out)
+
+    # blocking per-frame latency
+    lat = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        _sync(dispatch(i))
+        lat.append((time.perf_counter() - t0) * 1e3 / fpd)
+
+    # depth-2 pipelined interval: dispatch k, sync k-1
+    prev = dispatch(0)
+    intervals = []
+    t_last = time.perf_counter()
+    for i in range(1, N + 1):
+        cur = dispatch(i)
+        _sync(prev)
+        now = time.perf_counter()
+        intervals.append((now - t_last) * 1e3 / fpd)
+        t_last = now
+        prev = cur
+    _sync(prev)
+
+    med_lat = float(np.median(lat))
+    med_int = float(np.median(intervals))
+    return {"config": bc.NAMES[key],
+            "latency_ms": round(med_lat, 3),
+            "latency_minmax_ms": [round(min(lat), 3), round(max(lat), 3)],
+            "interval_ms": round(med_int, 3),
+            "realtime_60": med_int < 1000.0 / 60.0,
+            "realtime_120": med_int < 1000.0 / 120.0}
+
+
+def main() -> None:
+    keys = [a for a in sys.argv[1:] if not a.startswith("-")] or DEFAULT_KEYS
+    dev = jax.devices()[0]
+    for key in keys:
+        print(json.dumps(run_config(key, dev)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
