@@ -139,6 +139,38 @@ def test_local_tonemap_rt_matches_static():
                                        err_msg=f"sel={sel} prm={prm}")
 
 
+def test_bt2390_p_domain_fast_path_matches_composition():
+    """The m1-power-domain BT.2390 (sel 5) == explicit decode -> bt2390 ->
+    encode, including the bright-display passthrough and black pixels."""
+    rng = np.random.default_rng(7)
+    pq = rng.random((3, 16, 16)).astype(np.float32)
+    pq[:, 0, 0] = 0.0                       # exact black
+    pq[:, 0, 1] = 1e-5                      # near-black (luma clamp region)
+    pq = jnp.asarray(pq)
+    for prm in (dict(max_cll=4000.0, display_max_nits=600.0),
+                dict(max_cll=500.0, display_max_nits=1000.0)):   # passthrough
+        p = tonemap.HDRParams(mastering_min_nits=0.005,
+                              mastering_max_nits=1000.0,
+                              max_fall=400.0, **prm)
+        got = np.asarray(tonemap.local_tonemap_pq(pq, 5, p, axis=0))
+        ref = np.asarray(transfer.linear_to_st2084(
+            tonemap.bt2390(transfer.st2084_to_linear(pq, 10000.0), p, axis=0),
+            10000.0))
+        np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=str(prm))
+
+
+def test_st2084_p_domain_roundtrip():
+    """st2084_to_p / p_to_st2084 compose to the EOTF/OETF pair."""
+    x = jnp.linspace(0.0, 1.0, 257)
+    via_p = np.asarray(transfer.pow_pos(transfer.st2084_to_p(x),
+                                        1.0 / transfer.ST2084_M1)) * 10000.0
+    direct = np.asarray(transfer.st2084_to_linear(x, 10000.0))
+    np.testing.assert_allclose(via_p, direct, rtol=1e-5, atol=1e-4)
+    enc = np.asarray(transfer.p_to_st2084(
+        transfer.pow_pos(jnp.asarray(direct) / 10000.0, transfer.ST2084_M1)))
+    np.testing.assert_allclose(enc, np.asarray(x), atol=3e-5)
+
+
 def test_local_tonemap_rt_no_retrace():
     import jax
     traces = []

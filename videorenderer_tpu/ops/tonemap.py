@@ -23,9 +23,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from .transfer import (ST2084_C1, ST2084_C2, ST2084_C3, ST2084_M1, ST2084_M2,
-                       linear_to_st2084, st2084_to_linear)
+                       linear_to_st2084, p_to_st2084, pow_pos, st2084_to_linear,
+                       st2084_to_p)
 
 _BT2020_LUMA = (0.2627, 0.6780, 0.0593)
+
+# image of the 1e-6-nits luma clamp in the m1-power domain:
+# (1e-6 / 10000) ** M1
+_P_EPS = float((1e-10) ** ST2084_M1)
 
 
 def _pq_encode_scalar(nits: float) -> float:
@@ -99,6 +104,35 @@ def habel(x: jnp.ndarray) -> jnp.ndarray:
 def mobius(x: jnp.ndarray, display_max_nits: float) -> jnp.ndarray:
     """MobiusTonemap (ps_hdr10_tonemap.hlsl:59-64)."""
     return x / (1.0 + x / (display_max_nits + 1e-6))
+
+
+def _bt2390_pq_p(pq_rgb: jnp.ndarray, max_pq, target_pq, ks, passthrough,
+                 axis: int) -> jnp.ndarray:
+    """BT.2390 EETF on PQ-coded RGB in the m1-power domain — the exact math
+    of decode -> :func:`bt2390` -> encode with the per-channel EOTF/OETF
+    round trip collapsed: the hue-preserving linear scale s becomes
+    ``p * s**M1`` where ``s**M1 = p(mapped)/p(avg)`` falls out of values
+    already computed.  16 vector pows/pixel become 12 (the tone map is the
+    whole transcendental tower of the HDR passthrough chain,
+    Shaders/d3d11/ps_hdr10_tonemap.hlsl:66-117).  ``max_pq``/``target_pq``/
+    ``ks`` are host floats or traced scalars; ``passthrough`` is a python
+    or traced bool (display at least as bright as the source peak)."""
+    p_ch = st2084_to_p(pq_rgb)                        # 1 pow / ch
+    lin = pow_pos(p_ch, 1.0 / ST2084_M1)              # 1 pow / ch (linear/1e4)
+    avg = _luma(lin, axis)
+    p_avg = pow_pos(avg, ST2084_M1)                   # 1 pow
+    e1 = p_to_st2084(p_avg)                           # 1 pow
+    t = (e1 - ks) / jnp.maximum(1e-6, max_pq - ks)
+    t2, t3 = t * t, t * t * t
+    e2s = ((2 * t3 - 3 * t2 + 1) * ks + (t3 - 2 * t2 + t) * (max_pq - ks)
+           + (-2 * t3 + 3 * t2) * target_pq)
+    e2 = jnp.where(e1 > ks, e2s, e1)
+    p_mapped = st2084_to_p(e2)                        # 1 pow
+    # scale = mapped/max(avg, 1e-6 nits) in linear == this ratio in p
+    s_m1 = jnp.where(avg <= 1e-10, 1.0,
+                     p_mapped / jnp.maximum(p_avg, _P_EPS))
+    s_m1 = jnp.where(passthrough, 1.0, s_m1)
+    return p_to_st2084(p_ch * s_m1)                   # 1 pow / ch
 
 
 def bt2390(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
@@ -290,8 +324,17 @@ def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
     mfall = jnp.asarray(p["max_fall"], pq_rgb.dtype)
     disp = jnp.asarray(p["display_max_nits"], pq_rgb.dtype)
 
+    l2 = trims is not None and trims.l2_enabled
+    if selection == 5 and not l2:   # BT.2390, m1-power-domain fast path
+        safe = jnp.where(mcll > 10.0, mcll,
+                         jnp.where(mmax > 10.0, mmax, 1000.0))
+        max_pq = enc(safe)
+        target_pq = enc(disp)
+        ks = jnp.maximum(0.0, 1.5 * target_pq - 0.5 * max_pq)
+        return _bt2390_pq_p(pq_rgb, max_pq, target_pq, ks, disp >= safe, axis)
+
     color = dec(pq_rgb)
-    if trims is not None and trims.l2_enabled:
+    if l2:
         color = dolby_vision_trims(color, trims, axis=axis)
 
     if selection == 7:  # ST 2094-40 guided (max_cll carries the scene peak)
@@ -459,8 +502,13 @@ def local_tonemap_pq_from_scalars(pq_rgb: jnp.ndarray, selection: int, sc,
     block from :func:`local_tonemap_rt_scalars` (SMEM-resident inside the
     fused tail kernel).  Only vector math and plain scalar arithmetic run
     here — Pallas/Mosaic-safe."""
+    l2 = trims is not None and trims.l2_enabled
+    if selection == 5 and not l2:   # BT.2390, m1-power-domain fast path
+        disp, safe, max_pq, target_pq, ks = (sc[i] for i in range(5))
+        return _bt2390_pq_p(pq_rgb, max_pq, target_pq, ks, disp >= safe, axis)
+
     color = st2084_to_linear(pq_rgb, 10000.0)
-    if trims is not None and trims.l2_enabled:
+    if l2:
         color = dolby_vision_trims(color, trims, axis=axis)
 
     if selection == 7:    # ST 2094-40 guided
@@ -531,8 +579,18 @@ def local_tonemap_pq(pq_rgba: jnp.ndarray, selection: int, p: HDRParams,
     PQ in -> PQ out, operator chosen by ``selection`` (ToneMapType).
     Channel axis must hold exactly R,G,B.  ``selection == 7``: the HDR10+
     guided curve (``window`` = the plan's HDR10PlusWindow)."""
+    l2 = trims is not None and trims.l2_enabled
+    if selection == 5 and not l2:   # BT.2390, m1-power-domain fast path
+        safe = p.max_cll if p.max_cll > 10.0 else (
+            p.mastering_max_nits if p.mastering_max_nits > 10.0 else 1000.0)
+        max_pq = _pq_encode_scalar(safe)
+        target_pq = _pq_encode_scalar(p.display_max_nits)
+        ks = max(0.0, 1.5 * target_pq - 0.5 * max_pq)
+        return _bt2390_pq_p(pq_rgba, max_pq, target_pq, ks,
+                            p.display_max_nits >= safe, axis)
+
     color = st2084_to_linear(pq_rgba, 10000.0)
-    if trims is not None and trims.l2_enabled:
+    if l2:
         color = dolby_vision_trims(color, trims, axis=axis)
 
     if selection == 7:

@@ -69,6 +69,29 @@ def linear_to_st2084(x: jnp.ndarray, divider: float | jnp.ndarray) -> jnp.ndarra
     return pow_pos(x, ST2084_M2)
 
 
+def st2084_to_p(x: jnp.ndarray) -> jnp.ndarray:
+    """PQ code -> ``p = (linear/10000) ** M1`` — the EOTF stopped one pow
+    short (the "m1-power domain").  ``st2084_to_linear(x, f) ==
+    pow_pos(st2084_to_p(x), 1/M1) * f``.  Compositions that re-encode to PQ
+    can do their scaling in p and skip the ``^(1/M1)`` / ``^M1`` pair
+    entirely (a hue-preserving scale s on linear RGB is ``p * s**M1`` in p
+    — see the BT.2390 fast path in ops.tonemap)."""
+    x = pow_pos(jnp.maximum(x, 0.0), 1.0 / ST2084_M2)
+    # same denominator guard as st2084_to_linear
+    return jnp.maximum(x - ST2084_C1, 0.0) / jnp.maximum(
+        ST2084_C2 - ST2084_C3 * x, 1e-6)
+
+
+def p_to_st2084(p: jnp.ndarray) -> jnp.ndarray:
+    """``(linear/10000) ** M1`` -> PQ code: the OETF minus its first pow.
+    ``linear_to_st2084(x, 10000.0) == p_to_st2084(pow_pos(x/10000, M1))``.
+    The clip mirrors linear_to_st2084's 1e30 overshoot cap (1e30**M1 ~
+    6e4) so the rational term stays finite."""
+    p = jnp.clip(p, 0.0, 6.1e4)
+    p = (ST2084_C1 + ST2084_C2 * p) / (1.0 + ST2084_C3 * p)
+    return pow_pos(p, ST2084_M2)
+
+
 # HLG constants (Shaders/convert/hlg.hlsl:1-8)
 _B67_A = 0.17883277
 _B67_B = 0.28466892
