@@ -159,6 +159,24 @@ def test_bt2390_p_domain_fast_path_matches_composition():
         np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=str(prm))
 
 
+def test_st2094_10_p_domain_fast_path_matches_composition():
+    """sel-6 m1-power-domain == explicit decode -> st2094_10 -> encode."""
+    rng = np.random.default_rng(11)
+    pq = rng.random((3, 16, 16)).astype(np.float32)
+    pq[:, 0, 0] = 0.0
+    pq = jnp.asarray(pq)
+    for prm in (dict(max_cll=4000.0, display_max_nits=600.0),
+                dict(max_cll=500.0, display_max_nits=1000.0)):   # passthrough
+        p = tonemap.HDRParams(mastering_min_nits=0.005,
+                              mastering_max_nits=1000.0,
+                              max_fall=400.0, **prm)
+        got = np.asarray(tonemap.local_tonemap_pq(pq, 6, p, axis=0))
+        ref = np.asarray(transfer.linear_to_st2084(
+            tonemap.st2094_10(transfer.st2084_to_linear(pq, 10000.0), p,
+                              axis=0), 10000.0))
+        np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=str(prm))
+
+
 def test_st2084_p_domain_roundtrip():
     """st2084_to_p / p_to_st2084 compose to the EOTF/OETF pair."""
     x = jnp.linspace(0.0, 1.0, 257)

@@ -135,6 +135,23 @@ def _bt2390_pq_p(pq_rgb: jnp.ndarray, max_pq, target_pq, ks, passthrough,
     return p_to_st2084(p_ch * s_m1)                   # 1 pow / ch
 
 
+def _st2094_10_pq_p(pq_rgb: jnp.ndarray, c1, c2, c3, passthrough,
+                    axis: int) -> jnp.ndarray:
+    """ST 2094-10 EETF (sel 6) in the m1-power domain: the rational spline
+    yields a luma scale; applying it as ``s**M1`` in p skips the per-channel
+    OETF's first pow and the EOTF's second (12 -> 10 vector pows/pixel).
+    ``c1``/``c2``/``c3`` are the nits-domain spline coefficients (host
+    floats or traced scalars)."""
+    p_ch = st2084_to_p(pq_rgb)                        # 1 pow / ch
+    lin = pow_pos(p_ch, 1.0 / ST2084_M1)              # 1 pow / ch
+    xn = _luma(lin, axis) * 10000.0                   # nits
+    yn = (c1 + c2 * xn) / (1.0 + c3 * xn)
+    scale = jnp.where(xn > 0.0, yn / jnp.maximum(xn, 1e-9), 1.0)
+    s_m1 = pow_pos(scale, ST2084_M1)                  # 1 pow
+    s_m1 = jnp.where(passthrough, 1.0, s_m1)
+    return p_to_st2084(p_ch * s_m1)                   # 1 pow / ch
+
+
 def bt2390(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
     """BT2390Tonemap (ps_hdr10_tonemap.hlsl:66-117): BT.2390 EETF Hermite
     roll-off in PQ space on the BT.2020 luma average, hue-preserving scale.
@@ -167,12 +184,10 @@ def _smoothstep(edge0: float, edge1: float, x: float) -> float:
     return t * t * (3.0 - 2.0 * t)
 
 
-def st2094_10(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
-    """ST209410Tonemap (ps_hdr10_tonemap.hlsl:119-189): ST 2094-10 EETF via a
-    rational spline through (min, knee, max) anchor points."""
-    if p.display_max_nits >= p.max_cll:
-        return rgb
-
+def _st2094_10_coeffs(p: HDRParams) -> tuple[float, float, float]:
+    """Host-side spline coefficients of the ST 2094-10 EETF — the CPU/
+    cbuffer half of ps_hdr10_tonemap.hlsl:119-189 (knee adaptation + the
+    rational through the (min, knee, max) anchors)."""
     pq1 = _pq_encode_scalar
 
     src_min = pq1(p.mastering_min_nits)
@@ -217,7 +232,16 @@ def st2094_10(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
     coef1 = m10 * y1 + m11 * y2 + m12 * y3
     coef2 = m20 * y1 + m21 * y2 + m22 * y3
     k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1) + x1 * y1 * (x2 - x3))
-    c1, c2, c3 = k * coef0, k * coef1, k * coef2
+    return k * coef0, k * coef1, k * coef2
+
+
+def st2094_10(rgb: jnp.ndarray, p: HDRParams, axis: int = -1) -> jnp.ndarray:
+    """ST209410Tonemap (ps_hdr10_tonemap.hlsl:119-189): ST 2094-10 EETF via a
+    rational spline through (min, knee, max) anchor points."""
+    if p.display_max_nits >= p.max_cll:
+        return rgb
+
+    c1, c2, c3 = _st2094_10_coeffs(p)
 
     x_nits = _luma(rgb, axis)
     y_nits = (c1 + c2 * x_nits) / (1.0 + c3 * x_nits)
@@ -302,6 +326,52 @@ def dolby_vision_trims(linear: jnp.ndarray, t: DoviTrims, axis: int = -1,
     return color if pq_input else st2084_to_linear(color, 10000.0)
 
 
+def _st2094_10_coeffs_rt(mmin, mcll, mfall, disp):
+    """Traced-scalar twin of :func:`_st2094_10_coeffs` (serving mode: the
+    metadata arrives as traced scalars, so knee adaptation must trace)."""
+    def enc(v):
+        return linear_to_st2084(v, 10000.0)
+
+    def dec(v):
+        return st2084_to_linear(v, 10000.0)
+
+    def sstep(e0, e1v, x):
+        t = jnp.clip((x - e0) / (e1v - e0), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    def lerp(a, b, t):
+        return a + (b - a) * t
+
+    src_min, src_max = enc(mmin), enc(mcll)
+    src_avg = enc(mfall)
+    dst_min, dst_max = enc(jnp.zeros_like(disp)), enc(disp)
+    mk, xk, dk, ka = 0.1, 0.8, 0.4, 0.4
+    skn, skx = lerp(src_min, src_max, mk), lerp(src_min, src_max, xk)
+    dkn, dkx = lerp(dst_min, dst_max, mk), lerp(dst_min, dst_max, xk)
+    src_knee = jnp.where(mfall > 0.0, src_avg, lerp(src_min, src_max, dk))
+    src_knee = jnp.clip(src_knee, skn, skx)
+    target = (src_knee - src_min) / (src_max - src_min)
+    adapted = lerp(dst_min, dst_max, target)
+    tuning = 1.0 - sstep(xk, dk, target) * sstep(mk, dk, target)
+    adaptation = lerp(ka, 1.0, tuning)
+    dst_knee = jnp.clip(lerp(src_knee, adapted, adaptation), dkn, dkx)
+    x1, x2, x3 = mmin, dec(src_knee), mcll
+    y1, y2, y3 = jnp.zeros_like(disp), dec(dst_knee), disp
+    m00 = x2 * x3 * (y2 - y3)
+    m01 = x1 * x3 * (y3 - y1)
+    m02 = x1 * x2 * (y1 - y2)
+    m10 = x3 * y3 - x2 * y2
+    m11 = x1 * y1 - x3 * y3
+    m12 = x2 * y2 - x1 * y1
+    m20, m21, m22 = x3 - x2, x1 - x3, x2 - x1
+    k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1)
+               + x1 * y1 * (x2 - x3))
+    c1 = k * (m00 * y1 + m01 * y2 + m02 * y3)
+    c2 = k * (m10 * y1 + m11 * y2 + m12 * y3)
+    c3 = k * (m20 * y1 + m21 * y2 + m22 * y3)
+    return c1, c2, c3
+
+
 def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
                         trims: DoviTrims | None = None,
                         axis: int = -1, window=None) -> jnp.ndarray:
@@ -332,6 +402,9 @@ def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
         target_pq = enc(disp)
         ks = jnp.maximum(0.0, 1.5 * target_pq - 0.5 * max_pq)
         return _bt2390_pq_p(pq_rgb, max_pq, target_pq, ks, disp >= safe, axis)
+    if selection == 6 and not l2:   # ST 2094-10, m1-power-domain fast path
+        c1, c2, c3 = _st2094_10_coeffs_rt(mmin, mcll, mfall, disp)
+        return _st2094_10_pq_p(pq_rgb, c1, c2, c3, disp >= mcll, axis)
 
     color = dec(pq_rgb)
     if l2:
@@ -359,41 +432,8 @@ def local_tonemap_pq_rt(pq_rgb: jnp.ndarray, selection: int, p: dict,
         out = jnp.where(disp >= safe, color, mapped_rgb)
         return enc(out)
 
-    if selection == 6:  # ST 2094-10
-        def sstep(e0, e1v, x):
-            t = jnp.clip((x - e0) / (e1v - e0), 0.0, 1.0)
-            return t * t * (3.0 - 2.0 * t)
-
-        def lerp(a, b, t):
-            return a + (b - a) * t
-
-        src_min, src_max = enc(mmin), enc(mcll)
-        src_avg = enc(mfall)
-        dst_min, dst_max = enc(jnp.zeros_like(disp)), enc(disp)
-        mk, xk, dk, ka = 0.1, 0.8, 0.4, 0.4
-        skn, skx = lerp(src_min, src_max, mk), lerp(src_min, src_max, xk)
-        dkn, dkx = lerp(dst_min, dst_max, mk), lerp(dst_min, dst_max, xk)
-        src_knee = jnp.where(mfall > 0.0, src_avg, lerp(src_min, src_max, dk))
-        src_knee = jnp.clip(src_knee, skn, skx)
-        target = (src_knee - src_min) / (src_max - src_min)
-        adapted = lerp(dst_min, dst_max, target)
-        tuning = 1.0 - sstep(xk, dk, target) * sstep(mk, dk, target)
-        adaptation = lerp(ka, 1.0, tuning)
-        dst_knee = jnp.clip(lerp(src_knee, adapted, adaptation), dkn, dkx)
-        x1, x2, x3 = mmin, dec(src_knee), mcll
-        y1, y2, y3 = jnp.zeros_like(disp), dec(dst_knee), disp
-        m00 = x2 * x3 * (y2 - y3)
-        m01 = x1 * x3 * (y3 - y1)
-        m02 = x1 * x2 * (y1 - y2)
-        m10 = x3 * y3 - x2 * y2
-        m11 = x1 * y1 - x3 * y3
-        m12 = x2 * y2 - x1 * y1
-        m20, m21, m22 = x3 - x2, x1 - x3, x2 - x1
-        k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1)
-                   + x1 * y1 * (x2 - x3))
-        c1 = k * (m00 * y1 + m01 * y2 + m02 * y3)
-        c2 = k * (m10 * y1 + m11 * y2 + m12 * y3)
-        c3 = k * (m20 * y1 + m21 * y2 + m22 * y3)
+    if selection == 6:  # ST 2094-10 (L2-trims path; else the fast branch ran)
+        c1, c2, c3 = _st2094_10_coeffs_rt(mmin, mcll, mfall, disp)
         xn = _luma(color, axis)
         yn = (c1 + c2 * xn) / (1.0 + c3 * xn)
         scale = jnp.where(xn > 0.0, yn / jnp.maximum(xn, 1e-9), 1.0)
@@ -451,40 +491,7 @@ def local_tonemap_rt_scalars(selection: int, p: dict):
         return jnp.stack([disp, safe, max_pq, target_pq, ks])
 
     if selection == 6:    # ST 2094-10: [disp, mcll, c1, c2, c3]
-        def sstep(e0, e1v, x):
-            t = jnp.clip((x - e0) / (e1v - e0), 0.0, 1.0)
-            return t * t * (3.0 - 2.0 * t)
-
-        def lerp(a, b, t):
-            return a + (b - a) * t
-
-        src_min, src_max = enc(mmin), enc(mcll)
-        src_avg = enc(mfall)
-        dst_min, dst_max = enc(jnp.zeros_like(disp)), enc(disp)
-        mk, xk, dk, ka = 0.1, 0.8, 0.4, 0.4
-        skn, skx = lerp(src_min, src_max, mk), lerp(src_min, src_max, xk)
-        dkn, dkx = lerp(dst_min, dst_max, mk), lerp(dst_min, dst_max, xk)
-        src_knee = jnp.where(mfall > 0.0, src_avg, lerp(src_min, src_max, dk))
-        src_knee = jnp.clip(src_knee, skn, skx)
-        target = (src_knee - src_min) / (src_max - src_min)
-        adapted = lerp(dst_min, dst_max, target)
-        tuning = 1.0 - sstep(xk, dk, target) * sstep(mk, dk, target)
-        adaptation = lerp(ka, 1.0, tuning)
-        dst_knee = jnp.clip(lerp(src_knee, adapted, adaptation), dkn, dkx)
-        x1, x2, x3 = mmin, dec(src_knee), mcll
-        y1, y2, y3 = jnp.zeros_like(disp), dec(dst_knee), disp
-        m00 = x2 * x3 * (y2 - y3)
-        m01 = x1 * x3 * (y3 - y1)
-        m02 = x1 * x2 * (y1 - y2)
-        m10 = x3 * y3 - x2 * y2
-        m11 = x1 * y1 - x3 * y3
-        m12 = x2 * y2 - x1 * y1
-        m20, m21, m22 = x3 - x2, x1 - x3, x2 - x1
-        k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1)
-                   + x1 * y1 * (x2 - x3))
-        c1 = k * (m00 * y1 + m01 * y2 + m02 * y3)
-        c2 = k * (m10 * y1 + m11 * y2 + m12 * y3)
-        c3 = k * (m20 * y1 + m21 * y2 + m22 * y3)
+        c1, c2, c3 = _st2094_10_coeffs_rt(mmin, mcll, mfall, disp)
         return jnp.stack([disp, mcll, c1, c2, c3])
 
     # 1-4: [disp, effective_max, fall_adj, 0, 0]
@@ -506,6 +513,9 @@ def local_tonemap_pq_from_scalars(pq_rgb: jnp.ndarray, selection: int, sc,
     if selection == 5 and not l2:   # BT.2390, m1-power-domain fast path
         disp, safe, max_pq, target_pq, ks = (sc[i] for i in range(5))
         return _bt2390_pq_p(pq_rgb, max_pq, target_pq, ks, disp >= safe, axis)
+    if selection == 6 and not l2:   # ST 2094-10, m1-power-domain fast path
+        disp, mcll, c1, c2, c3 = (sc[i] for i in range(5))
+        return _st2094_10_pq_p(pq_rgb, c1, c2, c3, disp >= mcll, axis)
 
     color = st2084_to_linear(pq_rgb, 10000.0)
     if l2:
@@ -588,6 +598,11 @@ def local_tonemap_pq(pq_rgba: jnp.ndarray, selection: int, p: HDRParams,
         ks = max(0.0, 1.5 * target_pq - 0.5 * max_pq)
         return _bt2390_pq_p(pq_rgba, max_pq, target_pq, ks,
                             p.display_max_nits >= safe, axis)
+    if selection == 6 and not l2:   # ST 2094-10, m1-power-domain fast path
+        if p.display_max_nits >= p.max_cll:
+            return p_to_st2084(st2084_to_p(pq_rgba))
+        c1, c2, c3 = _st2094_10_coeffs(p)
+        return _st2094_10_pq_p(pq_rgba, c1, c2, c3, False, axis)
 
     color = st2084_to_linear(pq_rgba, 10000.0)
     if l2:
