@@ -1,0 +1,35 @@
+#!/bin/bash
+# Full hardware validation session — run in background when the TPU relay
+# answers (one jax process at a time; each pays the relay dial).
+#
+#   nohup bash scripts/hw_validate.sh > /tmp/hw_session.log 2>&1 &
+#
+# Sequence:
+#  1. headline bench.py (driver metric)
+#  2. full 13-config bench_configs.py run (atomically rewrites BENCH_DETAILS)
+#  3. c3/c3rot A/B with the pipelined 3-plane Jinc2 kernel (JSON only;
+#     PSNR-gated — decides whether VRT_JINC3_PIPELINE becomes default)
+#  4. host-fed streaming overlap A/B (bench_stream, 1080p + 4K)
+#  5. batch-1 real-time latency per config (bench_latency)
+set -u
+cd "$(dirname "$0")/.."
+
+step() { echo; echo "=== [$(date +%H:%M:%S)] $* ==="; }
+
+step "1/5 headline bench.py"
+timeout 2400 python bench.py
+
+step "2/5 full bench_configs.py (13 configs, rewrites BENCH_DETAILS.md)"
+timeout 5400 python bench_configs.py
+
+step "3/5 pipelined Jinc2 A/B (c3, c3rot)"
+timeout 2400 env VRT_JINC3_PIPELINE=1 python bench_configs.py c3 c3rot
+
+step "4/5 host-fed streaming overlap (1080p, then 4K)"
+timeout 2400 python bench_stream.py
+timeout 2400 python bench_stream.py --4k
+
+step "5/5 batch-1 latency"
+timeout 3600 python bench_latency.py
+
+step "done"
