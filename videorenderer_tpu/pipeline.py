@@ -488,15 +488,22 @@ def _corrections(plan: PipelinePlan, rgb: jnp.ndarray,
         luminance_scale = 10000.0 / s.sdr_display_nits  # SetShaderLuminanceParams
         x = jnp.clip(rgb, 0.0, 1.0)
         if plan.src.transfer == TRC.HLG and plan.dovi is None:
+            # the reference runs HLGtoLinear -> LinearToST2084(1000) in one
+            # pass, clips, then ST2084ToLinear(ls) in the next
+            # (ps_convert_hlg_to_sdr.hlsl) because the two shader passes
+            # can't fuse; the PQ round trip is algebraically
+            # clip(x/1000, 0, 1) * ls — 12 vector pows/pixel fold away.
+            # (DoVi L2 trims can't intervene here: that branch requires
+            # plan.dovi, and DoVi sources never take the HLG branch.)
             x = transfer_ops.hlg_to_linear(x, axis=axis)
-            x = transfer_ops.linear_to_st2084(x, 1000.0)
-            x = jnp.clip(x, 0.0, 1.0)
-        if plan.dovi is not None and plan.dovi_trims is not None \
-                and plan.dovi_trims.l2_enabled:
-            # L2 trims on the PQ signal (Source/Shaders.cpp:873-877)
-            x = tonemap_ops.dolby_vision_trims(x, trims, axis=axis,
-                                               pq_input=True)
-        x = transfer_ops.st2084_to_linear(x, luminance_scale)
+            x = jnp.clip(x * (1.0 / 1000.0), 0.0, 1.0) * luminance_scale
+        else:
+            if plan.dovi is not None and plan.dovi_trims is not None \
+                    and plan.dovi_trims.l2_enabled:
+                # L2 trims on the PQ signal (Source/Shaders.cpp:873-877)
+                x = tonemap_ops.dolby_vision_trims(x, trims, axis=axis,
+                                                   pq_input=True)
+            x = transfer_ops.st2084_to_linear(x, luminance_scale)
         x = tonemap_ops.tonemap_hable_sdr(x)
         x = _gamut_2020_to_709(x, axis)
         return transfer_ops.linear_to_srgb_like(x)
