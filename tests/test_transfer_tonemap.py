@@ -137,6 +137,12 @@ def test_local_tonemap_rt_matches_static():
             b = np.asarray(tonemap.local_tonemap_pq_rt(pq, sel, rt, axis=0))
             np.testing.assert_allclose(b, a, atol=2e-5,
                                        err_msg=f"sel={sel} prm={prm}")
+            # the SMEM-scalars split (what the fused tail kernel runs)
+            sc = tonemap.local_tonemap_rt_scalars(sel, rt)
+            c = np.asarray(tonemap.local_tonemap_pq_from_scalars(
+                pq, sel, sc, axis=0))
+            np.testing.assert_allclose(c, a, atol=2e-5,
+                                       err_msg=f"from_scalars sel={sel}")
 
 
 def test_bt2390_p_domain_fast_path_matches_composition():
