@@ -42,6 +42,24 @@ def test_ref_spec_tracks_format_and_size_not_batch():
     assert spec["scheme"] == bc.RNG_SCHEME
 
 
+def test_bench_stream_modes_and_gain():
+    """run_modes measures all three feed modes on identical inputs and
+    reports overlap_gain = serial_time / overlap_time (bench_stream.py is
+    the VERDICT-r2-weak-6 measurement: does run_clip actually overlap?)."""
+    import jax
+    import bench_stream
+
+    fn = jax.jit(lambda planes: planes[0].astype(np.float32) * 2.0)
+    batches = [tuple(np.full((2, 8, 16), s, np.uint8) for _ in range(3))
+               for s in (1, 2, 3)]
+    r = bench_stream.run_modes(fn, batches, jax.devices()[0])
+    assert set(r) == {"device", "overlap", "serial", "overlap_gain"}
+    assert all(v > 0 for v in r.values())
+    # gain = t_serial / t_overlap == overlap_fps / serial_fps
+    assert abs(r["overlap_gain"] - r["overlap"] / r["serial"]) \
+        < 1e-6 * r["overlap_gain"] + 1e-9
+
+
 def test_ensure_refs_invalidates_on_spec_change(tmp_path, monkeypatch):
     import bench_configs
 
