@@ -33,10 +33,12 @@ class VideoHDRConfig:
     dtype: object = jnp.bfloat16
 
 
-def inverse_tonemap_base(rgb_srgb: jnp.ndarray, cfg: VideoHDRConfig,
-                         axis: int = -3) -> jnp.ndarray:
-    """Deterministic SDR->HDR expansion: sRGB -> linear nits -> inverse-
-    Reinhard highlight expansion to ``peak_nits`` -> BT.2020 -> PQ."""
+def inverse_tonemap_base_linear(rgb_srgb: jnp.ndarray, cfg: VideoHDRConfig,
+                                axis: int = -3) -> jnp.ndarray:
+    """Deterministic SDR->HDR expansion up to linear BT.2020 nits: sRGB ->
+    linear -> inverse-Reinhard highlight expansion to ``peak_nits`` ->
+    BT.2020.  (:func:`apply_fn` gains this *before* PQ encoding, skipping
+    the encode+decode pair a PQ-domain base would force — 12 pows/pixel.)"""
     lin_n = transfer.srgb_like_to_linear(rgb_srgb)  # 0..1, 1 = SDR white
     # inverse Reinhard parameterized so SDR white lands on the display peak:
     # out = s*x / (1 - x*(1 - s/k)); x=1 -> k, slope ~s near black
@@ -48,7 +50,15 @@ def inverse_tonemap_base(rgb_srgb: jnp.ndarray, cfg: VideoHDRConfig,
     r, g, b = (jnp.take(expanded, i, axis=axis) for i in range(3))
     x = jnp.stack([gm[i, 0] * r + gm[i, 1] * g + gm[i, 2] * b
                    for i in range(3)], axis=axis)
-    return transfer.linear_to_st2084(jnp.maximum(x, 0.0), 10000.0)
+    return jnp.maximum(x, 0.0)
+
+
+def inverse_tonemap_base(rgb_srgb: jnp.ndarray, cfg: VideoHDRConfig,
+                         axis: int = -3) -> jnp.ndarray:
+    """Deterministic SDR->HDR expansion: sRGB -> linear nits -> inverse-
+    Reinhard highlight expansion to ``peak_nits`` -> BT.2020 -> PQ."""
+    return transfer.linear_to_st2084(
+        inverse_tonemap_base_linear(rgb_srgb, cfg, axis=axis), 10000.0)
 
 
 def init_params(key: jax.Array, cfg: VideoHDRConfig = VideoHDRConfig()):
@@ -88,8 +98,10 @@ def apply_fn(params, sdr_rgb_nhwc: jnp.ndarray,
     h = jax.nn.relu(_conv(h, params["c2"]))
     log_gain = jnp.tanh(_conv(h, params["c3"])) * 2.0    # gain in [e^-2, e^2]
 
-    base_pq = inverse_tonemap_base(jnp.moveaxis(x, -1, -3), cfg, axis=-3)
-    base_lin = transfer.st2084_to_linear(base_pq, 10000.0)
+    # gain the base's LINEAR light directly: encoding the base to PQ and
+    # decoding it back (the naive composition) is 12 wasted pows/pixel
+    base_lin = inverse_tonemap_base_linear(jnp.moveaxis(x, -1, -3), cfg,
+                                           axis=-3)
     gained = base_lin * jnp.exp(jnp.moveaxis(log_gain, -1, -3))
     out = transfer.linear_to_st2084(gained, 10000.0)
     return jnp.moveaxis(out, -3, -1)
