@@ -240,9 +240,10 @@ def build_plan(key: str):
 def input_spec(key: str):
     """(format, w, h, timing batch) per config."""
     if key == "c3sr":
-        # the conv net keeps (B, 1080, 1920, 32) f32 activations live:
-        # batch 32 would need ~34 GB HBM
-        return ColorFormat.NV12, 1920, 1080, 4
+        # s2d conv domain: bf16 activations are (B, 270, 480, 128) ~ 33 MB;
+        # the live-memory cost is the (B, 2160, 3840, 3) f32 output
+        # (~95 MB/frame), so batch 8 stays ~2-3 GB
+        return ColorFormat.NV12, 1920, 1080, 8
     if key == "c1vh":
         # the gain net holds (B, 1080, 1920, 16) f32 activations live
         return ColorFormat.NV12, 1920, 1080, 8
