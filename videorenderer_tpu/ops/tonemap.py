@@ -117,7 +117,11 @@ def _bt2390_pq_p(pq_rgb: jnp.ndarray, max_pq, target_pq, ks, passthrough,
     Shaders/d3d11/ps_hdr10_tonemap.hlsl:66-117).  ``max_pq``/``target_pq``/
     ``ks`` are host floats or traced scalars; ``passthrough`` is a python
     or traced bool (display at least as bright as the source peak)."""
-    if passthrough is True:     # statically bright display: no EETF at all
+    # Static fast path: accept python AND numpy bools (a traced jax scalar is
+    # neither, so tracing safety is preserved); `is True` alone would miss an
+    # np.bool_ and silently run the full EETF tower.
+    if isinstance(passthrough, (bool, np.bool_)) and passthrough:
+        # statically bright display: no EETF at all
         return p_to_st2084(st2084_to_p(pq_rgb))
     p_ch = st2084_to_p(pq_rgb)                        # 1 pow / ch
     lin = pow_pos(p_ch, 1.0 / ST2084_M1)              # 1 pow / ch (linear/1e4)

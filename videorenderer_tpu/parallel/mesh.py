@@ -43,13 +43,20 @@ def shard_batch(mesh: Mesh, tree, axis: str = "data"):
 
 
 def jit_frame_parallel(frame_fn, mesh: Mesh, axis: str = "data"):
-    """jit the per-frame function with batch-dim-sharded inputs/outputs.
-    Fully embarrassingly parallel — no collectives are generated."""
+    """jit the per-frame function with batch-dim shardings PINNED on every
+    input and output leaf (``with_sharding_constraint``), rather than relying
+    on input-sharding propagation.  Fully embarrassingly parallel — no
+    collectives are generated; a host-resident input is auto-sharded on the
+    way in instead of being replicated."""
     def spec_for(x):
         return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
 
+    def pin(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, spec_for(x)), tree)
+
     def fn(planes):
-        return frame_fn(planes)
+        return pin(frame_fn(pin(planes)))
 
     return jax.jit(fn)
 

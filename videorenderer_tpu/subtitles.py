@@ -130,7 +130,7 @@ class SubPicQueue:
         while True:
             with self._cv:
                 while not self._stop and len(self._queue) >= self.max_ahead:
-                    self._cv.wait(0.05)
+                    self._cv.wait()
                 if self._stop:
                     return
                 t = max(t, self._now)
@@ -144,7 +144,7 @@ class SubPicQueue:
                 # nothing scheduled ahead: wait for playback to move
                 with self._cv:
                     while not self._stop and self._now <= t:
-                        self._cv.wait(0.05)
+                        self._cv.wait()
                     if self._stop:
                         return
                     t = self._now
@@ -154,10 +154,13 @@ class SubPicQueue:
     def lookup(self, t: float) -> list[SubPic]:
         with self._cv:
             self._now = t
-            self._cv.notify_all()
             # drop expired windows, find the one covering t
             while self._queue and self._queue[0][1] <= t:
                 self._queue.popleft()
+            # pure CV signaling (no polling waits in the worker): notify
+            # AFTER the pops so a full-queue wait sees the freed slots, and
+            # after _now moved so the idle wait sees playback progress.
+            self._cv.notify_all()
             for t0, t1, pics in self._queue:
                 if t0 <= t < t1:
                     return [p for p in pics if p.covers(t)]
