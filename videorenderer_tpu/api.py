@@ -67,6 +67,8 @@ class VideoRenderer:
         self._user_pre_fns: list[Callable] = []
         self._last_input = None
         self._last_output = None
+        self._deint = None                 # settings-driven VP deint session
+        self._deint_prev_time = None       # stream time of the pending frame
         self._subpic_queue = None          # subtitles.SubPicQueue(-NoThread)
         self._alpha_bitmap = None          # (rgb (3,h,w), alpha (h,w), x, y)
         self._superres = None              # (params, SuperResConfig)
@@ -133,6 +135,9 @@ class VideoRenderer:
             backend = ("Pallas banded kernels" if s.use_accel_backend
                        and jax.default_backend() == "tpu" else "XLA dense")
             lines.append(f"Pipeline: {path}; resampling backend: {backend}")
+            if self._deint is not None:
+                rate = "double" if self.settings.deint_double else "single"
+                lines.append(f"Deinterlacing: motion-adaptive ({rate}-rate)")
             if self._superres is not None:
                 lines.append(f"SuperRes model: loaded "
                              f"(engaged: {self._superres_engaged()})")
@@ -303,7 +308,11 @@ class VideoRenderer:
         except TypeError:
             key = hit = None
         if hit is not None:
-            self._plan, self._fn, self._out_fmt = hit
+            self._plan, self._fn, self._out_fmt, self._deint = hit
+            if self._deint is not None:
+                # re-Configure resets the VP reference-frame ring; the jitted
+                # field programs stay cached on the session
+                self._deint.reset()
             return
 
         src, dst = self._src, self._dst
@@ -358,38 +367,32 @@ class VideoRenderer:
         # (ResizeShaderPass, Source/DX11VideoProcessor.cpp:3125-3135).
         geo_only_tail = (fmt is not None and float_tail and not ext_tail
                          and not sr_engaged and not hdr_engaged)
-        base = make_frame_fn(
-            base_plan,
-            pack_surface=fmt is not None and (not float_tail or geo_only_tail))
-        if sr_engaged or hdr_engaged:
-            inner = base
-            sr = self._superres
-            vh = self._videohdr
-
-            def base(planes, _inner=inner, _sr=sr, _vh=vh,
-                     _sr_on=sr_engaged, _hdr_on=hdr_engaged, _maps=sr_maps):
-                rgb = _inner(planes)
-                if _sr_on:
-                    from .models.superres import enhance_plane_chw
-                    rgb = enhance_plane_chw(_sr[0], rgb, _sr[1])
-                    if _maps is not None:
-                        from .ops import scale as _scale_ops
-                        rgb = _scale_ops.resize_axis(rgb, _maps[1], -1)
-                        rgb = _scale_ops.resize_axis(rgb, _maps[0], -2)
-                if _hdr_on:
-                    from .models.videohdr import enhance_plane_chw as vh_apply
-                    rgb = vh_apply(_vh[0], rgb, _vh[1])
-                return rgb
+        in_kernel_pack = (fmt is not None
+                          and (not float_tail or geo_only_tail))
+        base = make_frame_fn(base_plan, pack_surface=in_kernel_pack)
         rotation, flip = self._rotation, self._flip
         stereo = self._stereo3d_transform
         pre = tuple(self._user_pre_fns)
         post = tuple(self._user_post_fns)
-        plan = self._plan
+        sr = self._superres
+        vh = self._videohdr
 
-        def fn(planes):
-            rgb = base(planes)
-            # the geometry + user-shader chain rides the post-scale ring
-            # (Source/DX11VideoProcessor.cpp:3337-3428)
+        def tail(rgb, _sr=sr, _vh=vh, _sr_on=sr_engaged,
+                 _hdr_on=hdr_engaged, _maps=sr_maps):
+            # learned enhancement slots run first (they replace/extend the
+            # VP stage, Source/D3D11VP.cpp:712-891) ...
+            if _sr_on:
+                from .models.superres import enhance_plane_chw
+                rgb = enhance_plane_chw(_sr[0], rgb, _sr[1])
+                if _maps is not None:
+                    from .ops import scale as _scale_ops
+                    rgb = _scale_ops.resize_axis(rgb, _maps[1], -1)
+                    rgb = _scale_ops.resize_axis(rgb, _maps[0], -2)
+            if _hdr_on:
+                from .models.videohdr import enhance_plane_chw as vh_apply
+                rgb = vh_apply(_vh[0], rgb, _vh[1])
+            # ... then the geometry + user-shader chain rides the post-scale
+            # ring (Source/DX11VideoProcessor.cpp:3337-3428)
             if rotation or flip:
                 rgb = geo_ops.rotate_flip(rgb, rotation, flip)
             for f in pre + post:
@@ -409,12 +412,33 @@ class VideoRenderer:
                 rgb = _pack_surface_xla(rgb, fmt)
             return rgb
 
+        has_tail = bool(float_tail)
+
+        def fn(planes):
+            return tail(base(planes))
+
         self._fn = jax.jit(fn)
         self._out_fmt = fmt
+        # settings-driven VP deinterlacing (InitMediaType routes interlaced
+        # sources through the rate-converting VP per vp_deinterlacing /
+        # deint_double, Source/DX11VideoProcessor.cpp:2209-2225; deint_blend
+        # instead folds a field blend into the pipeline itself)
+        deint_on = (self._src.interlaced
+                    and self.settings.vp_deinterlacing
+                    and not self.settings.deint_blend)
+        self._deint = None
+        if deint_on:
+            from .runner import DeinterlaceSession
+            self._deint = DeinterlaceSession(
+                base_plan, double_rate=self.settings.deint_double,
+                top_field_first=self._src.top_field_first,
+                pack_surface=in_kernel_pack,
+                post=tail if has_tail else None)
         if key is not None:
             if len(self._fn_cache) >= 8:
                 self._fn_cache.pop(next(iter(self._fn_cache)))
-            self._fn_cache[key] = (self._plan, self._fn, self._out_fmt)
+            self._fn_cache[key] = (self._plan, self._fn, self._out_fmt,
+                                   self._deint)
 
     # -- subtitles / OSD overlays ----------------------------------------------
 
@@ -495,7 +519,13 @@ class VideoRenderer:
         return out
 
     def process_frame(self, frame_or_planes, time: float | None = None):
-        """ProcessSample analogue. Returns the processed (…,3,H,W) array.
+        """ProcessSample analogue. Returns the processed (…,3,H,W) array —
+        or, when settings-driven VP deinterlacing is active on an interlaced
+        source, a **list of 0-2 output frames** (0 while the one-frame
+        lookahead window fills, 2 per frame with ``deint_double``), matching
+        the reference's Receive path rendering one or two fields per sample
+        (Source/DX11VideoProcessor.cpp:2176-2200).  Call :meth:`flush` at
+        end-of-stream to drain the final frame.
         ``time`` (stream seconds) drives subtitle lookup."""
         if self._fn is None:
             raise RuntimeError("open() a media type first")
@@ -507,6 +537,12 @@ class VideoRenderer:
         self.metrics.render_stats.copy_s = precise_tick() - t0
         self.metrics.input_stats.add(precise_tick())
         t1 = precise_tick()
+        if self._deint is not None:
+            outs = self._process_deint(planes, time)
+            self.metrics.render_stats.paint_s = precise_tick() - t1
+            self._last_input = planes
+            self._step_advance()
+            return outs
         try:
             out = self._run(planes, time)
         except jax.errors.JaxRuntimeError:
@@ -525,6 +561,49 @@ class VideoRenderer:
         self.metrics.draw_stats.frame_drawn()
         self._last_input = planes
         self._last_output = out
+        self._step_advance()
+        return out
+
+    def _process_deint(self, planes, time):
+        """Push one interlaced frame through the motion-adaptive window and
+        present whatever emits.  Emitted frames belong to the *previous*
+        pushed frame (its future reference just arrived); field 1 of a
+        double-rate pair presents half a frame duration later
+        (rtStart + rtFrameDur/2, Source/DX11VideoProcessor.cpp:2176-2185)."""
+        prev_time, self._deint_prev_time = self._deint_prev_time, time
+        try:
+            raw = self._deint.push(planes)
+        except jax.errors.JaxRuntimeError:
+            self.metrics.render_stats.failed += 1
+            self._rebuild()     # fresh/reset session: window restarts
+            raw = self._deint.push(planes)
+        return self._present_fields(raw, prev_time)
+
+    def _present_fields(self, raw, base_time):
+        half = self.metrics.input_stats.average_duration() / 2
+        outs = []
+        for i, out in enumerate(raw):
+            t = None if base_time is None else base_time + (half if i else 0.0)
+            if (self._subpic_queue is not None or self._alpha_bitmap
+                    is not None or self.settings.show_stats):
+                out = self._composite_overlays(out, t)
+            out.block_until_ready()
+            self.metrics.draw_stats.frame_drawn()
+            outs.append(out)
+        if outs:
+            self._last_output = outs[-1]
+        return outs
+
+    def flush(self) -> list:
+        """End-of-stream drain (the EndOfStream -> final-field render): emits
+        the last interlaced frame's field(s) with a clamped future reference.
+        Progressive sessions have nothing buffered and return []."""
+        if self._deint is None:
+            return []
+        t, self._deint_prev_time = self._deint_prev_time, None
+        return self._present_fields(self._deint.flush(), t)
+
+    def _step_advance(self) -> None:
         if self._stepping > 0:
             self._stepping -= 1
             if self._stepping == 0:
@@ -532,7 +611,6 @@ class VideoRenderer:
                 self._step_complete = True
                 if self._on_step_complete is not None:
                     self._on_step_complete()
-        return out
 
     # -- frame stepping (IKsPropertySet AM_KSPROPSETID_FrameStep,
     #    Source/VideoRenderer.cpp:777-785) ------------------------------------

@@ -77,6 +77,9 @@ class SourceDescriptor:
     transfer: TRC = TRC.AUTO
     chroma_location: ChromaLocation = ChromaLocation.UNKNOWN
     interlaced: bool = False
+    # field order for interlaced content (AM_VIDEO_FLAG_FIELD1FIRST,
+    # Source/DX11VideoProcessor.cpp:2216-2222); ignored when progressive
+    top_field_first: bool = True
     hdr10: HDR10Metadata | None = None
     # Dolby Vision mapping + color metadata (MediaSideDataDOVIMetadata) and
     # the L2 trim block; presence switches the convert stage to the DoVi
