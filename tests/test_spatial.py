@@ -249,3 +249,175 @@ def test_spatial_single_shard_fast_path():
     from videorenderer_tpu.pipeline import _pack_surface_xla
     np.testing.assert_array_equal(
         got1p, np.asarray(_pack_surface_xla(jnp.asarray(ref), "rgba8")))
+
+
+# ---------------------------------------------------------------------------
+# DoVi split-fused and one-pass Jinc2 plans under row sharding (VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+
+
+def _dovi_poly_meta():
+    from videorenderer_tpu.ops import dovi as dovi_ops
+    from videorenderer_tpu.ops.dovi import ReshapeCurve
+    curve = ReshapeCurve(pivots=(0.5,), method=(0, 0),
+                         poly=np.array([[0.02, 0.9, 0.1],
+                                        [0.0, 1.05, -0.05]]))
+    return dovi_ops.DoviMetadata(
+        curves=(curve, dovi_ops.identity_curve(), dovi_ops.identity_curve()),
+        ycc_to_rgb_matrix=np.array([[1, 0, 1.4746],
+                                    [1, -0.164553, -0.571353],
+                                    [1, 1.8814, 0]]),
+        ycc_to_rgb_offset=np.array([0.0, 0.5, 0.5]),
+        rgb_to_lms_matrix=np.linalg.inv(dovi_ops.DOVI_LMS2RGB))
+
+
+def _dovi_src(w, h, **over):
+    from videorenderer_tpu.csputils import Primaries, TRC
+    return SourceDescriptor(format=ColorFormat.P010, width=w, height=h,
+                            transfer=TRC.PQ, primaries=Primaries.BT_2020,
+                            matrix=CSP.BT_2020_NC, dovi=_dovi_poly_meta(),
+                            **over)
+
+
+def _p010_planes(w, h, seed=0, batch=None):
+    rng = np.random.default_rng(seed)
+    shape = lambda *s: ((batch,) + s) if batch else s
+    return (rng.integers(64, 941, shape(h, w), np.uint16) << 6,
+            rng.integers(64, 961, shape(h // 2, w // 2), np.uint16) << 6,
+            rng.integers(64, 961, shape(h // 2, w // 2), np.uint16) << 6)
+
+
+@pytest.mark.parametrize("out_size", [(64, 64), (32, 32), (16, 16)])
+def test_spatial_dovi_matches_single(out_size):
+    """Row-sharded DoVi split-fused pipeline is bit-identical to the
+    single-chip split-fused path: reshape/matrix/LMS are row-local, only
+    the chroma-upsample and resize H contractions exchange halos."""
+    from videorenderer_tpu.pipeline import _can_split_fuse
+    ow, oh = out_size
+    w, h = 32, 32
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    src = _dovi_src(w, h)
+    dst = OutputDescriptor(width=ow, height=oh, bits=8)
+    plan = plan_pipeline(Settings(use_dither=False), src, dst)
+    assert _can_split_fuse(plan)
+    planes = _p010_planes(w, h, seed=11)
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(
+        shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in planes))))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_spatial_dovi_vrect_dither_and_pack():
+    """DoVi spatial with video_rect placement, ordered dither and packed
+    surface output — full final-pass semantics under sharding.  The PQ->SDR
+    chain amplifies the per-shard matmul's reduction-order ULPs (~x80
+    luminance scale through the EOTF), so quantized codes may flip by 1 LSB
+    at dither thresholds — the same bar as test_fused."""
+    from videorenderer_tpu.pipeline import _pack_surface_xla
+    w, h = 32, 32
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    src = _dovi_src(w, h)
+    dst = OutputDescriptor(width=96, height=64, bits=8,
+                           video_rect=(16, 12, 80, 60))
+    plan = plan_pipeline(Settings(use_dither=True), src, dst)
+    planes = _p010_planes(w, h, seed=12)
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    sp = shard_planes_rows(mesh, tuple(jnp.asarray(p) for p in planes))
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(sp))
+    assert got.shape == ref.shape
+    diff = np.abs(got - ref)
+    assert (diff > 0.5 / 255).mean() < 1e-3
+    assert diff.max() <= 1.5 / 255
+    # black fill outside the rect is exact
+    np.testing.assert_array_equal(got[..., :12, :], 0.0)
+    np.testing.assert_array_equal(got[..., 60:, :], 0.0)
+    np.testing.assert_array_equal(got[..., :16], 0.0)
+    # the packed surface is exactly the packed planar shard output
+    packed = np.asarray(jax.jit(make_spatial_frame_fn(
+        plan, mesh, pack_surface=True))(sp))
+    np.testing.assert_array_equal(
+        packed, np.asarray(_pack_surface_xla(jnp.asarray(got), "rgba8")))
+
+
+def test_spatial_dovi_pad_and_crop():
+    """Non-divisible DoVi heights take the pad-and-crop fallback (the 8K
+    oversized-frame story for split-fused chains)."""
+    from videorenderer_tpu.parallel.spatial import pad_shard_planes_rows
+    w, h = 32, 28           # chroma 14 rows: not divisible by 4 shards
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    src = _dovi_src(w, h)
+    dst = OutputDescriptor(width=64, height=56, bits=8)
+    plan = plan_pipeline(Settings(use_dither=False), src, dst)
+    planes = _p010_planes(w, h, seed=13)
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    sp = pad_shard_planes_rows(plan, mesh, planes)
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(sp))
+    np.testing.assert_array_equal(got[..., :56, :], ref)
+    assert np.all(got[..., 56:, :] == 0)
+
+
+def test_spatial_jinc2_matches_single():
+    """Row-sharded one-pass 2D Jinc2 upscale: bit-identical across shard
+    counts, and matches the single-chip low-rank path up to the staged
+    path's function-form chroma upsample (rare 1-LSB flips, same bar as
+    test_fused)."""
+    w, h, ow, oh = 64, 64, 128, 128
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=ow, height=oh, bits=8)
+    plan = plan_pipeline(Settings(upscaling=Upscaling.JINC2,
+                                  use_dither=False), src, dst)
+    rng = np.random.default_rng(21)
+    planes = tuple(jnp.asarray(p) for p in (
+        rng.integers(0, 256, (h, w), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8)))
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("spatial",))
+    got1 = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh1))(
+        shard_planes_rows(mesh1, planes)))
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    got4 = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh4))(
+        shard_planes_rows(mesh4, planes)))
+    # sharding must not change a single bit relative to the 1-shard program
+    np.testing.assert_array_equal(got4, got1)
+    diff = np.abs(got1 - ref)
+    assert (diff > 0.5 / 255).mean() < 1e-3
+    assert diff.max() <= 1.5 / 255
+
+
+def test_spatial_jinc2_vrect_and_batch():
+    """Jinc2 spatial with video_rect placement and a batch dim (the
+    single-chip reference takes the staged resize_plane path here)."""
+    w, h = 64, 64
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=8,
+                           video_rect=(24, 4, 112, 92))
+    plan = plan_pipeline(Settings(upscaling=Upscaling.JINC2), src, dst)
+    rng = np.random.default_rng(22)
+    planes = tuple(jnp.asarray(p) for p in (
+        rng.integers(0, 256, (2, h, w), np.uint8),
+        rng.integers(0, 256, (2, h // 2, w // 2), np.uint8),
+        rng.integers(0, 256, (2, h // 2, w // 2), np.uint8)))
+    ref = np.asarray(jax.jit(make_frame_fn(plan))(planes))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    got = np.asarray(jax.jit(make_spatial_frame_fn(plan, mesh))(
+        shard_planes_rows(mesh, planes)))
+    assert got.shape == ref.shape == (2, 3, 96, 128)
+    diff = np.abs(got - ref)
+    assert (diff > 0.5 / 255).mean() < 1e-3
+    assert diff.max() <= 1.5 / 255
+
+
+def test_spatial_jinc2_mixed_axes_raise():
+    """Mixed Jinc2-up / convolution-down axes stay single-chip: clear
+    error, not a wrong result."""
+    src = SourceDescriptor(format=ColorFormat.NV12, width=64, height=64,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=16, bits=8)  # W up, H down 4x
+    plan = plan_pipeline(Settings(upscaling=Upscaling.JINC2), src, dst)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    with pytest.raises(ValueError, match="fusable"):
+        make_spatial_frame_fn(plan, mesh)

@@ -174,17 +174,51 @@ def spatial_padded_heights(plan: PipelinePlan, n: int) -> tuple[int, int]:
     return src_h_pad, surf_h_pad
 
 
+def _jinc2_spatial_ok(plan: PipelinePlan) -> bool:
+    """True when the plan's resize is the one-pass 2D Jinc2 upscale (both
+    axes "up" or one a no-op) — the case :func:`_make_spatial_jinc2` shards.
+    Mixed Jinc2-up/convolution-down axes run two passes and stay
+    single-chip."""
+    from ..config import Upscaling
+    s = plan.settings
+    if (s.upscaling != Upscaling.JINC2 or not s.vp_scaling
+            or plan.dovi is not None):
+        return False
+    src, dst = plan.src, plan.dst
+    w, h = src.width, src.height
+    if plan.src_rect is not None:
+        l, t, r, b = plan.src_rect
+        w, h = r - l, b - t
+    vid_w, vid_h = dst.video_size
+    rx, ry = scale_ops.jinc2_passes(h, w, vid_h, vid_w,
+                                    s.interpolate_at_50pct)
+    return (rx == "up" and ry in ("up", None)
+            and (h, w) != (vid_h, vid_w))
+
+
 def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
                           axis: str = "spatial", dtype=jnp.float32,
                           pack_surface: bool = False,
                           pad_to_mesh: bool = True):
-    """Row-sharded version of the fused pipeline.
+    """Row-sharded version of the frame pipeline.
 
     Input planes are (..., H, W) sharded on H over ``mesh[axis]``; output is
     (..., 3, dst.height, dst.width) sharded the same way, bit-identical to
-    the single-chip fused path — or, with ``pack_surface``, an
+    the single-chip path — or, with ``pack_surface``, an
     (..., dst.height, dst.width) int32 packed-dword surface (each shard
-    packs its own rows).  Requires a fusable plan (pipeline._can_fuse).
+    packs its own rows).
+
+    Three plan classes shard (SURVEY §5's oversized-frame mandate):
+
+     * fusable linear-prefix plans (pipeline._can_fuse) — the banded fused
+       pipeline per shard;
+     * DoVi split-fused plans (pipeline._can_split_fuse) — the reshape/RPU
+       matrix/LMS chain is pointwise (row-local); only the chroma-upsample
+       and resize H contractions exchange halos;
+     * one-pass 2D Jinc2 upscales — the low-rank separable expansion
+       (ops.scale._jinc2_lowrank) makes the 2D kernel a sum of ~5 separable
+       resizes, so each rank's H pass (and the anti-ringing row selections)
+       shard with halos like any separable filter.
 
     Heights not divisible by the mesh size are handled by ``pad_to_mesh``
     (default): plane heights zero-pad to :func:`spatial_padded_heights`
@@ -193,10 +227,99 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
     the returned surface has ``surf_h_pad`` rows whose trailing pad rows
     are black — crop with ``out[..., :dst.height, :]``.  With
     ``pad_to_mesh=False`` non-divisible heights raise."""
-    if not _can_fuse(plan):
+    from ..pipeline import _can_split_fuse
+    if _can_fuse(plan):
+        return _make_spatial_fused(plan, mesh, axis, dtype, pack_surface,
+                                   pad_to_mesh)
+    if _can_split_fuse(plan):
+        return _make_spatial_dovi(plan, mesh, axis, dtype, pack_surface,
+                                  pad_to_mesh)
+    if _jinc2_spatial_ok(plan):
+        return _make_spatial_jinc2(plan, mesh, axis, dtype, pack_surface,
+                                   pad_to_mesh)
+    raise ValueError(
+        "spatial sharding requires a fusable (linear-prefix) plan, a DoVi "
+        "split-fused plan, or a one-pass 2D Jinc2 upscale; this plan is "
+        "none of those (mixed Jinc2 up/down axes, shader-order "
+        "corrections, or a non-YUV DoVi source)")
+
+
+def _check_divisible(plan: PipelinePlan, n: int, pad_to_mesh: bool,
+                     surf_h: int) -> tuple[int, int, bool]:
+    """(src_h_pad, surf_h_pad, pad_rows) plus the non-divisible guard."""
+    info = plan.info
+    dh = info.chroma_div[1] if info.cs_type == ColorSystem.YUV else 1
+    src_h_pad, surf_h_pad = spatial_padded_heights(plan, n)
+    if not pad_to_mesh and (src_h_pad != plan.src.height
+                            or surf_h_pad != surf_h):
         raise ValueError(
-            "spatial sharding requires a fusable (linear-prefix) plan: "
-            "vp_scaling order, separable scalers, no DoVi reshape")
+            f"a height (src {plan.src.height}, chroma "
+            f"{plan.src.height // dh if info.cs_type == ColorSystem.YUV else '-'},"
+            f" surface {surf_h}) is not divisible by the {n}-shard "
+            "spatial mesh; enable pad_to_mesh for the pad-and-crop fallback")
+    return src_h_pad, surf_h_pad, surf_h_pad != surf_h
+
+
+def _shard_final(plan: PipelinePlan, rgb: jnp.ndarray, row0, hs_surf: int,
+                 rect: tuple[int, int, int, int], surf_w: int,
+                 has_vrect: bool, pad_rows: bool, fmt: str | None):
+    """Final pass per shard, ps_final_pass.hlsl semantics under sharding:
+    dither in video-local pattern coordinates (global surface row minus the
+    rect top; columns are video-local until the W pad below), then FillBlack
+    rows outside the rect and pad the columns."""
+    l1, t1, r1, b1 = rect
+    db = plan.dither_bits
+    if db is not None and db != 0:
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+        if db < 0:
+            rgb = dither_ops.quantize(rgb, -db)
+        else:
+            rgb = dither_ops.ordered_dither(rgb, db, row_offset=row0 - t1)
+    if has_vrect or pad_rows:
+        gr = row0 + jnp.arange(hs_surf)
+        mask = ((gr >= t1) & (gr < b1)).astype(rgb.dtype)
+        rgb = rgb * mask[:, None]
+        rgb = jnp.pad(rgb, [(0, 0)] * (rgb.ndim - 1)
+                      + [(l1, surf_w - r1)])
+    if fmt is not None:
+        from ..pipeline import _pack_surface_xla
+        rgb = _pack_surface_xla(rgb, fmt)
+    return rgb
+
+
+def _wrap_shard_map(shard_fn, mesh: Mesh, axis: str, n: int,
+                    fmt: str | None):
+    """The shard_map wrapper (or the 1-shard fast path) shared by every
+    spatial builder; planes are (..., H, W) sharded on H."""
+    from jax import shard_map
+
+    def spec_for(ndim):
+        parts = [None] * ndim
+        parts[-2] = axis
+        return P(*parts)
+
+    def fn(planes):
+        if n == 1:
+            # single-shard fast path: shard_map over a trivial mesh is pure
+            # dispatch overhead (SPMD wrapping, axis bookkeeping) — the
+            # shard function IS the whole-frame function when halo is empty
+            # and every band stack has one entry
+            return shard_fn(*planes)
+        specs = tuple(spec_for(p.ndim) for p in planes)
+        out_spec = spec_for(planes[0].ndim + (0 if fmt is not None else 1))
+        # check_vma=False: pallas_call outputs can't declare their mesh-axis
+        # variance, so the per-shard banded kernels fail the VMA check
+        smfn = shard_map(shard_fn, mesh=mesh, in_specs=specs,
+                         out_specs=out_spec, check_vma=False)
+        return smfn(*planes)
+
+    return fn
+
+
+def _make_spatial_fused(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
+                        pack_surface: bool, pad_to_mesh: bool):
+    """Row-sharded fused (linear-prefix) pipeline — see
+    :func:`make_spatial_frame_fn`."""
     s = plan.settings
     src, dst = plan.src, plan.dst
     info = plan.info
@@ -212,14 +335,8 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
     surf_w, surf_h = dst.width, dst.height
 
     dw, dh = info.chroma_div
-    src_h_pad, surf_h_pad = spatial_padded_heights(plan, n)
-    if not pad_to_mesh and (src_h_pad != src.height or surf_h_pad != surf_h):
-        raise ValueError(
-            f"a height (src {src.height}, chroma "
-            f"{src.height // dh if info.cs_type == ColorSystem.YUV else '-'},"
-            f" surface {surf_h}) is not divisible by the {n}-shard "
-            "spatial mesh; enable pad_to_mesh for the pad-and-crop fallback")
-    pad_rows = surf_h_pad != surf_h
+    src_h_pad, surf_h_pad, pad_rows = _check_divisible(plan, n, pad_to_mesh,
+                                                       surf_h)
 
     # --- axis maps, exactly as _make_fused_fn builds them ------------------
     cx = scale_ops.select_scaler(crop_w, vid_w, s.upscaling,
@@ -322,53 +439,338 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
         if plan.local_tonemap:
             rgb = _local_tonemap(plan, rgb)
 
-        # final pass, ps_final_pass.hlsl semantics under sharding: dither in
-        # video-local pattern coordinates (global surface row minus the rect
-        # top; columns are video-local until the W pad below), then FillBlack
-        # rows outside the rect and pad the columns.
-        db = plan.dither_bits
-        row0 = idx * hs_surf  # global surface row of local row 0
-        if db is not None and db != 0:
-            rgb = jnp.clip(rgb, 0.0, 1.0)
-            if db < 0:
-                rgb = dither_ops.quantize(rgb, -db)
+        return _shard_final(plan, rgb, idx * hs_surf, hs_surf,
+                            (l1, t1, r1, b1), surf_w, has_vrect, pad_rows,
+                            fmt)
+
+    return _wrap_shard_map(shard_fn, mesh, axis, n, fmt)
+
+
+def _stage_a_height(plan: PipelinePlan, n: int) -> int:
+    """Height of the row-sharded source-resolution intermediate (the cropped
+    source rows at offset 0, padded to the mesh)."""
+    t0 = plan.src_rect[1] if plan.src_rect is not None else 0
+    b0 = plan.src_rect[3] if plan.src_rect is not None else plan.src.height
+    return -(-(b0 - t0) // n) * n
+
+
+def _make_spatial_dovi(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
+                       pack_surface: bool, pad_to_mesh: bool):
+    """Row-sharded DoVi split-fused pipeline (pipeline._make_dovi_fused_fn
+    under sharding): stage A upsamples chroma to source resolution (the uy
+    H contraction exchanges halos) and runs the reshape + RPU ycc matrix +
+    LMS PQ round trip — all pointwise, so row-local; stage B resizes the
+    PQ RGB to the surface (the wy H contraction exchanges halos) and runs
+    corrections/tone map/dither per shard.  Bit-identical to the
+    single-chip split-fused path (reference chain:
+    Source/Shaders.cpp:531-859)."""
+    from ..ops import dovi as dovi_ops
+    s = plan.settings
+    src, dst = plan.src, plan.dst
+    info = plan.info
+    n = mesh.shape[axis]
+    use_pallas = (s.use_accel_backend and jax.default_backend() == "tpu"
+                  and _vp_format_allowed(s, info))
+
+    l0, t0, r0, b0 = plan.src_rect or (0, 0, src.width, src.height)
+    crop_w, crop_h = r0 - l0, b0 - t0
+    vid_w, vid_h = dst.video_size
+    l1, t1, r1, b1 = dst.video_rect or (0, 0, dst.width, dst.height)
+    surf_w, surf_h = dst.width, dst.height
+
+    dw, dh = info.chroma_div
+    src_h_pad, surf_h_pad, pad_rows = _check_divisible(plan, n, pad_to_mesh,
+                                                       surf_h)
+    ah_pad = _stage_a_height(plan, n)   # stage-A intermediate rows
+    if not pad_to_mesh and ah_pad != crop_h:
+        raise ValueError(
+            f"the cropped source height {crop_h} is not divisible by the "
+            f"{n}-shard spatial mesh; enable pad_to_mesh")
+
+    ux, uy = chroma_ops.chroma_upsample_matrices(
+        crop_w // dw, crop_h // dh, info.subsampling,
+        s.chroma_scaling, src.chroma_location)
+    blend = s.deint_blend and src.interlaced and info.subsampling == 420
+    by = chroma_ops.blend_deinterlace_matrix(crop_h) if blend else None
+
+    cx = scale_ops.select_scaler(crop_w, vid_w, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    cy = scale_ops.select_scaler(crop_h, vid_h, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    wx = scale_ops.build_axis_matrix(cx, crop_w, vid_w)
+    wy = scale_ops.build_axis_matrix(cy, crop_h, vid_h)
+
+    norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
+
+    # stage-A H maps: source-res rows embedded into the ah_pad intermediate
+    # (crop rows land at offset 0; zero rows ignore the crop, zero columns
+    # keep the pad rows exact 0)
+    def a_map(m, in_vid, in_full, in_off):
+        if m is None and in_full == ah_pad and in_off == 0 \
+                and in_vid == ah_pad:
+            return None
+        if m is None:
+            m = np.eye(in_vid)
+        return _embed(np.asarray(m), in_total=in_full, in_off=in_off,
+                      out_total=ah_pad, out_off=0)
+
+    ma_luma = a_map(by, crop_h, src_h_pad, t0)
+    ma_chroma = a_map(uy, crop_h // dh, src_h_pad // dh, t0 // dh)
+    # luma has no W pass in stage A: the normalization rides its H bands
+    # (or a plain scale when the map is trivial)
+    ra_luma = _RowResize(ma_luma, n, axis, use_pallas, pre_scale=norm)
+    ra_chroma = _RowResize(ma_chroma, n, axis, use_pallas,
+                           pre_scale=None if ux is not None else norm)
+
+    # stage-B H map: video rows embedded into the surface at the rect top
+    mb = wy
+    if mb is None and not (ah_pad == surf_h_pad and t1 == 0):
+        mb = np.eye(vid_h)
+    if mb is not None:
+        mb = _embed(np.asarray(mb), in_total=ah_pad, in_off=0,
+                    out_total=surf_h_pad, out_off=t1)
+    rb = _RowResize(mb, n, axis, use_pallas)
+
+    hs_surf = surf_h_pad // n
+    has_vrect = dst.video_rect is not None
+    from ..pipeline import surface_pack_format
+    fmt = surface_pack_format(dst) if pack_surface else None
+
+    def apply_w_int(p, mx, x_lo, x_hi):
+        """Stage-A chroma W upsample on raw integer rows (normalization
+        folded into the banded weights on the Pallas path)."""
+        p = p[..., x_lo:x_hi]
+        if mx is None:
+            return p
+        if use_pallas:
+            from ..kernels import resize_pallas as rp
+            return rp.banded_resize_last_axis(p, np.asarray(mx, np.float32),
+                                              pre_scale=norm)
+        x = p.astype(dtype) * jnp.asarray(norm, dtype)
+        return scale_ops.resize_axis(x, mx, -1)
+
+    def apply_w_f(x, mx):
+        """Stage-B W resize on float rows."""
+        if mx is None:
+            return x
+        if use_pallas:
+            from ..kernels import resize_pallas as rp
+            return rp.banded_resize_last_axis(x, np.asarray(mx, np.float32))
+        return scale_ops.resize_axis(x, mx, -1)
+
+    am = np.asarray(plan.cmat_m, np.float32)
+    ac = np.asarray(plan.cmat_c, np.float32)
+
+    def shard_fn(y, u, v):
+        idx = jax.lax.axis_index(axis) if n > 1 else 0
+        # stage A: raw integer planes -> source-res ycc (crop W locally,
+        # halo-exchanged H contractions)
+        ya = ra_luma(y[..., l0:r0], dtype)
+        ua = ra_chroma(apply_w_int(u, ux, l0 // dw, r0 // dw), dtype)
+        va = ra_chroma(apply_w_int(v, ux, l0 // dw, r0 // dw), dtype)
+        comps = jnp.stack([ya, ua, va], axis=-3)
+        # reshape + ycc matrix + LMS PQ round trip: pointwise, row-local
+        # (ShaderDoviReshape + the convert pass, Source/Shaders.cpp:809-859)
+        comps = dovi_ops.reshape(comps, plan.dovi, axis=-3)
+        if plan.apply_matrix:
+            yc = comps[..., 0, :, :]
+            uc = comps[..., 1, :, :]
+            vc = comps[..., 2, :, :]
+            rgb = jnp.stack(
+                [am[i, 0] * yc + am[i, 1] * uc + am[i, 2] * vc + ac[i]
+                 for i in range(3)], axis=-3)
+        else:
+            rgb = comps
+        rgb = dovi_ops.apply_lms_matrix(rgb, plan.dovi, axis=-3)
+        # stage B: resize the PQ RGB to the surface
+        rgb = rb(apply_w_f(rgb, wx), dtype)
+        rgb = _corrections(plan, rgb)
+        if plan.local_tonemap:
+            rgb = _local_tonemap(plan, rgb)
+        return _shard_final(plan, rgb, idx * hs_surf, hs_surf,
+                            (l1, t1, r1, b1), surf_w, has_vrect, pad_rows,
+                            fmt)
+
+    return _wrap_shard_map(shard_fn, mesh, axis, n, fmt)
+
+
+def _make_spatial_jinc2(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
+                        pack_surface: bool, pad_to_mesh: bool):
+    """Row-sharded one-pass 2D Jinc2 upscale: the low-rank separable
+    expansion (ops/scale.py module note) turns the non-separable 2D kernel
+    into ~5 separable resizes, so each rank's H pass shards with halo
+    exchange like any separable filter; the per-output-pixel weight
+    normalization is an outer product (each shard matmuls its own ay rows
+    against bx), and the anti-ringing center min/max row selections are
+    exact one-hot H maps.  Matches the single-chip low-rank path
+    (scale._jinc2_lowrank — the TPU-idiomatic form of
+    Shaders/examples/resizer_onepass_jinc2.hlsl) to f32 rounding."""
+    from ..ops.scale import (_JINC2_AR_STRENGTH, _jinc2_tap_data,
+                             jinc2_lr_matrices)
+    s = plan.settings
+    src, dst = plan.src, plan.dst
+    info = plan.info
+    n = mesh.shape[axis]
+    use_pallas = (s.use_accel_backend and jax.default_backend() == "tpu"
+                  and _vp_format_allowed(s, info))
+
+    l0, t0, r0, b0 = plan.src_rect or (0, 0, src.width, src.height)
+    crop_w, crop_h = r0 - l0, b0 - t0
+    vid_w, vid_h = dst.video_size
+    l1, t1, r1, b1 = dst.video_rect or (0, 0, dst.width, dst.height)
+    surf_w, surf_h = dst.width, dst.height
+
+    dw, dh = info.chroma_div
+    src_h_pad, surf_h_pad, pad_rows = _check_divisible(plan, n, pad_to_mesh,
+                                                       surf_h)
+    ah_pad = _stage_a_height(plan, n)
+    if not pad_to_mesh and ah_pad != crop_h:
+        raise ValueError(
+            f"the cropped source height {crop_h} is not divisible by the "
+            f"{n}-shard spatial mesh; enable pad_to_mesh")
+
+    # convert stage maps (chroma upsample to source res + optional blend),
+    # exactly as the fused builders compose them
+    if info.cs_type == ColorSystem.YUV:
+        ux, uy = chroma_ops.chroma_upsample_matrices(
+            crop_w // dw, crop_h // dh, info.subsampling,
+            s.chroma_scaling, src.chroma_location)
+    else:
+        ux = uy = None
+    blend = (s.deint_blend and src.interlaced and info.subsampling == 420
+             and info.cs_type == ColorSystem.YUV)
+    by = chroma_ops.blend_deinterlace_matrix(crop_h) if blend else None
+
+    norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
+
+    def a_map(m, in_vid, in_full, in_off):
+        if m is None and in_full == ah_pad and in_off == 0 \
+                and in_vid == ah_pad:
+            return None
+        if m is None:
+            m = np.eye(in_vid)
+        return _embed(np.asarray(m), in_total=in_full, in_off=in_off,
+                      out_total=ah_pad, out_off=0)
+
+    ra_luma = _RowResize(a_map(by, crop_h, src_h_pad, t0), n, axis,
+                         use_pallas, pre_scale=norm)
+    ra_chroma = (_RowResize(
+        a_map(uy, crop_h // dh, src_h_pad // dh, t0 // dh), n, axis,
+        use_pallas, pre_scale=None if ux is not None else norm)
+        if info.cs_type == ColorSystem.YUV else None)
+
+    # the low-rank Jinc2 factors: K rank pairs + normalization vectors
+    ay_mats, bx_mats, ay, bx = jinc2_lr_matrices(crop_h, vid_h,
+                                                 crop_w, vid_w)
+    emb_b = lambda m: _embed(np.asarray(m, np.float32), in_total=ah_pad,
+                             in_off=0, out_total=surf_h_pad, out_off=t1)
+    rank_rows = [_RowResize(emb_b(ak), n, axis, use_pallas)
+                 for ak in ay_mats]
+    # per-shard weight-sum rows: ay embedded into the surface (rows outside
+    # the video rect get 1.0 so the 0-row division stays finite), sharded
+    # statically and selected by axis index
+    ay_emb = np.ones((surf_h_pad, ay.shape[1]), np.float32)
+    ay_emb[t1:t1 + vid_h] = ay
+    hs_surf = surf_h_pad // n
+    ay_shards = np.stack([ay_emb[i * hs_surf:(i + 1) * hs_surf]
+                          for i in range(n)])              # (n, hs, K)
+    bx_t = np.asarray(bx.T, np.float32)                    # (K, vid_w)
+
+    # anti-ringing center rows: one-hot selection maps (exact copies)
+    by_taps, _ = _jinc2_tap_data(crop_h, vid_h)
+    r0_rows = np.clip(by_taps, 0, crop_h - 1)
+    r1_rows = np.clip(by_taps + 1, 0, crop_h - 1)
+
+    def sel_map(rows):
+        m = np.zeros((crop_h, vid_h), np.float32)
+        m[rows, np.arange(vid_h)] = 1.0
+        return _RowResize(emb_b(m), n, axis, use_pallas)
+
+    rsel0, rsel1 = sel_map(r0_rows), sel_map(r1_rows)
+    bx_taps, _ = _jinc2_tap_data(crop_w, vid_w)
+    c0_cols = jnp.asarray(np.clip(bx_taps, 0, crop_w - 1))
+    c1_cols = jnp.asarray(np.clip(bx_taps + 1, 0, crop_w - 1))
+
+    has_vrect = dst.video_rect is not None
+    from ..pipeline import surface_pack_format
+    fmt = surface_pack_format(dst) if pack_surface else None
+
+    def apply_w_int(p, mx, x_lo, x_hi):
+        p = p[..., x_lo:x_hi]
+        if mx is None:
+            return p
+        if use_pallas:
+            from ..kernels import resize_pallas as rp
+            return rp.banded_resize_last_axis(p, np.asarray(mx, np.float32),
+                                              pre_scale=norm)
+        x = p.astype(dtype) * jnp.asarray(norm, dtype)
+        return scale_ops.resize_axis(x, mx, -1)
+
+    def apply_w_f(x, mx):
+        if use_pallas:
+            from ..kernels import resize_pallas as rp
+            return rp.banded_resize_last_axis(x, np.asarray(mx, np.float32))
+        return scale_ops.resize_axis(x, mx, -1)
+
+    def shard_fn(*planes):
+        idx = jax.lax.axis_index(axis) if n > 1 else 0
+        # convert: normalize + chroma upsample + color matrix at source res
+        if info.cs_type == ColorSystem.GRAY:
+            yc = ra_luma(planes[0][..., l0:r0], dtype)
+            m, c = plan.cmat_m, plan.cmat_c
+            rgb = jnp.stack([yc * m[i, 0] + c[i] for i in range(3)],
+                            axis=-3)
+        else:
+            if info.cs_type == ColorSystem.YUV:
+                comps = (ra_luma(planes[0][..., l0:r0], dtype),
+                         ra_chroma(apply_w_int(planes[1], ux, l0 // dw,
+                                               r0 // dw), dtype),
+                         ra_chroma(apply_w_int(planes[2], ux, l0 // dw,
+                                               r0 // dw), dtype))
             else:
-                rgb = dither_ops.ordered_dither(rgb, db,
-                                                row_offset=row0 - t1)
-        if has_vrect or pad_rows:
-            gr = row0 + jnp.arange(hs_surf)
-            mask = ((gr >= t1) & (gr < b1)).astype(rgb.dtype)
-            rgb = rgb * mask[:, None]
-            rgb = jnp.pad(rgb, [(0, 0)] * (rgb.ndim - 1)
-                          + [(l1, surf_w - r1)])
-        if fmt is not None:
-            rgb = _pack_surface_xla(rgb, fmt)
-        return rgb
+                comps = tuple(ra_luma(p[..., l0:r0], dtype) for p in planes)
+            if plan.apply_matrix:
+                m = jnp.asarray(plan.cmat_m, dtype)
+                c = jnp.asarray(plan.cmat_c, dtype)
+                rgb = jnp.stack(
+                    [m[i, 0] * comps[0] + m[i, 1] * comps[1]
+                     + m[i, 2] * comps[2] + c[i] for i in range(3)],
+                    axis=-3)
+            else:
+                rgb = jnp.stack(comps, axis=-3)
 
-    from jax import shard_map
+        # 2D Jinc2 via the low-rank expansion, per shard (same accumulation
+        # order as scale._jinc2_lowrank: W then H per rank, running sum)
+        un = None
+        for rk, bk in zip(rank_rows, bx_mats):
+            t = rk(apply_w_f(rgb, bk), dtype)
+            un = t if un is None else un + t
+        ay_sh = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(ay_shards), idx, axis=0, keepdims=False)
+        wsum = jnp.matmul(ay_sh, jnp.asarray(bx_t),
+                          precision=jax.lax.Precision.HIGHEST)
+        out = un / wsum
+        # anti-ringing clamp against the center 2x2 input taps
+        x0 = rsel0(rgb, dtype)
+        x1 = rsel1(rgb, dtype)
+        mn_r = jnp.minimum(x0, x1)
+        mx_r = jnp.maximum(x0, x1)
+        mn = jnp.minimum(jnp.take(mn_r, c0_cols, axis=-1),
+                         jnp.take(mn_r, c1_cols, axis=-1))
+        mx = jnp.maximum(jnp.take(mx_r, c0_cols, axis=-1),
+                         jnp.take(mx_r, c1_cols, axis=-1))
+        clamped = jnp.clip(out, mn, mx)
+        rgb = out + (clamped - out) * _JINC2_AR_STRENGTH
 
-    # planes are (..., H, W): shard the H axis (second-to-last)
-    def spec_for(ndim):
-        parts = [None] * ndim
-        parts[-2] = axis
-        return P(*parts)
+        if s.vp_scaling:
+            rgb = _corrections(plan, rgb)
+        if plan.local_tonemap:
+            rgb = _local_tonemap(plan, rgb)
+        return _shard_final(plan, rgb, idx * hs_surf, hs_surf,
+                            (l1, t1, r1, b1), surf_w, has_vrect, pad_rows,
+                            fmt)
 
-    def fn(planes):
-        if n == 1:
-            # single-shard fast path: shard_map over a trivial mesh is pure
-            # dispatch overhead (SPMD wrapping, axis bookkeeping) — the
-            # shard function IS the whole-frame function when halo is empty
-            # and every band stack has one entry
-            return shard_fn(*planes)
-        specs = tuple(spec_for(p.ndim) for p in planes)
-        out_spec = spec_for(planes[0].ndim + (0 if fmt is not None else 1))
-        # check_vma=False: pallas_call outputs can't declare their mesh-axis
-        # variance, so the per-shard banded kernels fail the VMA check
-        smfn = shard_map(shard_fn, mesh=mesh, in_specs=specs,
-                         out_specs=out_spec, check_vma=False)
-        return smfn(*planes)
-
-    return fn
+    return _wrap_shard_map(shard_fn, mesh, axis, n, fmt)
 
 
 def shard_planes_rows(mesh: Mesh, planes, axis: str = "spatial"):
