@@ -1,0 +1,339 @@
+#!/usr/bin/env python
+"""Roofline audit per bench config (VERDICT r3 #6): achieved HBM bandwidth
+and MXU/VPU utilization vs the v5e peaks, from an ANALYTIC traffic/FLOP
+model (device traces are unreliable through the remote relay, and XLA's
+cost analysis can't see inside the Pallas custom calls, so the model counts
+what the kernels actually stream and multiply):
+
+ * HBM bytes/frame — input planes (read once by the integer-in banded
+   kernels), explicit full-size intermediates (write + read), output
+   surface (packed dwords), per config path;
+ * MXU MACs/frame — nonzeros of the actual banded axis matrices times the
+   row/column count they apply to (exact for the resample kernels), times
+   3 bf16 passes for the split-bf16 scheme (docs/performance.md), plus the
+   conv-net MACs for the learned-model rows (from the parameter shapes);
+ * VPU ops/frame — per-pixel op estimates for the elementwise tails
+   (documented per chain below; ±2x fidelity, labeled "est").
+
+Peaks (TPU v5e, public numbers): 197 bf16 TFLOP/s MXU, 819 GB/s HBM; the
+VPU peak is estimated at 6.5e12 f32 op/s (8 sublanes x 128 lanes x 4 ALUs
+x ~1.6 GHz) — treat VPU percentages as order-of-magnitude.
+
+Usage:
+  python bench_roofline.py            # model + fps from BENCH_DETAILS.md,
+                                      # appends/replaces its Roofline section
+  python bench_roofline.py --print    # model table to stdout only
+
+Pure host-side arithmetic: no TPU, no jax device work (plans and matrices
+are built on CPU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+
+import bench_common as bc
+from videorenderer_tpu.formats import ColorSystem, get_format_info
+from videorenderer_tpu.ops import chroma as chroma_ops
+from videorenderer_tpu.ops import scale as scale_ops
+from videorenderer_tpu.pipeline import _compose
+
+HBM_GBPS = 819.0            # v5e HBM bandwidth
+MXU_TFLOPS = 197.0          # v5e bf16 peak
+VPU_OPS = 6.5e12            # estimated f32 elementwise peak (see module doc)
+SPLIT_BF16_PASSES = 3       # the manual hi/lo split (docs/performance.md)
+
+# per-pixel elementwise-tail op estimates (output-resolution pixels; a
+# vector pow ~ 15 ops: exp+log polynomial pairs); documented, not measured
+TAIL_OPS = {
+    "matrix_pack": 30,        # cmat FMAs + clip + quantize/dither + pack
+    "convert_to_sdr": 150,    # 2 pows (PQ eotf) + Hable + gamut + srgb pow
+    "hlg_to_sdr": 90,         # HLG inverse-OETF + folded PQ trip + tail
+    "bt2390_rt": 200,         # 12 vector pows (m1-domain EETF) + knee
+    "dovi": 280,              # reshape polys + LMS PQ round trip (fast pow)
+    "jinc2_ar": 40,           # anti-ringing min/max + normalize + lerp
+    "deint_motion": 25,       # |next-prev| motion field + select (src px)
+}
+
+
+def _nnz(m) -> int:
+    return 0 if m is None else int(np.count_nonzero(np.asarray(m)))
+
+
+def _plane_geometry(plan):
+    info = plan.info
+    src, dst = plan.src, plan.dst
+    dw, dh = info.chroma_div if info.cs_type == ColorSystem.YUV else (1, 1)
+    vid_w, vid_h = dst.video_size
+    return info, src, dst, dw, dh, vid_w, vid_h
+
+
+def _axis_maps(plan):
+    """(wx, wy, cwx, cwy) exactly as the fused path composes them."""
+    s = plan.settings
+    info, src, dst, dw, dh, vid_w, vid_h = _plane_geometry(plan)
+    cx = scale_ops.select_scaler(src.width, vid_w, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    cy = scale_ops.select_scaler(src.height, vid_h, s.upscaling,
+                                 s.downscaling, s.interpolate_at_50pct)
+    wx = scale_ops.build_axis_matrix(cx, src.width, vid_w)
+    wy = scale_ops.build_axis_matrix(cy, src.height, vid_h)
+    if info.cs_type == ColorSystem.YUV:
+        ux, uy = chroma_ops.chroma_upsample_matrices(
+            src.width // dw, src.height // dh, info.subsampling,
+            s.chroma_scaling, src.chroma_location)
+        cwx, cwy = _compose(ux, wx), _compose(uy, wy)
+    else:
+        cwx = cwy = None
+    return wx, wy, cwx, cwy
+
+
+def _in_bytes(plan) -> float:
+    info, src, _, dw, dh, _, _ = _plane_geometry(plan)
+    px = src.width * src.height
+    b = 2 if info.plane_bits > 8 else 1
+    if info.cs_type == ColorSystem.YUV:
+        return px * b * (1 + 2 / (dw * dh))
+    return px * b * (3 if info.cs_type == ColorSystem.RGB else 1)
+
+
+def _fused_model(plan, out_bytes_px=4):
+    """bytes/frame and MACs/frame for the fused rows3 path (W kernels to
+    full-size f32 intermediates, then the H+tail kernel)."""
+    info, src, dst, dw, dh, vid_w, vid_h = _plane_geometry(plan)
+    wx, wy, cwx, cwy = _axis_maps(plan)
+    bytes_f = _in_bytes(plan)
+    macs = 0.0
+    if wx is not None:
+        macs += src.height * _nnz(wx)               # luma W pass
+        macs += 2 * (src.height // dh) * _nnz(cwx)  # chroma W passes
+        inter = 4.0 * vid_w * (src.height + 2 * src.height // dh)
+        bytes_f += 2 * inter                        # write + read back
+    if wy is not None or cwy is not None:
+        macs += vid_w * _nnz(wy)
+        macs += 2 * vid_w * _nnz(cwy)
+    bytes_f += vid_w * vid_h * out_bytes_px
+    return bytes_f, macs
+
+
+def _tail_ops(plan, extra=0):
+    ops = TAIL_OPS["matrix_pack"] + extra
+    if plan.convert_to_sdr:
+        from videorenderer_tpu.csputils import TRC
+        ops += (TAIL_OPS["hlg_to_sdr"] if plan.src.transfer == TRC.HLG
+                and plan.dovi is None else TAIL_OPS["convert_to_sdr"])
+    if plan.hlg_to_pq:
+        ops += TAIL_OPS["hlg_to_sdr"]
+    if plan.local_tonemap:
+        ops += TAIL_OPS["bt2390_rt"]
+    if plan.dovi is not None:
+        ops += TAIL_OPS["dovi"]
+    return ops
+
+
+def _model_params_macs(params, domain_px: float) -> float:
+    """Conv MACs/frame from parameter shapes: every 4D conv kernel runs once
+    per conv-domain pixel."""
+    import jax
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        a = np.asarray(leaf)
+        if a.ndim == 4:      # (kh, kw, cin, cout)
+            total += int(np.prod(a.shape))
+    return total * domain_px
+
+
+def config_model(key: str) -> dict:
+    """{'bytes': HBM bytes/frame, 'macs': MXU MACs/frame,
+    'vpu': elementwise ops/frame, 'note': str} for one config."""
+    plan = bc.build_plan(key)
+    info, src, dst, dw, dh, vid_w, vid_h = _plane_geometry(plan)
+    out_px = vid_w * vid_h
+
+    if key in ("c3", "c3rot"):
+        # whole-chain Jinc2 kernel: raw planes in, packed surface out, the
+        # low-rank ranks' W+H dots per output pixel (4 taps each, K ranks)
+        ay_mats, bx_mats, _, _ = scale_ops.jinc2_lr_matrices(
+            src.height, vid_h, src.width, vid_w)
+        k = len(ay_mats)
+        macs = k * (src.height * _nnz(bx_mats[0]) + vid_w * _nnz(ay_mats[0]))
+        by = _in_bytes(plan) + out_px * 4
+        vpu = out_px * (TAIL_OPS["matrix_pack"] + TAIL_OPS["jinc2_ar"])
+        if key == "c3rot":
+            by += 2 * out_px * 4        # packed-surface transpose pass
+        return {"bytes": by, "macs": macs, "vpu": vpu,
+                "note": f"jinc2 low-rank K={k}"}
+
+    if key == "c3sr":
+        from videorenderer_tpu.models.superres import SuperResConfig
+        params, cfg = bc.superres_params()
+        dom = (src.height // cfg.s2d) * (src.width // cfg.s2d)
+        macs = _model_params_macs(params, dom)
+        # pipeline 1:1 convert (no resize) + net activations: each conv
+        # layer's bf16 activations round-trip HBM unless fused (upper bound
+        # ~2 layers live per step after XLA fusion — count 1 round trip per
+        # conv as the model)
+        import jax
+        n_convs = sum(1 for leaf in jax.tree_util.tree_leaves(params)
+                      if np.asarray(leaf).ndim == 4)
+        act = dom * cfg.channels * 2
+        by = (_in_bytes(plan) + n_convs * 2 * act
+              + (src.width * src.height) * 3 * 4    # f32 rgb in
+              + out_px * 4 * cfg.scale * cfg.scale) # hr out (packed)
+        return {"bytes": by, "macs": macs,
+                "vpu": out_px * TAIL_OPS["matrix_pack"],
+                "note": f"conv net c={cfg.channels} b={cfg.num_blocks} "
+                        f"s2d={cfg.s2d}"}
+
+    if key == "c1vh":
+        params, cfg = bc.videohdr_params()
+        dom = src.height * src.width
+        macs = _model_params_macs(params, dom)
+        import jax
+        n_convs = sum(1 for leaf in jax.tree_util.tree_leaves(params)
+                      if np.asarray(leaf).ndim == 4)
+        act = dom * cfg.channels * 2
+        by = (_in_bytes(plan) + n_convs * 2 * act + dom * 3 * 4 * 2
+              + out_px * 4)
+        vpu = out_px * (TAIL_OPS["matrix_pack"] + TAIL_OPS["convert_to_sdr"])
+        return {"bytes": by, "macs": macs, "vpu": vpu,
+                "note": f"gain net c={cfg.channels}"}
+
+    if key in ("c5", "c5s"):
+        # dual-field deint: 3-frame window read, two H-passed field
+        # intermediates, two packed outputs
+        wx, wy, cwx, cwy = _axis_maps(plan)
+        in_b = 3 * _in_bytes(plan)     # prev/cur/next reads per frame
+        inter = 2 * 4.0 * src.width * (vid_h + 2 * vid_h // dh)
+        out_b = 2 * out_px * 4
+        macs = 2 * (src.width * _nnz(wy) + 2 * (src.width // dw) * _nnz(cwy)
+                    + vid_h * _nnz(wx) + 2 * vid_h * _nnz(cwx))
+        vpu = 2 * out_px * (_tail_ops(plan)) \
+            + src.width * src.height * TAIL_OPS["deint_motion"]
+        if key == "c5s":
+            out_b += 2 * (bc.SUB_W * bc.SUB_H) * 4 * 2
+        return {"bytes": in_b + 2 * inter + out_b, "macs": macs, "vpu": vpu,
+                "note": "2 fields/frame"}
+
+    if key == "c8":
+        # DoVi single-intermediate chain: chroma W upsample, rows3_mid
+        # (chroma H up + reshape/LMS + H downscale), cols3_tail (W resize)
+        wx, wy, cwx, cwy = _axis_maps(plan)
+        from videorenderer_tpu.ops.chroma import chroma_upsample_matrices
+        s = plan.settings
+        ux, uy = chroma_upsample_matrices(
+            src.width // dw, src.height // dh, info.subsampling,
+            s.chroma_scaling, src.chroma_location)
+        macs = (2 * (src.height // dh) * _nnz(ux)       # chroma W up
+                + 2 * src.width * _nnz(uy)              # chroma H up
+                + 3 * src.width * _nnz(wy)              # H downscale (RGB)
+                + 3 * vid_h * _nnz(wx))                 # W downscale
+        inter_uw = 2 * 4.0 * src.width * (src.height // dh)  # chroma W-up
+        inter_mid = 3 * 4.0 * vid_h * src.width             # mid RGB
+        by = (_in_bytes(plan) + 2 * inter_uw + 2 * inter_mid + out_px * 4)
+        vpu = (src.width * src.height * TAIL_OPS["dovi"]   # source-res stage
+               + out_px * _tail_ops(plan, extra=-TAIL_OPS["dovi"]
+                                    if plan.dovi else 0))
+        return {"bytes": by, "macs": macs, "vpu": vpu,
+                "note": "split-fused, source-res reshape"}
+
+    # fused rows3 configs (c1, c2, c4, c6, c7, c9)
+    by, macs = _fused_model(plan)
+    vpu = out_px * _tail_ops(plan)
+    return {"bytes": by, "macs": macs, "vpu": vpu, "note": "fused rows3"}
+
+
+def roofline_row(key: str, fps: float) -> dict:
+    m = config_model(key)
+    hbm = m["bytes"] * fps / 1e9
+    mxu = m["macs"] * 2 * SPLIT_BF16_PASSES * fps / 1e12
+    vpu = m["vpu"] * fps
+    hbm_pct = 100.0 * hbm / HBM_GBPS
+    mxu_pct = 100.0 * mxu / MXU_TFLOPS
+    vpu_pct = 100.0 * vpu / VPU_OPS
+    top = max(hbm_pct, mxu_pct, vpu_pct)
+    if hbm_pct == top and hbm_pct >= 60:
+        label = "at HBM roof" if hbm_pct >= 80 else "HBM-leaning"
+    elif mxu_pct == top and mxu_pct >= 60:
+        label = "at MXU roof" if mxu_pct >= 80 else "MXU-leaning"
+    elif vpu_pct == top and vpu_pct >= 60:
+        label = "at VPU roof (est)" if vpu_pct >= 80 else "VPU-leaning (est)"
+    else:
+        label = f"headroom ~{max(0.0, 100 - top):.0f}%"
+    return {"key": key, "fps": fps, "GBps": round(hbm, 1),
+            "hbm_pct": round(hbm_pct, 1), "mxu_pct": round(mxu_pct, 1),
+            "vpu_pct_est": round(vpu_pct, 1), "label": label,
+            "note": m["note"]}
+
+
+def parse_bench_details(path="BENCH_DETAILS.md") -> dict:
+    """config key -> median fps, matched through bc.NAMES."""
+    with open(path) as f:
+        text = f.read()
+    out = {}
+    for key, name in bc.NAMES.items():
+        pat = re.escape(name) + r":\s+\*\*([\d.]+) frames/s\*\*"
+        mm = re.search(pat, text)
+        if mm:
+            out[key] = float(mm.group(1))
+    return out
+
+
+ROOF_HEADER = "## Roofline (analytic model vs v5e peaks)"
+
+
+def render_section(rows: list[dict]) -> str:
+    lines = [ROOF_HEADER, "",
+             "| config | f/s | HBM GB/s | HBM % | MXU % | VPU % (est) | "
+             "verdict |",
+             "|---|---|---|---|---|---|---|"]
+    for r in rows:
+        lines.append(
+            f"| {r['key']} | {r['fps']:.0f} | {r['GBps']} | {r['hbm_pct']} "
+            f"| {r['mxu_pct']} | {r['vpu_pct_est']} | {r['label']} |")
+    lines.append(
+        "\nModel: bytes = inputs + full-size intermediates (write+read) + "
+        f"packed output; MXU FLOPs = banded-matrix nonzeros x rows x 2 x "
+        f"{SPLIT_BF16_PASSES} bf16 passes (split-bf16) vs {MXU_TFLOPS:.0f} "
+        f"TFLOP/s; HBM peak {HBM_GBPS:.0f} GB/s; VPU column is a per-pixel "
+        "op ESTIMATE (see bench_roofline.py TAIL_OPS) vs ~6.5e12 op/s — "
+        "order-of-magnitude only. 'headroom X%' = the highest utilization "
+        "axis still has X% to its roof: the config is dispatch/latency "
+        "bound or the model under-counts, not hardware-saturated.")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    fps = parse_bench_details()
+    rows = []
+    for key in bc.ALL_KEYS:
+        if key not in fps or fps[key] <= 0:
+            continue
+        r = roofline_row(key, fps[key])
+        rows.append(r)
+        print(json.dumps(r))
+    if "--print" in sys.argv or not rows:
+        return
+    with open("BENCH_DETAILS.md") as f:
+        text = f.read()
+    if ROOF_HEADER in text:
+        text = text[:text.index(ROOF_HEADER)].rstrip() + "\n\n"
+    else:
+        text = text.rstrip() + "\n\n"
+    with open("BENCH_DETAILS.md.tmp", "w") as f:
+        f.write(text + render_section(rows))
+    os.replace("BENCH_DETAILS.md.tmp", "BENCH_DETAILS.md")
+    print("BENCH_DETAILS.md roofline section updated", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

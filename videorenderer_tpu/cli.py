@@ -251,7 +251,15 @@ def cmd_train_superres(args) -> int:
     from .models.superres import SuperResConfig, init_params
 
     cfg = SuperResConfig()
-    data = synth_frames(seed=args.seed, n=args.frames, size=args.patch)
+    n_real = int(args.frames * args.real_mix)
+    data = synth_frames(seed=args.seed, n=args.frames - n_real,
+                        size=args.patch)
+    if n_real:
+        import numpy as _np
+        from .models.real_eval import real_frames
+        rng = _np.random.default_rng(args.seed + 5)
+        real = real_frames(n_real, args.patch, seed=args.seed + 1)
+        data = rng.permutation(_np.concatenate([data, real]))
     val = synth_frames(seed=args.seed + 777, n=16, size=args.patch)
     params = None
     if args.resume:
@@ -263,10 +271,17 @@ def cmd_train_superres(args) -> int:
                            params=params)
     net_db, base_db = evaluate_psnr(params, cfg, val)
     save_params(args.out, params)
-    print(json.dumps({"steps": args.steps, "final_loss": losses[-1],
-                      "val_psnr_net_db": round(net_db, 2),
-                      "val_psnr_catmull_db": round(base_db, 2),
-                      "out": args.out}))
+    result = {"steps": args.steps, "final_loss": losses[-1],
+              "val_psnr_net_db": round(net_db, 2),
+              "val_psnr_catmull_db": round(base_db, 2),
+              "out": args.out}
+    if n_real:
+        from .models.real_eval import real_frames
+        rval = real_frames(16, args.patch, seed=args.seed + 999)
+        rnet, rbase = evaluate_psnr(params, cfg, rval)
+        result["real_psnr_net_db"] = round(rnet, 2)
+        result["real_psnr_catmull_db"] = round(rbase, 2)
+    print(json.dumps(result))
     return 0
 
 
@@ -384,6 +399,10 @@ def main(argv=None) -> int:
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--resume", default=None, help="checkpoint to continue")
     pt.add_argument("--log-every", type=int, default=100)
+    pt.add_argument("--real-mix", type=float, default=0.0,
+                    help="fraction of training frames drawn from real-photo "
+                         "crops (models/real_eval.py); also reports "
+                         "real-content validation PSNR")
     pt.set_defaults(fn=cmd_train_superres)
 
     pv = sub.add_parser("train-videohdr",
