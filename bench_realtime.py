@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Host-fed real-time sustain test: can the full end-to-end loop hold a
+display rate with the quality manager in charge?
+
+The reference's contract is per-frame: render within the frame duration,
+drop when late (Source/DX11VideoProcessor.cpp:2176-2197, renbase2.h:46-68).
+This harness plays N seconds of a clip at a target rate through
+``PresentClock.schedule`` (the renbase2 quality loop) with a depth-2
+dispatch queue (the swap-chain presentation model) and reports drops and
+sync statistics — the end-to-end "sustains 4K60" verdict.
+
+Two feeds per config:
+ * device — frames pre-staged on the chip (isolates the render path; what
+   a co-located host with DMA sees);
+ * host — jax.device_put per frame inside the loop.  NOTE: this chip sits
+   behind a network relay, so the host feed times the tunnel (~24 MB/frame
+   at 4K); on co-located hardware the feed rides PCIe.  Reported anyway,
+   labeled.
+
+Usage: python bench_realtime.py [--fps 60] [--seconds 5] [keys...]
+  (default keys: c1 c4; add c2/c7/c8 freely)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+
+import bench_common as bc
+from videorenderer_tpu.pipeline import make_frame_fn
+from videorenderer_tpu.runner import PresentClock
+from videorenderer_tpu.stats import Metrics
+
+DEFAULT_KEYS = ["c1", "c4"]
+POOL = 8              # distinct frames cycled through the clip
+
+
+def _sync(out):
+    np.asarray(out.ravel()[0])
+
+
+def run(key: str, fps: float, seconds: float, dev) -> None:
+    plan = bc.build_plan(key)
+    fmt, w, h, _ = bc.input_spec(key)
+    host_frames = [bc.make_planes(fmt, w, h, 1, seed=s) for s in range(POOL)]
+    dev_frames = [tuple(jax.device_put(jnp.asarray(p), dev) for p in f)
+                  for f in host_frames]
+    fn = jax.jit(make_frame_fn(plan, pack_surface=True))
+    _sync(fn(dev_frames[0]))
+    n = int(fps * seconds)
+
+    for feed in ("device", "host"):
+        metrics = Metrics()
+        clock = PresentClock(fps=fps, metrics=metrics)
+        prev = None
+        rendered = 0
+        t0 = time.perf_counter()
+        for i in range(n):
+            if not clock.schedule(i):
+                continue
+            clock.quality.on_render_start()
+            if feed == "host":
+                planes = tuple(jax.device_put(jnp.asarray(p), dev)
+                               for p in host_frames[i % POOL])
+            else:
+                planes = dev_frames[i % POOL]
+            cur = fn(planes)            # dispatch frame i
+            if prev is not None:
+                _sync(prev)             # depth-2: sync frame i-1
+            prev = cur
+            clock.quality.on_render_end()
+            rendered += 1
+        if prev is not None:
+            _sync(prev)
+        wall = time.perf_counter() - t0
+        snap = metrics.snapshot()
+        print(json.dumps({
+            "config": key, "feed": feed, "target_fps": fps,
+            "frames": n, "rendered": rendered,
+            "dropped": clock.dropped,
+            "drop_pct": round(100.0 * clock.dropped / n, 2),
+            "wall_s": round(wall, 2),
+            "sustained": clock.dropped == 0 and wall <= seconds * 1.02,
+            "avg_sync_offset_ms": round(snap["avg_sync_offset_ms"], 3),
+            "dev_sync_offset_ms": round(snap["dev_sync_offset_ms"], 3),
+        }), flush=True)
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+
+    def arg(name, default, cast=float):
+        return cast(argv[argv.index(name) + 1]) if name in argv else default
+    fps = arg("--fps", 60.0)
+    seconds = arg("--seconds", 5.0)
+    keys = [a for a in argv if not a.startswith("-")
+            and not a.replace(".", "").isdigit()] or DEFAULT_KEYS
+    dev = jax.devices()[0]
+    for key in keys:
+        run(key, fps, seconds, dev)
+
+
+if __name__ == "__main__":
+    main()

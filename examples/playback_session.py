@@ -54,16 +54,23 @@ def main():
     # would do this while the graph is paused)
     vr.process_frame(synth_frame(0, w, h), time=0.0)
 
-    clock = PresentClock(fps=fps)
+    # quality-managed pacing (renbase2 parity): schedule() runs the full
+    # earliness/lateness state machine, sends famine/flood feedback to the
+    # supplier hook, and books drops + sync offsets into vr.metrics
+    quality_msgs = []
+    clock = PresentClock(fps=fps, metrics=vr.metrics,
+                         quality_sink=lambda m: (quality_msgs.append(m),
+                                                 False)[1])
     for i in range(48):
-        if clock.should_drop(i):
-            vr.metrics.draw_stats.drops += 1
-            continue
+        if not clock.schedule(i):
+            continue                      # dropped: play the next one early
         planes = synth_frame(i, w, h)
+        clock.quality.on_render_start()
         out = vr.process_frame(planes, time=i / fps)
-        off = clock.wait_for(i)
-        vr.metrics.render_stats.sync_offset_s = off
-        vr.metrics.sync_graph.add(off)
+        clock.quality.on_render_end()
+    if quality_msgs:
+        m = quality_msgs[-1]
+        print(f"last quality message: {m.kind} proportion={m.proportion}")
 
     print(vr.get_video_processor_info())
     print("stats:", {k: round(v, 2) if isinstance(v, float) else v
