@@ -1,0 +1,224 @@
+#!/usr/bin/env python3
+"""Ingest a hw_validate.sh session log into committed artifacts.
+
+``scripts/hw_validate.sh`` runs the whole hardware-measurement sequence;
+each harness prints machine-readable JSON lines to stdout.  This script
+parses the session log and
+
+ 1. writes every JSON record (tagged with its step) to
+    ``BENCH_HW_SESSION.jsonl`` — the raw committed evidence;
+ 2. merges human-readable sections (real-time latency, host-fed streaming,
+    pipelined-Jinc2 A/B, multi-stream serving, real-time sustain) into
+    ``BENCH_DETAILS.md``, BEFORE the roofline section so a later
+    ``bench_roofline.py`` re-run (which truncates at its own header) cannot
+    eat them.
+
+Usage:  python scripts/hw_ingest.py [/tmp/hw_session.log]
+
+Pure text processing — no jax import, safe to run while a bench session
+is still going (it ingests whatever steps have completed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+STEP_RE = re.compile(r"^=== \[(\d\d:\d\d:\d\d)\] (\d+)/\d+ (.*) ===$")
+ROOF_HEADER = "## Roofline (analytic model vs v5e peaks)"
+
+# Section headers owned by this script (replaced wholesale on re-ingest).
+OWNED = [
+    "## Real-time latency (batch-1, 1 chip)",
+    "## Pipelined Jinc2 A/B (VRT_JINC3_PIPELINE=1)",
+    "## Host-fed streaming overlap",
+    "## Multi-stream serving (one chip, trace-cache churn)",
+    "## Real-time sustain (quality-managed pacing)",
+]
+
+
+def parse(path: str) -> list[dict]:
+    records = []
+    step = 0
+    name = "preamble"
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            m = STEP_RE.match(line)
+            if m:
+                step, name = int(m.group(2)), m.group(3)
+                continue
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(rec, dict):
+                rec["_step"] = step
+                rec["_step_name"] = name
+                records.append(rec)
+    return records
+
+
+def _table(header: list[str], rows: list[list[str]]) -> list[str]:
+    out = ["| " + " | ".join(header) + " |",
+           "|" + "---|" * len(header)]
+    out += ["| " + " | ".join(str(c) for c in r) + " |" for r in rows]
+    return out
+
+
+def sec_latency(recs: list[dict]) -> list[str]:
+    rows = [r for r in recs if "latency_ms" in r]
+    if not rows:
+        return []
+    body = _table(
+        ["config", "latency ms", "min-max", "pipelined interval ms",
+         "60 Hz", "120 Hz"],
+        [[r["config"], f"{r['latency_ms']:.2f}",
+          "{:.2f}-{:.2f}".format(*r["latency_minmax_ms"]),
+          f"{r['interval_ms']:.2f}",
+          "**yes**" if r["realtime_60"] else "no",
+          "**yes**" if r["realtime_120"] else "no"] for r in rows])
+    return [OWNED[0], ""] + body + [
+        "", "Latency = one batch-1 dispatch, host-observed (includes the "
+        "relay round trip here — on-node deployments see less); interval = "
+        "steady-state spacing with a depth-2 in-flight queue (the swap-chain "
+        "analogue, how the reference hits refresh rate: "
+        "Source/DX11VideoProcessor.cpp:2176-2197). A config holds 60/120 Hz "
+        "when the pipelined interval beats 16.7/8.3 ms."]
+
+
+def sec_jinc_ab(recs: list[dict], details_text: str) -> list[str]:
+    rows = [r for r in recs if r.get("_step") == 3 and "fps_median" in r]
+    if not rows:
+        return []
+    out_rows = []
+    for r in rows:
+        base = re.search(
+            re.escape(r["config"]) + r":\s+\*\*([\d.]+) frames/s\*\*",
+            details_text)
+        base_fps = float(base.group(1)) if base else 0.0
+        gain = (r["fps_median"] / base_fps - 1) * 100 if base_fps else 0.0
+        out_rows.append(
+            [r["config"].split(":")[0].split("(")[0].strip(),
+             f"{base_fps:.1f}", f"{r['fps_median']:.1f}",
+             f"{gain:+.1f}%", f"{r['psnr_db']:.2f}",
+             "pass" if r["psnr_ok"] else "**FAIL**"])
+    return [OWNED[1], ""] + _table(
+        ["config", "baseline f/s", "pipelined f/s", "gain", "PSNR dB",
+         "gate"], out_rows) + [
+        "", "A/B of the 3-plane software-pipelined Jinc2 kernel (double-"
+        "buffered VMEM staging of the next tile's W dots) against the table "
+        "rows above, same PSNR gate."]
+
+
+def sec_stream(recs: list[dict]) -> list[str]:
+    rows = [r for r in recs
+            if "overlapped_fps" in r and "device_resident_fps" in r]
+    if not rows:
+        return []
+    return [OWNED[2], ""] + _table(
+        ["feed", "device-resident f/s", "overlapped f/s", "serial f/s",
+         "overlap gain"],
+        [[r["metric"].split(" host-fed")[0], r["device_resident_fps"],
+          r["overlapped_fps"], r["serial_fps"],
+          f"{(r['overlap_gain'] - 1) * 100:+.1f}%"] for r in rows]) + [
+        "", "Host-fed = frames start as numpy on the host every batch "
+        "(includes host->device transfer through the relay tunnel); "
+        "overlapped = `runner.run_clip` issues batch k+1's transfer before "
+        "batch k's compute is awaited; serial = strict put-then-compute. "
+        "On-node PCIe deployments see a larger absolute feed rate; the "
+        "overlap *gain* is the framework property being measured."]
+
+
+def sec_multistream(recs: list[dict]) -> list[str]:
+    summary = next((r for r in recs
+                    if r.get("metric") == "multistream_serving"), None)
+    if summary is None:
+        return []
+    first = next((r for r in recs
+                  if r.get("phase") == "first_open_compile_s"), {})
+    per = first.get("per_stream", [])
+    first_s = (f"{sorted(per)[len(per) // 2]:.2f} s median "
+               f"(max {max(per):.2f} s)" if per else "n/a")
+    return [OWNED[3], ""] + [
+        f"- streams: **{summary['streams']}** distinct media types "
+        "round-robined through one `VideoRenderer`",
+        f"- first-open compile: {first_s} (cold trace per media type)",
+        f"- cached re-open (retrace-free Configure): "
+        f"**{summary['cached_switch_ms_median']} ms** median",
+        f"- round-robin throughput: **{summary['round_robin_fps']} f/s** "
+        f"vs single-stream {summary['single_stream_fps']} f/s",
+        "", summary.get("note", "")]
+
+
+def sec_realtime(recs: list[dict]) -> list[str]:
+    rows = [r for r in recs if "sustained" in r and "drop_pct" in r]
+    if not rows:
+        return []
+    return [OWNED[4], ""] + _table(
+        ["config", "feed", "target", "frames", "dropped", "wall s",
+         "sustained", "avg sync ms", "dev sync ms"],
+        [[r["config"], r["feed"], f"{r['target_fps']} Hz", r["frames"],
+          f"{r['dropped']} ({r['drop_pct']}%)", r["wall_s"],
+          "**yes**" if r["sustained"] else "no",
+          r["avg_sync_offset_ms"], r["dev_sync_offset_ms"]]
+         for r in rows]) + [
+        "", "Plays N seconds of frames through `PresentClock.schedule` (the "
+        "renbase2 quality loop) with a depth-2 dispatch queue; sustained = "
+        "zero drops and wall time within 2% of the clip duration."]
+
+
+def merge(details_path: str, sections: list[list[str]]) -> None:
+    with open(details_path) as f:
+        text = f.read()
+    # strip previously-owned sections (idempotent re-ingest)
+    for hdr in OWNED:
+        while hdr in text:
+            i = text.index(hdr)
+            nxt = [text.index(h, i + 1) for h in OWNED + [ROOF_HEADER]
+                   if h in text[i + 1:]]
+            j = min(x for x in nxt) if nxt else len(text)
+            text = text[:i].rstrip() + "\n\n" + text[j:].lstrip()
+    blob = "\n\n".join("\n".join(s) for s in sections if s)
+    if ROOF_HEADER in text:
+        i = text.index(ROOF_HEADER)
+        text = (text[:i].rstrip() + "\n\n" + blob + "\n\n" +
+                text[i:].rstrip() + "\n")
+    else:
+        text = text.rstrip() + "\n\n" + blob + "\n"
+    tmp = details_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, details_path)
+
+
+def main() -> None:
+    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hw_session.log"
+    recs = parse(log)
+    if not recs:
+        print("no JSON records found in", log, file=sys.stderr)
+        sys.exit(1)
+    with open("BENCH_HW_SESSION.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    with open("BENCH_DETAILS.md") as f:
+        details_text = f.read()
+    sections = [
+        sec_latency(recs),
+        sec_jinc_ab(recs, details_text),
+        sec_stream(recs),
+        sec_multistream(recs),
+        sec_realtime(recs),
+    ]
+    merge("BENCH_DETAILS.md", sections)
+    n = sum(1 for s in sections if s)
+    print(f"ingested {len(recs)} records -> BENCH_HW_SESSION.jsonl, "
+          f"{n} sections merged into BENCH_DETAILS.md")
+
+
+if __name__ == "__main__":
+    main()

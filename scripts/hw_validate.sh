@@ -11,25 +11,34 @@
 #     PSNR-gated — decides whether VRT_JINC3_PIPELINE becomes default)
 #  4. host-fed streaming overlap A/B (bench_stream, 1080p + 4K)
 #  5. batch-1 real-time latency per config (bench_latency)
+#  6. roofline merge into BENCH_DETAILS (analytic model x measured fps)
+#  7. multi-stream serving (trace-cache churn) + real-time sustain
 set -u
 cd "$(dirname "$0")/.."
 
 step() { echo; echo "=== [$(date +%H:%M:%S)] $* ==="; }
 
-step "1/5 headline bench.py"
+step "1/7 headline bench.py"
 timeout 2400 python bench.py
 
-step "2/5 full bench_configs.py (13 configs, rewrites BENCH_DETAILS.md)"
+step "2/7 full bench_configs.py (13 configs, rewrites BENCH_DETAILS.md)"
 timeout 5400 python bench_configs.py
 
-step "3/5 pipelined Jinc2 A/B (c3, c3rot)"
+step "3/7 pipelined Jinc2 A/B (c3, c3rot)"
 timeout 2400 env VRT_JINC3_PIPELINE=1 python bench_configs.py c3 c3rot
 
-step "4/5 host-fed streaming overlap (1080p, then 4K)"
+step "4/7 host-fed streaming overlap (1080p, then 4K)"
 timeout 2400 python bench_stream.py
 timeout 2400 python bench_stream.py --4k
 
-step "5/5 batch-1 latency"
+step "5/7 batch-1 latency"
 timeout 3600 python bench_latency.py
+
+step "6/7 roofline merge"
+timeout 1200 python bench_roofline.py
+
+step "7/7 multi-stream serving + real-time sustain"
+timeout 2400 python bench_multistream.py
+timeout 2400 python bench_realtime.py
 
 step "done"
