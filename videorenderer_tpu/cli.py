@@ -252,14 +252,22 @@ def cmd_train_superres(args) -> int:
 
     cfg = SuperResConfig()
     n_real = int(args.frames * args.real_mix)
-    data = synth_frames(seed=args.seed, n=args.frames - n_real,
+    n_nat = int(args.frames * args.natural_mix)
+    data = synth_frames(seed=args.seed, n=args.frames - n_real - n_nat,
                         size=args.patch)
-    if n_real:
+    if n_real or n_nat:
         import numpy as _np
-        from .models.real_eval import real_frames
+        parts = [data]
+        if n_nat:
+            from .models.sr_train import natural_frames
+            parts.append(natural_frames(seed=args.seed + 3, n=n_nat,
+                                        size=args.patch))
+        if n_real:
+            from .models.real_eval import real_frames
+            parts.append(real_frames(n_real, args.patch,
+                                     seed=args.seed + 1))
         rng = _np.random.default_rng(args.seed + 5)
-        real = real_frames(n_real, args.patch, seed=args.seed + 1)
-        data = rng.permutation(_np.concatenate([data, real]))
+        data = rng.permutation(_np.concatenate(parts))
     val = synth_frames(seed=args.seed + 777, n=16, size=args.patch)
     params = None
     if args.resume:
@@ -275,7 +283,7 @@ def cmd_train_superres(args) -> int:
               "val_psnr_net_db": round(net_db, 2),
               "val_psnr_catmull_db": round(base_db, 2),
               "out": args.out}
-    if n_real:
+    if n_real or n_nat:
         from .models.real_eval import real_frames
         rval = real_frames(16, args.patch, seed=args.seed + 999)
         rnet, rbase = evaluate_psnr(params, cfg, rval)
@@ -403,6 +411,12 @@ def main(argv=None) -> int:
                     help="fraction of training frames drawn from real-photo "
                          "crops (models/real_eval.py); also reports "
                          "real-content validation PSNR")
+    pt.add_argument("--natural-mix", type=float, default=0.0,
+                    help="fraction of training frames with generative "
+                         "natural-image statistics (pink-noise spectra + "
+                         "grain, sr_train.natural_frames) — closes the "
+                         "real-content gap WITHOUT training on the eval "
+                         "photo; also reports real-content validation PSNR")
     pt.set_defaults(fn=cmd_train_superres)
 
     pv = sub.add_parser("train-videohdr",

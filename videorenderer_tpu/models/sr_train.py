@@ -78,6 +78,57 @@ def synth_frames(seed: int, n: int, size: int) -> np.ndarray:
     return out
 
 
+def natural_frames(seed: int, n: int, size: int) -> np.ndarray:
+    """(n, size, size, 3) float32 frames with NATURAL-image statistics —
+    1/f^alpha (pink-noise) spectra, luma-correlated chroma, soft specular
+    blobs, sensor grain.  Purely generative (no photographs), so mixing
+    these into training keeps a real-photo evaluation
+    (models/real_eval.py) honest: the eval content is never trained on.
+
+    Rationale: the procedural :func:`synth_frames` distribution is all
+    hard edges and periodic texture; a net trained on it alone learns to
+    over-sharpen the smooth gradients and broadband micro-contrast that
+    dominate real footage (VERDICT r4: shipped checkpoint lost ~0.4 dB to
+    the classical upscaler on photographic content)."""
+    rng = np.random.default_rng(seed)
+    fy = np.fft.fftfreq(size)[:, None]
+    fx = np.fft.rfftfreq(size)[None, :]
+    freq = np.hypot(fy, fx)
+    freq[0, 0] = 1.0 / size          # DC: finite, below the lowest bin
+
+    def pink(alpha: float) -> np.ndarray:
+        spec = freq ** -alpha * (rng.normal(size=freq.shape)
+                                 + 1j * rng.normal(size=freq.shape))
+        img = np.fft.irfft2(spec, s=(size, size))
+        lo, hi = img.min(), img.max()
+        return ((img - lo) / (hi - lo + 1e-9)).astype(np.float32)
+
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    out = np.empty((n, size, size, 3), np.float32)
+    for i in range(n):
+        alpha = rng.uniform(0.8, 1.8)
+        luma = pink(alpha)
+        # mid-tone contrast jitter (exposure/grade variation)
+        luma = 0.5 + (luma - 0.5) * rng.uniform(0.5, 1.0)
+        img = np.empty((size, size, 3), np.float32)
+        tint = rng.uniform(0.35, 1.0, 3).astype(np.float32)
+        sat = rng.uniform(0.02, 0.12)
+        for c in range(3):
+            chroma = pink(alpha) - 0.5
+            img[..., c] = luma * tint[c] + sat * chroma
+        # occasional soft specular highlight (skin/metal/glass sheen)
+        for _ in range(rng.integers(0, 3)):
+            cy, cx = rng.uniform(0.1, 0.9, 2)
+            r = rng.uniform(0.02, 0.15)
+            g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r))
+            img += rng.uniform(0.2, 0.6) * g[..., None]
+        # sensor grain (white, channel-independent)
+        img += rng.normal(0.0, rng.uniform(0.0, 0.02),
+                          img.shape).astype(np.float32)
+        out[i] = np.clip(img, 0.0, 1.0)
+    return out
+
+
 def degrade(hr: np.ndarray, scale: int = 2, method=None) -> np.ndarray:
     """HR -> LR with the framework's own downscale matrices (box default,
     matching a mastering-chain decimation; any `Downscaling` works)."""
