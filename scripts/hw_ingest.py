@@ -63,6 +63,19 @@ def parse(path: str) -> list[dict]:
     return records
 
 
+def _dedup(rows: list[dict], keyfn) -> list[dict]:
+    """Keep the LAST record per key (a re-run later in the log wins),
+    preserving first-seen order of keys."""
+    best = {}
+    order = []
+    for r in rows:
+        k = keyfn(r)
+        if k not in best:
+            order.append(k)
+        best[k] = r
+    return [best[k] for k in order]
+
+
 def _table(header: list[str], rows: list[list[str]]) -> list[str]:
     out = ["| " + " | ".join(header) + " |",
            "|" + "---|" * len(header)]
@@ -71,28 +84,51 @@ def _table(header: list[str], rows: list[list[str]]) -> list[str]:
 
 
 def sec_latency(recs: list[dict]) -> list[str]:
-    rows = [r for r in recs if "latency_ms" in r]
+    rows = _dedup([r for r in recs if "latency_ms" in r and "config" in r],
+                  lambda r: r["config"])
     if not rows:
         return []
-    body = _table(
-        ["config", "latency ms", "min-max", "pipelined interval ms",
-         "60 Hz", "120 Hz"],
-        [[r["config"], f"{r['latency_ms']:.2f}",
-          "{:.2f}-{:.2f}".format(*r["latency_minmax_ms"]),
-          f"{r['interval_ms']:.2f}",
-          "**yes**" if r["realtime_60"] else "no",
-          "**yes**" if r["realtime_120"] else "no"] for r in rows])
+    have_net = all("interval_net_ms" in r for r in rows)
+    floor = next((r["tunnel_floor_ms"] for r in recs
+                  if "tunnel_floor_ms" in r), None)
+    if have_net:
+        body = _table(
+            ["config", "latency ms (raw)", "interval ms (raw)",
+             "latency ms (net)", "interval ms (net)", "60 Hz", "120 Hz"],
+            [[r["config"], f"{r['latency_ms']:.2f}",
+              f"{r['interval_ms']:.2f}", f"{r['latency_net_ms']:.2f}",
+              f"{r['interval_net_ms']:.2f}",
+              "**yes**" if r["realtime_60_net"] else "no",
+              "**yes**" if r["realtime_120_net"] else "no"] for r in rows])
+        foot = (f"Raw numbers include the measured tunnel floor "
+                f"(**{floor:.1f} ms** for a NO-OP dispatch+sync through the "
+                "relay — pure network/dispatch overhead, zero device work); "
+                "net = raw minus the floor, the device-side latency a "
+                "co-located host sees. ")
+    else:
+        body = _table(
+            ["config", "latency ms", "min-max", "pipelined interval ms",
+             "60 Hz", "120 Hz"],
+            [[r["config"], f"{r['latency_ms']:.2f}",
+              "{:.2f}-{:.2f}".format(*r["latency_minmax_ms"]),
+              f"{r['interval_ms']:.2f}",
+              "**yes**" if r["realtime_60"] else "no",
+              "**yes**" if r["realtime_120"] else "no"] for r in rows])
+        foot = ("Latency = one batch-1 dispatch, host-observed (includes "
+                "the relay round trip here — on-node deployments see "
+                "less). ")
     return [OWNED[0], ""] + body + [
-        "", "Latency = one batch-1 dispatch, host-observed (includes the "
-        "relay round trip here — on-node deployments see less); interval = "
-        "steady-state spacing with a depth-2 in-flight queue (the swap-chain "
-        "analogue, how the reference hits refresh rate: "
+        "", foot +
+        "Interval = steady-state spacing with a depth-2 in-flight queue "
+        "(the swap-chain analogue, how the reference hits refresh rate: "
         "Source/DX11VideoProcessor.cpp:2176-2197). A config holds 60/120 Hz "
         "when the pipelined interval beats 16.7/8.3 ms."]
 
 
 def sec_jinc_ab(recs: list[dict], details_text: str) -> list[str]:
-    rows = [r for r in recs if r.get("_step") == 3 and "fps_median" in r]
+    rows = _dedup([r for r in recs
+                   if r.get("_step") == 3 and "fps_median" in r],
+                  lambda r: r["config"])
     if not rows:
         return []
     out_rows = []
@@ -116,8 +152,9 @@ def sec_jinc_ab(recs: list[dict], details_text: str) -> list[str]:
 
 
 def sec_stream(recs: list[dict]) -> list[str]:
-    rows = [r for r in recs
-            if "overlapped_fps" in r and "device_resident_fps" in r]
+    rows = _dedup([r for r in recs
+                   if "overlapped_fps" in r and "device_resident_fps" in r],
+                  lambda r: r["metric"])
     if not rows:
         return []
     return [OWNED[2], ""] + _table(
@@ -135,12 +172,12 @@ def sec_stream(recs: list[dict]) -> list[str]:
 
 
 def sec_multistream(recs: list[dict]) -> list[str]:
-    summary = next((r for r in recs
-                    if r.get("metric") == "multistream_serving"), None)
+    summaries = [r for r in recs if r.get("metric") == "multistream_serving"]
+    summary = summaries[-1] if summaries else None
     if summary is None:
         return []
-    first = next((r for r in recs
-                  if r.get("phase") == "first_open_compile_s"), {})
+    firsts = [r for r in recs if r.get("phase") == "first_open_compile_s"]
+    first = firsts[-1] if firsts else {}
     per = first.get("per_stream", [])
     first_s = (f"{sorted(per)[len(per) // 2]:.2f} s median "
                f"(max {max(per):.2f} s)" if per else "n/a")
@@ -156,7 +193,8 @@ def sec_multistream(recs: list[dict]) -> list[str]:
 
 
 def sec_realtime(recs: list[dict]) -> list[str]:
-    rows = [r for r in recs if "sustained" in r and "drop_pct" in r]
+    rows = _dedup([r for r in recs if "sustained" in r and "drop_pct" in r],
+                  lambda r: (r["config"], r["feed"], r["target_fps"]))
     if not rows:
         return []
     return [OWNED[4], ""] + _table(
