@@ -17,15 +17,17 @@ measures the latency story at batch 1 per config:
    reference's swap-chain-queue presentation model
    (Source/DX11VideoProcessor.cpp:1494-1500: 1-6 buffered presents),
    i.e. one frame of added latency buys transfer/compute pipelining;
- * ``tunnel_floor_ms`` — measured cost of a NO-OP dispatch+sync (a tiny
-   jitted add on a resident 1 KB array): pure relay/dispatch overhead,
-   zero device work.  On this box it dominates batch-1 timings (observed
-   ~25 ms vs sub-ms device time), so every row also reports
-   ``*_net_ms`` = max(raw - floor, 0) — the device-side latency a
-   co-located host would see;
- * ``realtime_60``/``realtime_120`` — raw interval under 16.67/8.33 ms;
-   ``realtime_60_net``/``realtime_120_net`` — the same verdicts on the
-   floor-subtracted interval (the framework property).
+ * ``interval_deep_ms`` — per-frame interval over 32 back-to-back
+   batch-1 dispatches with ONE final sync: the relay round trip (which
+   dominates both numbers above on this box — a NO-OP dispatch+sync
+   measures 25-35 ms, MORE than a full 4K tone-map dispatch+sync, so
+   subtracting a measured "floor" is meaningless) amortizes to <1 ms,
+   leaving the device-side per-frame cost a co-located host with a deep
+   present queue sustains.  ``tunnel_floor_ms`` (min/median of 40 no-op
+   dispatch+syncs) is reported as context only;
+ * ``realtime_60``/``realtime_120`` — raw depth-2 interval under
+   16.67/8.33 ms; ``realtime_60_dev``/``realtime_120_dev`` — the same
+   verdicts on the deep-queue interval (the framework property).
 
 Usage: python bench_latency.py [keys...]   (default: c1 c3 c4 c5 c8)
 """
@@ -82,18 +84,24 @@ def build_dispatch(key: str, dev):
     return (lambda i: fn(frames[i % 2])), 1
 
 
-def tunnel_floor(dev) -> float:
-    """Median ms of a no-op dispatch+sync: the relay/dispatch overhead
-    every batch-1 number below pays regardless of device work."""
+def tunnel_floor(dev) -> tuple[float, float]:
+    """(min, median) ms of a no-op dispatch+sync — context for reading
+    the raw latency numbers.  NOT subtracted from anything: the relay's
+    scheduling makes a no-op cost MORE than a real 4K dispatch at times
+    (observed 29.6 ms no-op min vs 25.8 ms full tone-map), so the
+    deep-queue interval below is the honest device-cost estimator."""
     x = jax.device_put(np.zeros((8, 128), np.float32), dev)
     f = jax.jit(lambda a: a + 1.0)
     _sync(f(x))
     ts = []
-    for _ in range(20):
+    for _ in range(40):
         t0 = time.perf_counter()
         _sync(f(x))
         ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
+    return float(np.min(ts)), float(np.median(ts))
+
+
+DEEP = 32       # dispatches per deep-queue timing group
 
 
 def run_config(key: str, dev, floor_ms: float = 0.0) -> dict:
@@ -122,34 +130,42 @@ def run_config(key: str, dev, floor_ms: float = 0.0) -> dict:
         prev = cur
     _sync(prev)
 
+    # deep-queue interval: DEEP dispatches, one sync — the relay RTT
+    # amortizes to RTT/DEEP (<1 ms), leaving per-frame device cost
+    deeps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(DEEP):
+            out = dispatch(i)
+        _sync(out)
+        deeps.append((time.perf_counter() - t0) * 1e3 / (DEEP * fpd))
+    med_deep = float(np.median(deeps))
+
     med_lat = float(np.median(lat))
     med_int = float(np.median(intervals))
-    # the floor is paid once per dispatch; per presented frame it is /fpd
-    f = floor_ms / fpd
-    lat_net = max(med_lat - f, 0.0)
-    int_net = max(med_int - f, 0.0)
     return {"config": bc.NAMES[key],
             "latency_ms": round(med_lat, 3),
             "latency_minmax_ms": [round(min(lat), 3), round(max(lat), 3)],
             "interval_ms": round(med_int, 3),
-            "tunnel_floor_ms": round(floor_ms, 3),
-            "latency_net_ms": round(lat_net, 3),
-            "interval_net_ms": round(int_net, 3),
+            "interval_deep_ms": round(med_deep, 3),
+            "deep_queue": DEEP,
             "realtime_60": med_int < 1000.0 / 60.0,
             "realtime_120": med_int < 1000.0 / 120.0,
-            "realtime_60_net": int_net < 1000.0 / 60.0,
-            "realtime_120_net": int_net < 1000.0 / 120.0}
+            "realtime_60_dev": med_deep < 1000.0 / 60.0,
+            "realtime_120_dev": med_deep < 1000.0 / 120.0}
 
 
 def main() -> None:
     keys = [a for a in sys.argv[1:] if not a.startswith("-")] or DEFAULT_KEYS
     dev = jax.devices()[0]
-    floor = tunnel_floor(dev)
+    floor, floor_med = tunnel_floor(dev)
     print(json.dumps({"tunnel_floor_ms": round(floor, 3),
-                      "note": "no-op dispatch+sync through the relay"}),
+                      "tunnel_floor_median_ms": round(floor_med, 3),
+                      "note": "no-op dispatch+sync through the relay — "
+                              "context only (see interval_deep_ms)"}),
           flush=True)
     for key in keys:
-        print(json.dumps(run_config(key, dev, floor)), flush=True)
+        print(json.dumps(run_config(key, dev)), flush=True)
 
 
 if __name__ == "__main__":

@@ -7,37 +7,32 @@
 # Sequence:
 #  1. headline bench.py (driver metric)
 #  2. full 13-config bench_configs.py run (atomically rewrites BENCH_DETAILS)
-#  3. c3/c3rot A/B with the pipelined 3-plane Jinc2 kernel (JSON only;
-#     PSNR-gated — decides whether VRT_JINC3_PIPELINE becomes default)
-#  4. host-fed streaming overlap A/B (bench_stream, 1080p + 4K)
-#  5. batch-1 real-time latency per config (bench_latency)
-#  6. roofline merge into BENCH_DETAILS (analytic model x measured fps)
-#  7. multi-stream serving (trace-cache churn) + real-time sustain
+#  3. host-fed streaming overlap A/B (bench_stream, 1080p + 4K)
+#  4. batch-1 real-time latency per config (bench_latency)
+#  5. roofline merge into BENCH_DETAILS (analytic model x measured fps)
+#  6. multi-stream serving (trace-cache churn) + real-time sustain
 set -u
 cd "$(dirname "$0")/.."
 
 step() { echo; echo "=== [$(date +%H:%M:%S)] $* ==="; }
 
-step "1/7 headline bench.py"
+step "1/6 headline bench.py"
 timeout 2400 python bench.py
 
-step "2/7 full bench_configs.py (13 configs, rewrites BENCH_DETAILS.md)"
+step "2/6 full bench_configs.py (13 configs, rewrites BENCH_DETAILS.md)"
 timeout 5400 python bench_configs.py
 
-step "3/7 pipelined Jinc2 A/B (c3, c3rot)"
-timeout 2400 env VRT_JINC3_PIPELINE=1 python bench_configs.py c3 c3rot
-
-step "4/7 host-fed streaming overlap (1080p, then 4K)"
+step "3/6 host-fed streaming overlap (1080p, then 4K)"
 timeout 2400 python bench_stream.py
 timeout 2400 python bench_stream.py --4k
 
-step "5/7 batch-1 latency"
+step "4/6 batch-1 latency"
 timeout 3600 python bench_latency.py
 
-step "6/7 roofline merge"
+step "5/6 roofline merge"
 timeout 1200 python bench_roofline.py
 
-step "7/7 multi-stream serving + real-time sustain"
+step "6/6 multi-stream serving + real-time sustain"
 timeout 2400 python bench_multistream.py
 timeout 2400 python bench_realtime.py
 

@@ -818,42 +818,3 @@ def test_deint_kernel_nondivisible_heights_interpret():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
                                atol=1.01 / 255.0)
     assert (np.asarray(g0) == np.asarray(r0)).mean() > 0.99
-
-
-def test_jinc2_convert_pipelined_bit_equal_interpret():
-    """The double-buffered-scratch pipelined 3-plane variant
-    (VRT_JINC3_PIPELINE) computes the SAME dots in the same order per
-    tile — output must be bit-identical to the default variant."""
-    from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
-                                   SourceDescriptor)
-    from videorenderer_tpu.config import Upscaling
-    from videorenderer_tpu.csputils import CSP
-    from videorenderer_tpu.kernels.jinc2_pallas import jinc2_convert_fused
-    from videorenderer_tpu.ops.chroma import chroma_upsample_matrices
-    from videorenderer_tpu.pipeline import plan_pipeline
-
-    W, H, OW, OH = 64, 48, 128, 96
-    st = Settings(upscaling=Upscaling.JINC2, use_dither=False)
-    src = SourceDescriptor(format=ColorFormat.NV12, width=W, height=H,
-                           matrix=CSP.BT_709)
-    plan = plan_pipeline(st, src, OutputDescriptor(width=OW, height=OH,
-                                                   bits=8))
-    rng = np.random.default_rng(21)
-    y = jnp.asarray(rng.integers(0, 256, (H, W), np.uint8))
-    u = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8))
-    v = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2), np.uint8))
-    ux, uy = chroma_upsample_matrices(W // 2, H // 2, 420, st.chroma_scaling,
-                                      plan.src.chroma_location)
-    args = (y, u, v, np.asarray(uy, np.float32), np.asarray(ux, np.float32),
-            plan.cmat_m, plan.cmat_c, OH, OW, 1.0 / 255.0, 1.0 / 255.0)
-    with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(jinc2_convert_fused(*args, pipelined=False))
-        piped = np.asarray(jinc2_convert_fused(*args, pipelined=True))
-    np.testing.assert_array_equal(piped, base)
-
-    with pltpu.force_tpu_interpret_mode():
-        basep = np.asarray(jinc2_convert_fused(*args, pipelined=False,
-                                               pack_format="rgba8"))
-        pipedp = np.asarray(jinc2_convert_fused(*args, pipelined=True,
-                                                pack_format="rgba8"))
-    np.testing.assert_array_equal(pipedp, basep)

@@ -524,8 +524,7 @@ def _pack_plane_impl(in_h: int, out_h: int, in_w: int, out_w: int,
 
 
 def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
-                  pack_format: str | None = None,
-                  pipelined: bool = False):
+                  pack_format: str | None = None):
     n_jr, r = py["n_jr"], py["r"]
     nb_y, nb_c = py["nb"], pc["nb"]
     rh_y, rh_c = py["rh"], pc["rh"]
@@ -541,10 +540,8 @@ def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
         (bhy, bly, ahy, aly, shy, sly, ayt, bxt) = refs[i:i + 8]; i += 8
         (bhc, blc, ahc, alc, shc, slc) = refs[i:i + 6]; i += 6
         o_ref = refs[i]
-        rest = refs[i + 1:]
         (yhi, ylo, uhi, ulo, vhi, vlo,
-         tshy, tsly, tshc, tslc) = rest[:10]
-        wbufs = rest[10:]          # (wy, wu, wv) double buffers if pipelined
+         tshy, tsly, tshc, tslc) = refs[i + 1:]
 
         for k in range(nb_y):
             h, l = _bf16_split(_to_f32(xs_y[k][0]))
@@ -581,37 +578,21 @@ def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
             return (sm[:TILE, :TILE], sm[:TILE, TILE:],
                     sm[TILE:, :TILE], sm[TILE:, TILE:])
 
-        # Cross-tile software pipelining is HAZARDOUS here: issuing
-        # wdots(jr+1) before tile jr's H/AR/cmat chain with the three
-        # (rh, (r+2)*128) W-dot results held live across the loop boundary
-        # as SSA values MISCOMPILES on real TPUs (corrupt row tiles, max
-        # err 0.58; interpret mode exact — a Mosaic scheduling hazard, not
-        # kernel math; caught by the per-config hardware PSNR gate).  The
-        # ``pipelined`` variant below instead stages the next tile's W dots
-        # through explicit double-buffered VMEM scratch — memory-mediated
-        # liveness with well-defined ref dependencies.  It stays opt-in
-        # (VRT_JINC3_PIPELINE=1) until the hardware PSNR gate passes on a
-        # bench run; the default path computes W dots in-iteration.
-        if pipelined:
-            wy, wu, wv = wbufs
-
-            def wdots_into(jr, s):
-                sy, sc = rs_y[jr], rs_c[jr]
-                wy[s] = _dot3(yhi[sy:sy + rh_y], ylo[sy:sy + rh_y],
-                              bhy[0], bly[0])
-                wu[s] = _dot3(uhi[sc:sc + rh_c], ulo[sc:sc + rh_c],
-                              bhc[0], blc[0])
-                wv[s] = _dot3(vhi[sc:sc + rh_c], vlo[sc:sc + rh_c],
-                              bhc[0], blc[0])
-
-            wdots_into(0, 0)
+        # Cross-tile software pipelining is FORBIDDEN in this kernel: both
+        # attempted forms MISCOMPILE on real TPUs (corrupt row tiles,
+        # ~25 dB PSNR; interpret mode exact — a Mosaic scheduling hazard,
+        # not kernel math).  History, so nobody re-attempts it cheaply:
+        #  * r3: wdots(jr+1) issued early with the three (rh, (r+2)*128)
+        #    W-dot results live across the loop boundary as SSA values —
+        #    corrupt tiles, max err 0.58;
+        #  * r4: the "Mosaic-safe" variant staging the next tile's W dots
+        #    through explicit double-buffered VMEM scratch — bit-exact in
+        #    interpret mode AND in unit tests, still ~25.6 dB corrupt on
+        #    the hardware bench gate (BENCH_HW_SESSION.jsonl, step 3).
+        # The single-plane _make_kernel's SSA pipelining (above) is fine —
+        # the hazard is specific to this kernel's liveness pattern.
         for jr in range(n_jr):
-            if pipelined:
-                if jr + 1 < n_jr:
-                    wdots_into(jr + 1, (jr + 1) % 2)
-                ty, tu, tv = wy[jr % 2], wu[jr % 2], wv[jr % 2]
-            else:
-                ty, tu, tv = wdots(jr)
+            ty, tu, tv = wdots(jr)
             un_y = hpass(jr, ty, tshy, tsly, ahy, aly, rh_y)
             un_u = hpass(jr, tu, tshc, tslc, ahc, alc, rh_c)
             un_v = hpass(jr, tv, tshc, tslc, ahc, alc, rh_c)
@@ -691,18 +672,13 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                         out_h: int, out_w: int,
                         y_scale: float, c_scale: float,
                         epilogue=None,
-                        pack_format: str | None = None,
-                        pipelined: bool | None = None) -> jnp.ndarray:
+                        pack_format: str | None = None) -> jnp.ndarray:
     """Raw integer (..., H, W) luma + (..., ch, cw) chroma planes ->
     (..., 3, out_h, out_w) float32: chroma upsample + color matrix + 2D
     Jinc2 + anti-ringing (+ epilogue, e.g. dither) in ONE kernel.
 
-    ``pipelined``: stage the next row tile's W dots through
-    double-buffered VMEM scratch (opt-in via VRT_JINC3_PIPELINE=1; see
-    the hazard note in _make_kernel3)."""
-    if pipelined is None:
-        import os
-        pipelined = os.environ.get("VRT_JINC3_PIPELINE") == "1"
+    Cross-tile software pipelining was removed after failing the hardware
+    PSNR gate twice (see the hazard note in _make_kernel3)."""
     lead = y.shape[:-2]
     l = int(np.prod(lead)) if lead else 1
     in_h, in_w = y.shape[-2], y.shape[-1]
@@ -802,17 +778,10 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         + [pltpu.VMEM((pc["h_pad"], pc["kbw"]), jnp.bfloat16)] * 4 \
         + [pltpu.VMEM((r * py["rh"], TILE), jnp.bfloat16)] * 2 \
         + [pltpu.VMEM((r * pc["rh"], TILE), jnp.bfloat16)] * 2
-    extra_vmem = 0
-    if pipelined:
-        # double-buffered W-dot stages (wy, wu, wv)
-        scratch += [pltpu.VMEM((2, py["rh"], (r + 2) * TILE), jnp.float32),
-                    pltpu.VMEM((2, pc["rh"], (r + 2) * TILE), jnp.float32),
-                    pltpu.VMEM((2, pc["rh"], (r + 2) * TILE), jnp.float32)]
-        extra_vmem = 8 * (py["rh"] + 2 * pc["rh"]) * (r + 2) * TILE
     out = pl.pallas_call(
         _make_kernel3(py, pc, np.asarray(cmat_m, np.float32),
                       np.asarray(cmat_c, np.float32), epilogue,
-                      pack_format=pack_format, pipelined=pipelined),
+                      pack_format=pack_format),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(l, n_wt),
@@ -822,7 +791,7 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         ),
         out_shape=out_sds,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM3_LIMIT + (8 << 20) + extra_vmem),
+            vmem_limit_bytes=_VMEM3_LIMIT + (8 << 20)),
     )(jnp.asarray(cs_all), *inputs)
 
     if pack_format is not None:
