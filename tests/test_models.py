@@ -60,3 +60,23 @@ def test_videohdr_base_monotone_and_peak():
     assert np.all(np.diff(pq[0, 0]) >= -1e-6)   # monotone
     # white maps near the display peak (1000 nits -> PQ ~0.751)
     assert pq[0, 0, -1] == pytest.approx(0.751, abs=0.03)
+
+
+def test_superres_chw_path_bit_equals_nhwc():
+    """apply_fn_chw is the SAME math as apply_fn through a layout change
+    (the CHW-native 4K path, no NHWC relayouts) — outputs must be
+    bit-identical, including the pad-and-crop case."""
+    for h, w, s2d in ((16, 16, 4), (18, 22, 4), (12, 20, 2)):
+        cfg = superres.SuperResConfig(channels=16, num_blocks=2, scale=2,
+                                      s2d=s2d)
+        params = superres.init_params(jax.random.PRNGKey(3), cfg)
+        # non-zero tail so the residual branch actually contributes
+        params["tail"]["w"] = (
+            jax.random.normal(jax.random.PRNGKey(4),
+                              params["tail"]["w"].shape) * 0.05
+        ).astype(cfg.dtype)
+        x = np.random.default_rng(7).random((2, h, w, 3)).astype(np.float32)
+        ref = np.asarray(superres.apply_fn(params, jnp.asarray(x), cfg))
+        chw = np.asarray(superres.apply_fn_chw(
+            params, jnp.asarray(np.moveaxis(x, -1, 1)), cfg))
+        np.testing.assert_array_equal(np.moveaxis(chw, 1, -1), ref)

@@ -117,6 +117,16 @@ def _depth_to_space(x: jnp.ndarray, k: int, c_out: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * k, w * k, c_out)
 
 
+def _trunk(params, h: jnp.ndarray) -> jnp.ndarray:
+    """Head + residual body + tail on s2d-domain features (NHWC)."""
+    h = jax.nn.relu(_conv(h, params["head"]["w"], params["head"]["b"]))
+    for blk in params["body"]:
+        r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
+        r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
+        h = h + r
+    return _conv(h, params["tail"]["w"], params["tail"]["b"])
+
+
 def apply_fn(params, lr_rgb: jnp.ndarray, cfg: SuperResConfig = SuperResConfig()):
     """lr_rgb: (N, H, W, 3) in [0,1] -> (N, H*scale, W*scale, 3).
 
@@ -133,17 +143,48 @@ def apply_fn(params, lr_rgb: jnp.ndarray, cfg: SuperResConfig = SuperResConfig()
     if ph or pw:                       # pad to the s2d grid, crop at the end
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
     h = _space_to_depth(x, k) if k > 1 else x
-    h = jax.nn.relu(_conv(h, params["head"]["w"], params["head"]["b"]))
-    for blk in params["body"]:
-        r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
-        r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
-        h = h + r
-    res = _conv(h, params["tail"]["w"], params["tail"]["b"])
+    res = _trunk(params, h)
     res = _depth_to_space(res, s * k, 3)
     base = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
     out = (base + res).astype(jnp.float32)
     if ph or pw:
         out = out[:, :in_h * s, :in_w * s, :]
+    return out
+
+
+def apply_fn_chw(params, rgb_chw: jnp.ndarray,
+                 cfg: SuperResConfig = SuperResConfig()):
+    """(N, 3, H, W) in [0,1] -> (N, 3, H*scale, W*scale) — the SAME math
+    as :func:`apply_fn` (identical weights, bit-identical convs) staying
+    channels-first at both 4K ends.
+
+    Why this exists: the pipeline is CHW, and a 4K NHWC f32 tensor has
+    C=3 as its minor dim — any materialization tiles (W, C) to (8, 128)
+    lanes, a 42x padded relayout (measured: the shuffles/base/cast around
+    the convs cost MORE than the convs, 5.6 vs 4.4 ms/frame at batch 8).
+    Here the only layout changes are one transpose at SOURCE resolution
+    into the s2d domain (channel order (di, dj, c), matching
+    _space_to_depth) and a depth-to-space that emits (N, 3, H, W)
+    directly — minor dim W, full lanes, no 4K NHWC tensor anywhere."""
+    x = rgb_chw.astype(cfg.dtype)
+    k, s = cfg.s2d, cfg.scale
+    n, _, in_h, in_w = x.shape
+    ph, pw = (-in_h) % k, (-in_w) % k
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
+    hh, ww = x.shape[-2] // k, x.shape[-1] // k
+    # s2d from CHW: (n,3,hh,k,ww,k) -> (n,hh,ww,k,k,3) -> (n,hh,ww,k*k*3)
+    h = x.reshape(n, 3, hh, k, ww, k).transpose(0, 2, 4, 3, 5, 1) \
+        .reshape(n, hh, ww, k * k * 3)
+    res = _trunk(params, h)
+    # d2s to CHW: channels (di, dj, c) -> (n,3,hh,K,ww,K) -> (n,3,H,W)
+    K = s * k
+    res = res.reshape(n, hh, ww, K, K, 3).transpose(0, 5, 1, 3, 2, 4) \
+        .reshape(n, 3, hh * K, ww * K)
+    base = jnp.repeat(jnp.repeat(x, s, axis=-2), s, axis=-1)
+    out = (base + res).astype(jnp.float32)
+    if ph or pw:
+        out = out[..., :in_h * s, :in_w * s]
     return out
 
 
@@ -184,10 +225,10 @@ def init_opt_state(params):
 
 def enhance_plane_chw(params, rgb_chw: jnp.ndarray,
                       cfg: SuperResConfig = SuperResConfig()) -> jnp.ndarray:
-    """Pipeline hook: (..., 3, H, W) float -> (..., 3, H*s, W*s)."""
+    """Pipeline hook: (..., 3, H, W) float -> (..., 3, H*s, W*s) — the
+    CHW-native path (see :func:`apply_fn_chw`), bit-identical to
+    moveaxis(apply_fn(moveaxis)) without the 4K NHWC relayouts."""
     lead = rgb_chw.shape[:-3]
     x = rgb_chw.reshape((-1,) + rgb_chw.shape[-3:])
-    x = jnp.moveaxis(x, -3, -1)  # NHWC
-    y = apply_fn(params, x, cfg)
-    y = jnp.moveaxis(y, -1, -3)
+    y = apply_fn_chw(params, x, cfg)
     return y.reshape(lead + y.shape[-3:])
