@@ -48,7 +48,7 @@ def test_frame_parallel_pipeline_matches_single_device():
 
 
 def test_halo_exchange_roundtrip():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     mesh = make_mesh(4)
     x = np.arange(4 * 8 * 4, dtype=np.float32).reshape(4 * 8, 4)
 

@@ -41,11 +41,6 @@ def test_shipped_videohdr_beats_base_on_real_content():
     assert net_db > 30.0
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="synthetic-only checkpoint loses ~0.4 dB to the classical "
-           "upscaler on real photographic content; fine-tune with real "
-           "crops mixed in is queued (remove this marker when it ships)")
 def test_shipped_superres_on_real_content():
     """The shipped SuperRes checkpoint on real photographic content must at
     least match the classical upscaler it replaces (the vendor-SR bar:

@@ -188,6 +188,82 @@ def apply_fn_chw(params, rgb_chw: jnp.ndarray,
     return out
 
 
+def fuse_tail_weights(params, cfg: SuperResConfig = SuperResConfig()):
+    """Reassociate tail-conv + pixel-shuffle + nearest-base + bias into ONE
+    lhs-dilated convolution's weights (see :func:`apply_fn_chw_fused`).
+
+    Returns W' of shape (3D, 3D, C + 3k^2 + 1, 3) with D = scale*s2d:
+    the tail's 3x3 taps scattered over the dilated kernel, identity taps
+    on the head-input channels reproducing the nearest-upsampled base, and
+    the tail bias riding a constant-ones channel.  Derivation: for output
+    pixel y = D*p + d the correlation tap index against the D-dilated,
+    (2D-1)-padded s2d grid is ta = D*a - d + (2D-1), a in {-1,0,1}."""
+    k, s, C = cfg.s2d, cfg.scale, cfg.channels
+    D = s * k
+    pad = 2 * D - 1
+    wt = np.asarray(params["tail"]["w"], np.float32)   # (3,3,C,3*D*D)
+    bt = np.asarray(params["tail"]["b"], np.float32)
+    wf = np.zeros((3 * D, 3 * D, C + 3 * k * k + 1, 3), np.float32)
+    for d in range(D):
+        for e in range(D):
+            for a in (-1, 0, 1):
+                for b in (-1, 0, 1):
+                    wf[D * a - d + pad, D * b - e + pad, :C, :] = \
+                        wt[a + 1, b + 1, :, (d * D + e) * 3:(d * D + e) * 3 + 3]
+            # nearest base: identity tap on the head-input channel holding
+            # x[c, k*p + d//s] (s2d channel order (ki, kj, c))
+            for c in range(3):
+                wf[pad - d, pad - e,
+                   C + ((d // s) * k + (e // s)) * 3 + c, c] = 1.0
+            # bias via the constant-ones channel (added exactly once)
+            wf[pad - d, pad - e, -1, :] = bt[(d * D + e) * 3:(d * D + e) * 3 + 3]
+    return jnp.asarray(wf, cfg.dtype)
+
+
+def apply_fn_chw_fused(params, rgb_chw: jnp.ndarray,
+                       cfg: SuperResConfig = SuperResConfig(),
+                       _wfused=None):
+    """The SAME model as :func:`apply_fn_chw` with the tail conv,
+    pixel-shuffle, nearest-base add and bias fused into one
+    ``lhs_dilation=D`` convolution emitting NCHW directly.
+
+    Why: bench_sr_profile measured the explicit depth-to-space + repeat
+    tail at ~4 ms/frame at 4K (lane-interleave relayouts dominate the
+    convs); expressing the whole tail as a transposed conv keeps it in
+    the XLA conv emitter where the interleave is the conv's own output
+    indexing.  Numerics: identical taps, MXU f32 accumulation — equal to
+    apply_fn_chw within bf16 accumulation-order tolerance (gated by
+    tests/test_models.py).
+    """
+    x = rgb_chw.astype(cfg.dtype)
+    k, s = cfg.s2d, cfg.scale
+    D = s * k
+    n, _, in_h, in_w = x.shape
+    ph, pw = (-in_h) % k, (-in_w) % k
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
+    hh, ww = x.shape[-2] // k, x.shape[-1] // k
+    h0 = x.reshape(n, 3, hh, k, ww, k).transpose(0, 2, 4, 3, 5, 1) \
+        .reshape(n, hh, ww, k * k * 3)
+    h = jax.nn.relu(_conv(h0, params["head"]["w"], params["head"]["b"]))
+    for blk in params["body"]:
+        r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
+        r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
+        h = h + r
+    wf = fuse_tail_weights(params, cfg) if _wfused is None else _wfused
+    ones = jnp.ones(h.shape[:-1] + (1,), h.dtype)
+    h_aug = jnp.concatenate([h, h0, ones], axis=-1)
+    pad = 2 * D - 1
+    out = jax.lax.conv_general_dilated(
+        h_aug, wf.astype(h.dtype),
+        window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+        lhs_dilation=(D, D),
+        dimension_numbers=("NHWC", "HWIO", "NCHW")).astype(jnp.float32)
+    if ph or pw:
+        out = out[..., :in_h * s, :in_w * s]
+    return out
+
+
 def loss_fn(params, lr, hr, cfg: SuperResConfig = SuperResConfig()):
     """Charbonnier loss (smooth L1) — standard for SR training."""
     pred = apply_fn(params, lr, cfg)
