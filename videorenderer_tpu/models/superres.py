@@ -152,97 +152,72 @@ def apply_fn(params, lr_rgb: jnp.ndarray, cfg: SuperResConfig = SuperResConfig()
     return out
 
 
+def _tail_reorder(cfg: SuperResConfig):
+    """Host-side constants for the CHW tail (cached per config).
+
+    Returns ``(perm, base_taps)``: ``perm`` permutes the standard tail
+    channel order ch=(d*K+e)*3+c into (d*3+c)*K+e (e minor, so the lane
+    interleave becomes one GEMM, see :func:`apply_fn_chw`); ``base_taps``
+    (3, 3, 3k^2, 3KK) rides the tail conv as extra input taps on the
+    head-input channels, reproducing the nearest-upsampled base exactly
+    (weight 1.0 at the 1x1 center, per subpixel phase)."""
+    k, s = cfg.s2d, cfg.scale
+    K = s * k
+    perm = np.empty(3 * K * K, np.int64)
+    taps = np.zeros((3, 3, 3 * k * k, 3 * K * K), np.float32)
+    for d in range(K):
+        for e in range(K):
+            for c in range(3):
+                new = (d * 3 + c) * K + e
+                perm[new] = (d * K + e) * 3 + c
+                taps[1, 1, ((d // s) * k + (e // s)) * 3 + c, new] = 1.0
+    return perm, taps
+
+
+def _spread_matrix(ww: int, K: int) -> np.ndarray:
+    """(ww, K, ww*K) one-hot: M[xi, e, K*xi + e] = 1 — the lane-interleave
+    as a permutation GEMM (MXU) instead of an XLA transpose."""
+    M = np.zeros((ww, K, ww * K), np.float32)
+    xi = np.arange(ww)[:, None]
+    e = np.arange(K)[None, :]
+    M[xi, e, xi * K + e] = 1.0
+    return M
+
+
 def apply_fn_chw(params, rgb_chw: jnp.ndarray,
                  cfg: SuperResConfig = SuperResConfig()):
-    """(N, 3, H, W) in [0,1] -> (N, 3, H*scale, W*scale) — the SAME math
-    as :func:`apply_fn` (identical weights, bit-identical convs) staying
-    channels-first at both 4K ends.
+    """(N, 3, H, W) in [0,1] -> (N, 3, H*scale, W*scale) — the SAME model
+    as :func:`apply_fn` staying channels-first at both 4K ends, with the
+    depth-to-space lane interleave done by the MXU.
 
-    Why this exists: the pipeline is CHW, and a 4K NHWC f32 tensor has
-    C=3 as its minor dim — any materialization tiles (W, C) to (8, 128)
-    lanes, a 42x padded relayout (measured: the shuffles/base/cast around
-    the convs cost MORE than the convs, 5.6 vs 4.4 ms/frame at batch 8).
-    Here the only layout changes are one transpose at SOURCE resolution
-    into the s2d domain (channel order (di, dj, c), matching
-    _space_to_depth) and a depth-to-space that emits (N, 3, H, W)
-    directly — minor dim W, full lanes, no 4K NHWC tensor anywhere."""
+    Why: a 4K NHWC f32 tensor has C=3 minor (42x-padded (8,128) tiling),
+    and the explicit d2s/repeat interleaves cost MORE than the convs
+    (bench_sr_profile: ~4-5 ms/frame of the 8.5 ms net).  Here:
+
+     * tail channels are permuted to (d, c, e) so splitting e off the
+       lane dim is free;
+     * the nearest base + bias fold into the tail conv (identity taps on
+       the concatenated head input) — no 4K `repeat`;
+     * the W interleave out[..., K*xi+e] is ONE dot_general against a
+       one-hot (ww, K, ww*K) matrix: the interleave is the GEMM's output
+       indexing (a permutation matmul runs at full MXU speed);
+     * every remaining move is a major-dim reshape/transpose (free).
+
+    Measured (bench_sr_tail2.py, batch 8, v5e): 9.45 -> 6.38 ms/frame
+    end-to-end with pack (-32%).  Numerics: identical taps with f32 MXU
+    accumulation; rounds to bf16 once where the staged path rounds twice
+    (tests/test_models.py gates 2-ulp agreement with apply_fn).  The
+    fused lhs-dilated-conv alternative was measured 3.6x SLOWER (3
+    output channels starve the MXU lanes) and dropped."""
     x = rgb_chw.astype(cfg.dtype)
     k, s = cfg.s2d, cfg.scale
+    K = s * k
     n, _, in_h, in_w = x.shape
     ph, pw = (-in_h) % k, (-in_w) % k
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
     hh, ww = x.shape[-2] // k, x.shape[-1] // k
     # s2d from CHW: (n,3,hh,k,ww,k) -> (n,hh,ww,k,k,3) -> (n,hh,ww,k*k*3)
-    h = x.reshape(n, 3, hh, k, ww, k).transpose(0, 2, 4, 3, 5, 1) \
-        .reshape(n, hh, ww, k * k * 3)
-    res = _trunk(params, h)
-    # d2s to CHW: channels (di, dj, c) -> (n,3,hh,K,ww,K) -> (n,3,H,W)
-    K = s * k
-    res = res.reshape(n, hh, ww, K, K, 3).transpose(0, 5, 1, 3, 2, 4) \
-        .reshape(n, 3, hh * K, ww * K)
-    base = jnp.repeat(jnp.repeat(x, s, axis=-2), s, axis=-1)
-    out = (base + res).astype(jnp.float32)
-    if ph or pw:
-        out = out[..., :in_h * s, :in_w * s]
-    return out
-
-
-def fuse_tail_weights(params, cfg: SuperResConfig = SuperResConfig()):
-    """Reassociate tail-conv + pixel-shuffle + nearest-base + bias into ONE
-    lhs-dilated convolution's weights (see :func:`apply_fn_chw_fused`).
-
-    Returns W' of shape (3D, 3D, C + 3k^2 + 1, 3) with D = scale*s2d:
-    the tail's 3x3 taps scattered over the dilated kernel, identity taps
-    on the head-input channels reproducing the nearest-upsampled base, and
-    the tail bias riding a constant-ones channel.  Derivation: for output
-    pixel y = D*p + d the correlation tap index against the D-dilated,
-    (2D-1)-padded s2d grid is ta = D*a - d + (2D-1), a in {-1,0,1}."""
-    k, s, C = cfg.s2d, cfg.scale, cfg.channels
-    D = s * k
-    pad = 2 * D - 1
-    wt = np.asarray(params["tail"]["w"], np.float32)   # (3,3,C,3*D*D)
-    bt = np.asarray(params["tail"]["b"], np.float32)
-    wf = np.zeros((3 * D, 3 * D, C + 3 * k * k + 1, 3), np.float32)
-    for d in range(D):
-        for e in range(D):
-            for a in (-1, 0, 1):
-                for b in (-1, 0, 1):
-                    wf[D * a - d + pad, D * b - e + pad, :C, :] = \
-                        wt[a + 1, b + 1, :, (d * D + e) * 3:(d * D + e) * 3 + 3]
-            # nearest base: identity tap on the head-input channel holding
-            # x[c, k*p + d//s] (s2d channel order (ki, kj, c))
-            for c in range(3):
-                wf[pad - d, pad - e,
-                   C + ((d // s) * k + (e // s)) * 3 + c, c] = 1.0
-            # bias via the constant-ones channel (added exactly once)
-            wf[pad - d, pad - e, -1, :] = bt[(d * D + e) * 3:(d * D + e) * 3 + 3]
-    return jnp.asarray(wf, cfg.dtype)
-
-
-def apply_fn_chw_fused(params, rgb_chw: jnp.ndarray,
-                       cfg: SuperResConfig = SuperResConfig(),
-                       _wfused=None):
-    """The SAME model as :func:`apply_fn_chw` with the tail conv,
-    pixel-shuffle, nearest-base add and bias fused into one
-    ``lhs_dilation=D`` convolution emitting NCHW directly.
-
-    Why: bench_sr_profile measured the explicit depth-to-space + repeat
-    tail at ~4 ms/frame at 4K (lane-interleave relayouts dominate the
-    convs); expressing the whole tail as a transposed conv keeps it in
-    the XLA conv emitter where the interleave is the conv's own output
-    indexing.  Numerics: identical taps, MXU f32 accumulation — equal to
-    apply_fn_chw within bf16 accumulation-order tolerance (gated by
-    tests/test_models.py).
-    """
-    x = rgb_chw.astype(cfg.dtype)
-    k, s = cfg.s2d, cfg.scale
-    D = s * k
-    n, _, in_h, in_w = x.shape
-    ph, pw = (-in_h) % k, (-in_w) % k
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
-    hh, ww = x.shape[-2] // k, x.shape[-1] // k
     h0 = x.reshape(n, 3, hh, k, ww, k).transpose(0, 2, 4, 3, 5, 1) \
         .reshape(n, hh, ww, k * k * 3)
     h = jax.nn.relu(_conv(h0, params["head"]["w"], params["head"]["b"]))
@@ -250,15 +225,18 @@ def apply_fn_chw_fused(params, rgb_chw: jnp.ndarray,
         r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
         r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
         h = h + r
-    wf = fuse_tail_weights(params, cfg) if _wfused is None else _wfused
-    ones = jnp.ones(h.shape[:-1] + (1,), h.dtype)
-    h_aug = jnp.concatenate([h, h0, ones], axis=-1)
-    pad = 2 * D - 1
-    out = jax.lax.conv_general_dilated(
-        h_aug, wf.astype(h.dtype),
-        window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
-        lhs_dilation=(D, D),
-        dimension_numbers=("NHWC", "HWIO", "NCHW")).astype(jnp.float32)
+    perm, taps = _tail_reorder(cfg)
+    w_aug = jnp.concatenate(
+        [params["tail"]["w"][..., perm], jnp.asarray(taps, cfg.dtype)],
+        axis=2)
+    res = _conv(jnp.concatenate([h, h0], -1), w_aug,
+                params["tail"]["b"][perm])     # (n, hh, ww, 3KK) (d,c,e)
+    lhs = res.reshape(n, hh, ww, 3 * K, K)
+    out = jax.lax.dot_general(
+        lhs, jnp.asarray(_spread_matrix(ww, K), cfg.dtype),
+        (((2, 4), (0, 1)), ((), ())))          # (n, hh, 3K, ww*K)
+    out = out.reshape(n, hh, K, 3, ww * K).transpose(0, 3, 1, 2, 4) \
+        .reshape(n, 3, hh * K, ww * K).astype(jnp.float32)
     if ph or pw:
         out = out[..., :in_h * s, :in_w * s]
     return out
@@ -302,8 +280,9 @@ def init_opt_state(params):
 def enhance_plane_chw(params, rgb_chw: jnp.ndarray,
                       cfg: SuperResConfig = SuperResConfig()) -> jnp.ndarray:
     """Pipeline hook: (..., 3, H, W) float -> (..., 3, H*s, W*s) — the
-    CHW-native path (see :func:`apply_fn_chw`), bit-identical to
-    moveaxis(apply_fn(moveaxis)) without the 4K NHWC relayouts."""
+    CHW-native path (see :func:`apply_fn_chw`): same model as
+    moveaxis(apply_fn(moveaxis)) within 2 bf16 ulps, with no 4K NHWC
+    relayouts and the d2s interleave on the MXU."""
     lead = rgb_chw.shape[:-3]
     x = rgb_chw.reshape((-1,) + rgb_chw.shape[-3:])
     y = apply_fn_chw(params, x, cfg)
