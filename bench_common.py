@@ -245,8 +245,9 @@ def input_spec(key: str):
         # (~95 MB/frame), so batch 8 stays ~2-3 GB
         return ColorFormat.NV12, 1920, 1080, 8
     if key == "c1vh":
-        # the gain net holds (B, 1080, 1920, 16) f32 activations live
-        return ColorFormat.NV12, 1920, 1080, 8
+        # s2d gain net: (B, 270, 480, 64) bf16 activations; footprint is
+        # the 1080p f32 planes, same class as c1 -> same timing batch
+        return ColorFormat.NV12, 1920, 1080, 32
     if key in ("c1", "c3", "c3rot"):
         return ColorFormat.NV12, 1920, 1080, 32
     if key == "c2":

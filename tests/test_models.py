@@ -89,3 +89,23 @@ def test_superres_chw_path_matches_nhwc():
         assert chw.shape == np.moveaxis(ref, -1, 1).shape
         tol = 2.0 ** -8 * 2.0 * max(1.0, float(np.abs(ref).max()))
         np.testing.assert_allclose(np.moveaxis(chw, 1, -1), ref, atol=tol)
+
+
+def test_videohdr_chw_path_matches_nhwc():
+    """videohdr.enhance_plane_chw (s2d-domain net + GEMM-spread gains) is
+    the SAME model as apply_fn through a layout change; tanh/exp commute
+    with the gain permutation, so outputs agree to f32 elementwise noise
+    (including the pad-and-crop case)."""
+    cfg = videohdr.VideoHDRConfig(channels=8)
+    params = videohdr.init_params(jax.random.PRNGKey(0), cfg)
+    # non-zero gain head so the net branch actually contributes
+    params["c3"]["w"] = (jax.random.normal(jax.random.PRNGKey(1),
+                                           params["c3"]["w"].shape)
+                         * 0.1).astype(cfg.dtype)
+    for h, w in ((16, 16), (18, 22)):
+        x = np.random.default_rng(7).random((2, h, w, 3)).astype(np.float32)
+        ref = np.asarray(videohdr.apply_fn(params, jnp.asarray(x), cfg))
+        chw = np.asarray(videohdr.enhance_plane_chw(
+            params, jnp.asarray(np.moveaxis(x, -1, 1)), cfg))
+        np.testing.assert_allclose(np.moveaxis(chw, 1, -1), ref,
+                                   atol=1e-6, rtol=1e-6)

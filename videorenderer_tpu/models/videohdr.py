@@ -27,7 +27,16 @@ from ..ops import transfer
 
 @dataclass(frozen=True)
 class VideoHDRConfig:
-    channels: int = 16
+    """TPU-shaped gain net: the convs run in an ``s2d``x space-to-depth
+    domain (1080p -> 270x480 grid, 48-channel input) so the matmuls fill
+    MXU lanes, predicting one log-gain per subpixel phase.  The naive
+    full-resolution 16-channel f32 net measured 8.3 ms/frame of the c1vh
+    row's 8.5 (bench_vh_variants.py): with 3/16/1 channels the conv is
+    lane-starved in every layout/dtype; s2d fixes the shape, not the
+    schedule.  Receptive field grows from 7x7 to 7*s2d x 7*s2d pixels —
+    the right scale for luminance-expansion context."""
+    channels: int = 64
+    s2d: int = 4
     peak_nits: float = 1000.0
     sdr_nits: float = 203.0       # BT.2408 reference white
     dtype: object = jnp.bfloat16
@@ -62,8 +71,9 @@ def inverse_tonemap_base(rgb_srgb: jnp.ndarray, cfg: VideoHDRConfig,
 
 
 def init_params(key: jax.Array, cfg: VideoHDRConfig = VideoHDRConfig()):
-    """3-layer gain-prediction net (NHWC), zero-init output so the untrained
-    model reduces exactly to the deterministic base."""
+    """3-layer s2d-domain gain net: 3k^2 -> C -> C -> k^2 (one log-gain
+    per subpixel phase, channel order (d, e)); zero-init output so the
+    untrained model reduces exactly to the deterministic base."""
     def conv_init(k, cin, cout, zero=False):
         if zero:
             w = jnp.zeros((3, 3, cin, cout), jnp.float32)
@@ -73,44 +83,96 @@ def init_params(key: jax.Array, cfg: VideoHDRConfig = VideoHDRConfig()):
         return {"w": w.astype(cfg.dtype), "b": jnp.zeros((cout,), cfg.dtype)}
 
     k1, k2, k3 = jax.random.split(key, 3)
+    s = cfg.s2d
     return {
-        "c1": conv_init(k1, 3, cfg.channels),
+        "c1": conv_init(k1, 3 * s * s, cfg.channels),
         "c2": conv_init(k2, cfg.channels, cfg.channels),
-        "c3": conv_init(k3, cfg.channels, 1, zero=True),
+        "c3": conv_init(k3, cfg.channels, s * s, zero=True),
     }
 
 
 def _conv(x, p):
+    # bf16 operands/output (MXU f32 internal accumulation); see the
+    # dtype rationale in models/superres.py::_conv
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32), p["w"].astype(jnp.float32), (1, 1), "SAME",
+        x, p["w"].astype(x.dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + p["b"].astype(jnp.float32)
+    return y + p["b"].astype(y.dtype)
+
+
+def _gain_s2d(params, h0: jnp.ndarray) -> jnp.ndarray:
+    """(n, hh, ww, 3k^2) s2d pixels -> (n, hh, ww, k^2) raw (pre-tanh)
+    gain logits, channel order (d, e)."""
+    h = jax.nn.relu(_conv(h0, params["c1"]))
+    h = jax.nn.relu(_conv(h, params["c2"]))
+    return _conv(h, params["c3"])
 
 
 def apply_fn(params, sdr_rgb_nhwc: jnp.ndarray,
              cfg: VideoHDRConfig = VideoHDRConfig()) -> jnp.ndarray:
     """(N,H,W,3) sRGB in [0,1] -> (N,H,W,3) PQ/BT.2020 in [0,1].
 
-    The net predicts a log-gain field applied to the base expansion's linear
-    light; zero-initialized output layer => identity to the base."""
+    The net predicts a per-pixel log-gain field (computed in the s2d
+    domain, one output channel per subpixel phase) applied to the base
+    expansion's linear light; zero-initialized output layer => identity
+    to the base."""
+    from .superres import _space_to_depth
     x = sdr_rgb_nhwc
-    h = jax.nn.relu(_conv(x, params["c1"]))
-    h = jax.nn.relu(_conv(h, params["c2"]))
-    log_gain = jnp.tanh(_conv(h, params["c3"])) * 2.0    # gain in [e^-2, e^2]
+    k = cfg.s2d
+    n, in_h, in_w, _ = x.shape
+    ph, pw = (-in_h) % k, (-in_w) % k
+    xp = (jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+          if ph or pw else x)
+    g = _gain_s2d(params, _space_to_depth(xp.astype(cfg.dtype), k))
+    # d2s the (d, e) gain channels back to per-pixel (N, H, W)
+    hh, ww = g.shape[1], g.shape[2]
+    g = g.reshape(n, hh, ww, k, k).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, hh * k, ww * k)
+    if ph or pw:
+        g = g[:, :in_h, :in_w]
+    log_gain = jnp.tanh(g.astype(jnp.float32)) * 2.0   # gain in [e^-2, e^2]
 
     # gain the base's LINEAR light directly: encoding the base to PQ and
     # decoding it back (the naive composition) is 12 wasted pows/pixel
     base_lin = inverse_tonemap_base_linear(jnp.moveaxis(x, -1, -3), cfg,
                                            axis=-3)
-    gained = base_lin * jnp.exp(jnp.moveaxis(log_gain, -1, -3))
+    gained = base_lin * jnp.exp(log_gain)[:, None]
     out = transfer.linear_to_st2084(gained, 10000.0)
     return jnp.moveaxis(out, -3, -1)
 
 
 def enhance_plane_chw(params, rgb_chw: jnp.ndarray,
                       cfg: VideoHDRConfig = VideoHDRConfig()) -> jnp.ndarray:
-    """Pipeline hook: (..., 3, H, W) sRGB -> PQ/BT.2020."""
+    """Pipeline hook: (..., 3, H, W) sRGB -> PQ/BT.2020 — CHW-native.
+
+    Same model as :func:`apply_fn`: the s2d transform runs at source
+    resolution straight from CHW, and the gain field's depth-to-space is
+    a permutation GEMM against a one-hot spread matrix (the
+    interleave-on-the-MXU trick from models/superres.py) — no NHWC
+    tensor and no lane-interleave transpose anywhere.  tanh/exp commute
+    with the permutation, so numerics match apply_fn exactly up to f32
+    elementwise order."""
+    from .superres import _spread_matrix
     lead = rgb_chw.shape[:-3]
     x = rgb_chw.reshape((-1,) + rgb_chw.shape[-3:])
-    y = apply_fn(params, jnp.moveaxis(x, -3, -1), cfg)
-    return jnp.moveaxis(y, -1, -3).reshape(lead + rgb_chw.shape[-3:])
+    k = cfg.s2d
+    n, _, in_h, in_w = x.shape
+    ph, pw = (-in_h) % k, (-in_w) % k
+    xp = (jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
+          if ph or pw else x)
+    hh, ww = xp.shape[-2] // k, xp.shape[-1] // k
+    h0 = xp.astype(cfg.dtype).reshape(n, 3, hh, k, ww, k) \
+        .transpose(0, 2, 4, 3, 5, 1).reshape(n, hh, ww, k * k * 3)
+    g = _gain_s2d(params, h0)                       # (n, hh, ww, k*k)
+    lhs = g.reshape(n, hh, ww, k, k)
+    g = jax.lax.dot_general(
+        lhs, jnp.asarray(_spread_matrix(ww, k), cfg.dtype),
+        (((2, 4), (0, 1)), ((), ())))               # (n, hh, k, ww*k)
+    g = g.reshape(n, hh * k, ww * k)
+    if ph or pw:
+        g = g[:, :in_h, :in_w]
+    log_gain = jnp.tanh(g.astype(jnp.float32)) * 2.0
+    base_lin = inverse_tonemap_base_linear(x, cfg, axis=-3)
+    out = transfer.linear_to_st2084(base_lin * jnp.exp(log_gain)[:, None],
+                                    10000.0)
+    return out.reshape(lead + rgb_chw.shape[-3:])
