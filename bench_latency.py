@@ -53,7 +53,7 @@ import bench_common as bc
 
 N = 30          # timed frames per config
 WARMUP = 4
-DEFAULT_KEYS = ["c1", "c3", "c4", "c5", "c8"]
+DEFAULT_KEYS = ["c1", "c1vh", "c3", "c3sr", "c4", "c5", "c8"]
 
 
 def _sync(out):
@@ -79,6 +79,24 @@ def build_dispatch(key: str, dev):
         fn = jax.jit(make_serving_fn(plan, pack_surface=True))
         rts = [{"dovi_curves": bc.dovi_rt(i)} for i in (0, 1)]
         return (lambda i: fn(frames[i % 2], rts[i % 2])), 1
+    if key in ("c3sr", "c1vh"):
+        # learned-model rows: net applies after the 1:1 base pipeline,
+        # pack via XLA (same structure bench_configs times)
+        from bench_configs import _pack_surface_xla
+        from videorenderer_tpu.pipeline import make_frame_fn
+        if key == "c3sr":
+            from videorenderer_tpu.models.superres import enhance_plane_chw
+            params, cfg = bc.superres_params()
+            pack = "rgba8"
+        else:
+            from videorenderer_tpu.models.videohdr import enhance_plane_chw
+            params, cfg = bc.videohdr_params()
+            pack = "rgb10a2"
+        params = jax.device_put(params, dev)
+        base = make_frame_fn(plan)
+        fn = jax.jit(lambda p: _pack_surface_xla(
+            enhance_plane_chw(params, base(p), cfg), pack))
+        return (lambda i: fn(frames[i % 2])), 1
     from videorenderer_tpu.pipeline import make_frame_fn
     fn = jax.jit(make_frame_fn(plan, pack_surface=True))
     return (lambda i: fn(frames[i % 2])), 1

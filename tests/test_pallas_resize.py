@@ -322,7 +322,7 @@ def test_rows3_tail_rt_scalars_interpret():
 def _rt_plan(with_trims: bool):
     from videorenderer_tpu import (ColorFormat, OutputDescriptor, Settings,
                                    SourceDescriptor)
-    from videorenderer_tpu.config import ToneMapType
+    from videorenderer_tpu.config import TexFormat, ToneMapType
     from videorenderer_tpu.csputils import CSP, Primaries, TRC
     from videorenderer_tpu.pipeline import HDR10Metadata, plan_pipeline
 
@@ -341,10 +341,13 @@ def _rt_plan(with_trims: bool):
         hdr10=HDR10Metadata(mastering_max_nits=4000.0, max_cll=3000.0,
                             max_fall=800.0), **kw)
     dst = OutputDescriptor(width=128, height=96, bits=10, hdr=True)
+    # FLOAT16 pins full-f32 intermediates: these tests check the kernel's
+    # split-bf16 exactness vs the staged path; the AUTOINT int16
+    # intermediate band is covered by test_banded_mid16_intermediate_*
     st = Settings(convert_to_sdr=False, hdr_passthrough=True,
                   hdr_local_tone_mapping=True,
                   hdr_local_tone_mapping_type=ToneMapType.BT2390,
-                  hdr_display_max_nits=600)
+                  hdr_display_max_nits=600, tex_format=TexFormat.FLOAT16)
     return plan_pipeline(st, src, dst)
 
 
@@ -818,3 +821,42 @@ def test_deint_kernel_nondivisible_heights_interpret():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
                                atol=1.01 / 255.0)
     assert (np.asarray(g0) == np.asarray(r0)).mean() > 0.99
+
+
+def test_banded_mid16_intermediate_interpret():
+    """Compact int16 W-pass intermediates: quantization is exactly
+    round(x * MID16_SCALE) and a rows3 consume with the 1/MID16_SCALE
+    unscale folded into the H weights lands within the 2^-14 fixed-point
+    band of the f32-intermediate path."""
+    mx = scale.upscale_matrix(Upscaling.LANCZOS3, 256, 128)
+    rng = np.random.default_rng(13)
+    x = (rng.integers(0, 1024, (40, 256), dtype=np.uint16) << 6)
+    with pltpu.force_tpu_interpret_mode():
+        f32 = np.asarray(rp.banded_resize_last_axis(
+            jnp.asarray(x), np.asarray(mx), pre_scale=1 / 65535.0))
+        q = np.asarray(rp.banded_resize_last_axis(
+            jnp.asarray(x), np.asarray(mx), pre_scale=1 / 65535.0,
+            mid16=True))
+    assert q.dtype == np.int16
+    np.testing.assert_array_equal(q, np.round(f32 * rp.MID16_SCALE))
+
+    # rows3 consume: int16 planes + unscale vs f32 planes, same epilogue
+    my = scale.upscale_matrix(Upscaling.CATMULL_ROM, 40, 64)
+    m = np.asarray([[1.0, 0.0, 1.4], [1.0, -0.2, -0.7], [1.0, 1.8, 0.0]],
+                   np.float32)
+
+    def epi(yt, ut, vt):
+        rgb = jnp.stack([m[i, 0] * yt + m[i, 1] * ut + m[i, 2] * vt
+                         for i in range(3)], axis=0)
+        return jnp.clip(rgb, 0.0, 1.0)
+
+    yq, uq, vq = (jnp.asarray(q).reshape(1, 40, 128),) * 3
+    yf, uf, vf = (jnp.asarray(f32).reshape(1, 40, 128),) * 3
+    myf = np.asarray(my, np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got_q = np.asarray(rp.rows3_tail(
+            yq, uq, vq, myf, myf, 64, epi,
+            y_scale=1.0 / rp.MID16_SCALE, c_scale=1.0 / rp.MID16_SCALE))
+        got_f = np.asarray(rp.rows3_tail(yf, uf, vf, myf, myf, 64, epi))
+    # fixed-point band: |err| <= q/2 * L1(H row) * L1(cmat row) ~ 3e-4
+    np.testing.assert_allclose(got_q, got_f, atol=3e-4)

@@ -316,8 +316,13 @@ def test_pack_surface_kernel_path_interpret(monkeypatch):
         pack_surface=True)(planes)).view(np.uint32)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    fn = make_frame_fn(plan_pipeline(Settings(), src, dst),
-                       pack_surface=True)
+    # FLOAT16 pins full-f32 W-pass intermediates: this test checks the
+    # in-kernel PACKER vs the XLA packer; the default AUTOINT int16
+    # intermediate adds its own LSB flips (covered by
+    # test_banded_mid16_intermediate_* and the hardware PSNR gates)
+    from videorenderer_tpu.config import TexFormat
+    fn = make_frame_fn(plan_pipeline(Settings(tex_format=TexFormat.FLOAT16),
+                                     src, dst), pack_surface=True)
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fn(planes)).view(np.uint32)
     assert got.shape == ref.shape == (96, 128)

@@ -29,6 +29,8 @@ stencil path in ops/scale.py instead.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 128                     # output tile (lane width)
 _STRIPE_BYTES = 4 * 1024 * 1024  # VMEM budget for one input stripe
+
+# v5e has 128 MB of VMEM; the 16 MB scoped-vmem ceiling is a compiler
+# default, not hardware.  Raising the per-kernel limit lets input stripes
+# and column tiles grow: fewer grid steps (each costs ~3.6 us of fixed
+# overhead) and longer contiguous DMA chunks per block row (a 128-lane f32
+# column stripe reads 512 B per row; at 512 lanes it reads 2 KB).
+# Env knobs are kept for hardware A/B sweeps (bench_headline_micro.py).
+_VMEM_LIMIT_BYTES = int(os.environ.get("VRT_VMEM_MB", "96")) * 2**20
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+_WPASS_TILE_R = int(os.environ.get("VRT_WPASS_TILE_R", "1024"))
+_ROWS_TILE_W = int(os.environ.get("VRT_ROWS_TILE_W", "2048"))
+_ROWS3_TILE_W = int(os.environ.get("VRT_ROWS3_TILE_W", "512"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -136,7 +150,11 @@ def _pick_tile(span_bytes_per_row: int, preferred: int, align: int,
     return cap
 
 
-_SCOPED_VMEM_BUDGET = 14 * 1024 * 1024   # of the 16 MB scoped-vmem limit
+# Half the raised per-kernel scoped-vmem limit (_COMPILER_PARAMS): the
+# other half absorbs Mosaic's staging — measured actual scoped usage runs
+# ~1.4x the modeled double-buffered footprint (67.4 MB vs 48.7 modeled for
+# the 4K luma W pass at tile_r=1024).
+_SCOPED_VMEM_BUDGET = _VMEM_LIMIT_BYTES // 2
 
 
 def _pick_tile_vmem(io_bytes_per_row: int, scratch_bytes_per_row: int,
@@ -180,7 +198,31 @@ def _to_f32(val):
         return _u16_to_f32(val)
     if dt == jnp.uint8.dtype:
         return _u8_to_f32(val)
+    if dt == jnp.int16.dtype:
+        # compact W-pass intermediate (MID16 fixed point): sign-extend;
+        # the 1/MID16_SCALE unscale folds into the consumer's weights
+        return val.astype(jnp.int32).astype(jnp.float32)
     return val
+
+
+# Compact-intermediate fixed point: W-passed planes store
+# round(value * 16384) as int16.  Values are normalized [0,1] plus filter
+# over/undershoot (Lanczos3 column L1 norm keeps them within about
+# [-0.3, 1.3]; callers must guard max column L1 * SCALE <= 32767 — the
+# pipeline checks this host-side and falls back to f32 intermediates for
+# exotic filters).  The quantization step is 2^-14
+# of full scale — a ~95 dB noise floor, far above the 55 dB PSNR gate and
+# ~16x finer than the reference's default 10-bit UNORM intermediate
+# textures (TEXFMT_AUTOINT, Source/DX11VideoProcessor.cpp:1145-1151) and
+# ~4x finer than its opt-in fp16 at mid-gray.  Halves intermediate HBM
+# traffic vs float32.
+MID16_SCALE = 16384.0
+
+
+def _quant_mid16(x):
+    # f32 -> int16 via int32 (Mosaic has no direct f32->int16 cast);
+    # round-nearest keeps the quantizer unbiased
+    return jnp.round(x * MID16_SCALE).astype(jnp.int32).astype(jnp.int16)
 
 
 def _dot3(a_hi, a_lo, w_hi, w_lo, left: bool = False):
@@ -194,23 +236,32 @@ def _dot3(a_hi, a_lo, w_hi, w_lo, left: bool = False):
             + jnp.dot(a_hi, w_lo, **kw))
 
 
-def _kernel_cols(starts_ref, x_ref, whi_ref, wlo_ref, o_ref, hi_ref, lo_ref):
-    xf = _to_f32(x_ref[:])
-    hi_ref[:] = xf.astype(jnp.bfloat16)
-    lo_ref[:] = (xf - hi_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
-    kb = whi_ref.shape[1]
-    for j in range(whi_ref.shape[0]):
-        start = pl.multiple_of(starts_ref[j], 128)
-        o_ref[:, j * TILE_N:(j + 1) * TILE_N] = _dot3(
-            hi_ref[:, pl.ds(start, kb)], lo_ref[:, pl.ds(start, kb)],
-            whi_ref[j], wlo_ref[j])
+def _make_kernel_cols(mid16: bool):
+    def kernel(starts_ref, x_ref, whi_ref, wlo_ref, o_ref, hi_ref, lo_ref):
+        xf = _to_f32(x_ref[:])
+        hi_ref[:] = xf.astype(jnp.bfloat16)
+        lo_ref[:] = (xf - hi_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        kb = whi_ref.shape[1]
+        for j in range(whi_ref.shape[0]):
+            start = pl.multiple_of(starts_ref[j], 128)
+            r = _dot3(hi_ref[:, pl.ds(start, kb)], lo_ref[:, pl.ds(start, kb)],
+                      whi_ref[j], wlo_ref[j])
+            o_ref[:, j * TILE_N:(j + 1) * TILE_N] = \
+                _quant_mid16(r) if mid16 else r
+    return kernel
+
+
+_kernel_cols = _make_kernel_cols(False)
 
 
 def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
-                            pre_scale: float | None = None) -> jnp.ndarray:
+                            pre_scale: float | None = None,
+                            mid16: bool = False) -> jnp.ndarray:
     """Resize along the last axis.  ``x``: (..., W_in) float32 or raw
     uint8/uint16 planes (with ``pre_scale`` folding the UNORM normalization
-    into the weights).  Returns float32 (..., W_out)."""
+    into the weights).  Returns float32 (..., W_out), or with ``mid16``
+    an int16 plane of round(value * MID16_SCALE) — the compact W-pass
+    intermediate for the fused two-stage path."""
     w_in, w_out = mat.shape
     assert x.shape[-1] == w_in
     starts, bands, kb, w_in_pad = pack_band_for(mat)
@@ -224,16 +275,17 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
     x2 = x.reshape(rows, w_in)
     if x2.dtype not in (jnp.uint8.dtype, jnp.uint16.dtype, jnp.float32.dtype):
         x2 = x2.astype(jnp.float32)
+    o_itemsize = 2 if mid16 else 4
     tile_r = _pick_tile_vmem(
-        w_in_pad * x2.dtype.itemsize + j_tiles * TILE_N * 4,   # in + out
+        w_in_pad * x2.dtype.itemsize + j_tiles * TILE_N * o_itemsize,
         w_in_pad * 4,                                          # hi/lo scratch
-        j_tiles * kb * TILE_N * 2 * 2, 256, 32, total=rows)
+        j_tiles * kb * TILE_N * 2 * 2, _WPASS_TILE_R, 32, total=rows)
     rows_pad = _round_up(rows, tile_r)
     if rows_pad != rows or w_in_pad != w_in:
         x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, w_in_pad - w_in)))
 
     out = pl.pallas_call(
-        _kernel_cols,
+        _make_kernel_cols(mid16) if mid16 else _kernel_cols,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(rows_pad // tile_r,),
@@ -254,7 +306,8 @@ def banded_resize_last_axis(x: jnp.ndarray, mat: np.ndarray,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((rows_pad, j_tiles * TILE_N),
-                                       jnp.float32),
+                                       jnp.int16 if mid16 else jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(jnp.asarray(starts), x2, jnp.asarray(w_hi), jnp.asarray(w_lo))
 
     out = out[:rows, :w_out]
@@ -313,7 +366,7 @@ def banded_resize_rows_packed(x: jnp.ndarray, starts, w_hi, w_lo,
     tile_w = _pick_tile_vmem(
         h_in_pad * x3.dtype.itemsize + jr_tiles * TILE_N * 4,  # in + out
         h_in_pad * 4,                                          # hi/lo scratch
-        jr_tiles * TILE_N * kb * 2 * 2, 512, 128, total=w)
+        jr_tiles * TILE_N * kb * 2 * 2, _ROWS_TILE_W, 128, total=w)
     w_pad = _round_up(w, tile_w)
     if h_in_pad != h_in or w_pad != w:
         x3 = jnp.pad(x3, ((0, 0), (0, h_in_pad - h_in), (0, w_pad - w)))
@@ -342,6 +395,7 @@ def banded_resize_rows_packed(x: jnp.ndarray, starts, w_hi, w_lo,
         ),
         out_shape=jax.ShapeDtypeStruct((l, jr_tiles * TILE_N, w_pad),
                                        jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(jnp.asarray(starts), x3, jnp.asarray(w_hi), jnp.asarray(w_lo))
 
     out = out[:, :h_out, :w]
@@ -765,6 +819,7 @@ def mega3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((l, 3, out_h_pad, n_wt * TILE_N),
                                        jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(jnp.asarray(scal), *inputs)
 
     out = out[:, :, :h_out, :w_out]
@@ -818,15 +873,27 @@ def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     def prep_plane(p, h_in, h_pad, tile_w, w_pad):
         p3 = p.reshape(l, h_in, w)
         if p3.dtype not in (jnp.uint8.dtype, jnp.uint16.dtype,
-                            jnp.float32.dtype):
+                            jnp.int16.dtype, jnp.float32.dtype):
             p3 = p3.astype(jnp.float32)
         if h_pad != h_in or w_pad != w:
             p3 = jnp.pad(p3, ((0, 0), (0, h_pad - h_in), (0, w_pad - w)))
         return p3
 
-    # VMEM: stripes f32 + bf16 hi/lo for planes with matrices, the out
-    # block and the weight bands — tile_w 128 keeps it ~12 MB at 4K.
-    tile_w = 128
+    # VMEM per w-column: the three f32 input stripes + the out block
+    # (double-buffered), bf16 hi/lo scratch for planes with H matrices,
+    # plus the resident weight bands.  Wider tiles cut grid steps and
+    # lengthen the per-row DMA chunk of the column stripes.
+    io_per_col = (hy_pad + 2 * hc_pad) * 4 \
+        + (h_out_pad if pack_format is not None else 3 * h_out_pad) * 4
+    scr_per_col = (2 * hy_pad * 2 if y_pack is not None else 0) \
+        + (4 * hc_pad * 2 if c_pack is not None else 0)
+    wb = 0
+    if y_pack is not None:
+        wb += 2 * y_pack[1].size * 2
+    if c_pack is not None:
+        wb += 2 * c_pack[1].size * 2
+    tile_w = _pick_tile_vmem(io_per_col, scr_per_col, wb,
+                             _ROWS3_TILE_W, 128, total=w)
     w_pad = _round_up(w, tile_w)
     y3 = prep_plane(y, hy, hy_pad, tile_w, w_pad)
     u3 = prep_plane(u, hc, hc_pad, tile_w, w_pad)
@@ -890,6 +957,7 @@ def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             scratch_shapes=scratch,
         ),
         out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
     )(jnp.asarray(sy), jnp.asarray(sc), *inputs)
 
     if pack_format is not None:

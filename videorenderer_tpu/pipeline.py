@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import csputils
-from .config import Settings, Upscaling
+from .config import Settings, TexFormat, Upscaling
 from .csputils import (CSP, ChromaLocation, Colorspace, CSPParams, Levels,
                        Primaries, TRC)
 from .formats import ColorFormat, ColorSystem, FormatInfo, get_format_info
@@ -939,6 +939,24 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False,
     epilogue_rt = (_make_tail_epilogue_rt(plan, dtype)
                    if use_rows3 and rt_keys else None)
 
+    # Compact W-pass intermediates (int16 fixed point, kernels/resize_pallas
+    # MID16_SCALE): halves the intermediate HBM traffic between the W kernels
+    # and the fused H+tail kernel.  Wired to the Settings_t texture-format
+    # option: the reference's default TEXFMT_AUTOINT runs 8/10-bit UNORM
+    # intermediate textures (Source/DX11VideoProcessor.cpp:1145-1151); our
+    # int16 intermediate is ~16x finer than 10-bit UNORM, and an explicit
+    # FLOAT16 request gets full float32 (finer than the fp16 it names).
+    # int16 overflow guard: a W-pass output is bounded by the column L1
+    # norm of its (normalized) weight matrix — |out_j| <= sum_i |w_ij| for
+    # inputs in [0,1].  round(x * 16384) must fit int16, so require the
+    # bound under 32767/16384; any exotic filter beyond it silently keeps
+    # the f32 intermediate (per plane).
+    _l1 = lambda m: float(np.abs(m).sum(axis=0).max())
+    _fits = lambda m: m is not None and _l1(m) * 16384.0 <= 32767.0
+    mid16 = s.tex_format != TexFormat.FLOAT16
+    mid16_y = mid16 and _fits(r3_wxy_f)
+    mid16_c = mid16 and _fits(r3_wxc_f)
+
     def _rows3(planes, rt_scalars=None):
         # two-stage: banded W kernels then the fused H+tail kernel.  (A
         # single whole-pipeline kernel — mega3_tail — was measured at 995
@@ -946,14 +964,19 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False,
         # row-tile W recompute and the serialized W->split->H chains lose
         # more than the saved intermediate traffic.)
         from .kernels import resize_pallas as rp
-        wpass = lambda p, mx: (p if mx is None else rp.banded_resize_last_axis(
-            p, mx, pre_scale=norm))
-        yw = wpass(planes[0], r3_wxy_f)
-        uw = wpass(planes[1], r3_wxc_f)
-        vw = wpass(planes[2], r3_wxc_f)
+        wpass = lambda p, mx, q: (p if mx is None else
+                                  rp.banded_resize_last_axis(
+                                      p, mx, pre_scale=norm, mid16=q))
+        yw = wpass(planes[0], r3_wxy_f, mid16_y)
+        uw = wpass(planes[1], r3_wxc_f, mid16_c)
+        vw = wpass(planes[2], r3_wxc_f, mid16_c)
         vid_w, vid_h = dst.video_size
-        kw = dict(y_scale=norm if r3_wxy_f is None else None,
-                  c_scale=norm if r3_wxc_f is None else None)
+        unscale = 1.0 / rp.MID16_SCALE
+        kw = dict(
+            y_scale=(norm if r3_wxy_f is None
+                     else unscale if mid16_y else None),
+            c_scale=(norm if r3_wxc_f is None
+                     else unscale if mid16_c else None))
         if rt_scalars is not None:
             return rp.rows3_tail(
                 yw, uw, vw, r3_my_f, r3_mc_f, vid_h, epilogue_rt,
