@@ -64,10 +64,89 @@ def timeit(fn, args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _probe_wpass(y, wx, norm, iters):
+    """Decompose the W-pass kernel cost: where do its microseconds go?
+
+      yW      production 3-pass banded kernel (baseline, mid16 out)
+      yW1     single bf16 pass (WRONG numerics — times the MXU share:
+              if ~3x faster, the kernel is MXU-bound on the band dots)
+      yWsplit read + u16->f32 + bf16 hi/lo split + write hi (no dots —
+              times the DMA+VPU floor)
+
+    One JSON line per probe."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videorenderer_tpu.kernels import resize_pallas as rp
+
+    out = {}
+    f = jax.jit(lambda p: rp.banded_resize_last_axis(
+        p, wx, pre_scale=norm, mid16=True))
+    out["yW"] = timeit(f, (y,), iters)
+
+    starts, bands, kb, w_in_pad = rp.pack_band_for(wx)
+    bands = bands * np.float32(norm)
+    j_tiles = bands.shape[0]
+    w_hi = np.ascontiguousarray(bands.astype(jnp.bfloat16))
+    rows = y.shape[0] * y.shape[1]
+    tile_r = 1024 if rows % 1024 == 0 else 512
+    rows_pad = rp._round_up(rows, tile_r)
+
+    def k1(starts_ref, x_ref, whi_ref, o_ref, hi_ref):
+        hi_ref[:] = rp._to_f32(x_ref[:]).astype(jnp.bfloat16)
+        for j in range(j_tiles):
+            s = pl.multiple_of(starts_ref[j], 128)
+            o_ref[:, j * 128:(j + 1) * 128] = jnp.dot(
+                hi_ref[:, pl.ds(s, kb)], whi_ref[j],
+                preferred_element_type=jnp.float32)
+
+    def ksplit(starts_ref, x_ref, whi_ref, o_ref, hi_ref):
+        hi_ref[:] = rp._to_f32(x_ref[:]).astype(jnp.bfloat16)
+        o_ref[:] = hi_ref[:, :o_ref.shape[1]].astype(jnp.float32)
+
+    def run(p, kern):
+        x2 = p.reshape(rows, p.shape[2])
+        if rows_pad != rows or w_in_pad != x2.shape[1]:
+            x2 = jnp.pad(x2, ((0, rows_pad - rows),
+                              (0, w_in_pad - x2.shape[1])))
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(rows_pad // tile_r,),
+                in_specs=[
+                    pl.BlockSpec((tile_r, w_in_pad), lambda i, s: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((j_tiles, kb, 128), lambda i, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tile_r, j_tiles * 128),
+                                       lambda i, s: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((tile_r, w_in_pad), jnp.bfloat16)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, j_tiles * 128),
+                                           jnp.float32),
+            compiler_params=rp._COMPILER_PARAMS,
+        )(jnp.asarray(starts), x2, jnp.asarray(w_hi))
+
+    out["yW1"] = timeit(jax.jit(lambda p: run(p, k1)), (y,), iters)
+    out["yWsplit"] = timeit(jax.jit(lambda p: run(p, ksplit)), (y,), iters)
+    B = y.shape[0]
+    for name, dt in out.items():
+        print(json.dumps({"stage": name, "ms_per_frame":
+                          round(dt * 1000 / B, 4),
+                          "fps": round(B / dt, 1), "batch": B,
+                          "kb": kb, "j_tiles": j_tiles}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--probe-wpass", action="store_true",
+                    help="run the W-pass cost-decomposition probes only")
     args = ap.parse_args()
     B = args.batch
 
@@ -108,6 +187,10 @@ def main():
     cwx = np.asarray(_compose(ux, wx), np.float32)
     cwy = np.asarray(_compose(uy, wy), np.float32)
     norm = 1.0 / 65535.0
+
+    if args.probe_wpass:
+        _probe_wpass(y, wx, norm, args.iters)
+        return
 
     res = {}
 

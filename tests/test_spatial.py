@@ -421,3 +421,43 @@ def test_spatial_jinc2_mixed_axes_raise():
     mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
     with pytest.raises(ValueError, match="fusable"):
         make_spatial_frame_fn(plan, mesh)
+
+
+def test_spatial_mid16_interpret(monkeypatch):
+    """The spatial fusable path's compact int16 W intermediates (same
+    policy as pipeline._make_fused_fn) agree with the single-chip fused
+    kernel path to the mid16 fixed-point band, on a 1-shard mesh in
+    interpret mode (kernels real, no shard_map collectives)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    w, h = 64, 48
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=8)
+    plan = plan_pipeline(Settings(use_dither=False,
+                                  upscaling=Upscaling.LANCZOS3), src, dst)
+    rng = np.random.default_rng(31)
+    planes = tuple(jnp.asarray(p) for p in (
+        rng.integers(0, 256, (h, w), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), np.uint8)))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
+    with pltpu.force_tpu_interpret_mode():
+        single = np.asarray(make_frame_fn(plan)(planes))
+        got = np.asarray(make_spatial_frame_fn(plan, mesh)(
+            shard_planes_rows(mesh, planes)))
+    # both paths quantize the SAME W-passed planes to the same int16 grid;
+    # they differ only in unscale-fold rounding (weights vs epilogue)
+    np.testing.assert_allclose(got, single, atol=3e-4)
+
+    # and vs the CPU staged path: the 8-bit output quantization turns the
+    # 2^-14 fixed-point noise into isolated single-LSB flips
+    ref = np.asarray(make_frame_fn(
+        plan_pipeline(Settings(use_dither=False, use_accel_backend=False,
+                               upscaling=Upscaling.LANCZOS3), src, dst))(
+        planes))
+    diff = np.abs(got - ref)
+    assert diff.max() <= 1.5 / 255
+    assert (diff > 0.5 / 255).mean() < 0.02

@@ -41,16 +41,18 @@ TILE_N = 128                     # output tile (lane width)
 _STRIPE_BYTES = 4 * 1024 * 1024  # VMEM budget for one input stripe
 
 # v5e has 128 MB of VMEM; the 16 MB scoped-vmem ceiling is a compiler
-# default, not hardware.  Raising the per-kernel limit lets input stripes
-# and column tiles grow: fewer grid steps (each costs ~3.6 us of fixed
-# overhead) and longer contiguous DMA chunks per block row (a 128-lane f32
-# column stripe reads 512 B per row; at 512 lanes it reads 2 KB).
-# Env knobs are kept for hardware A/B sweeps (bench_headline_micro.py).
-_VMEM_LIMIT_BYTES = int(os.environ.get("VRT_VMEM_MB", "96")) * 2**20
+# default, not hardware, and CAN be raised per kernel.  A full sweep was
+# measured on hardware (2026-08-19): 96 MB limit + 4-8x bigger tiles was
+# NEUTRAL on the headline chain (micro A/B 0.443 vs 0.447 ms), cost 2-6%
+# on every 4K-out / spatial config (c4 -5%, c6 -3%, c7 -2%, c9 -6%), and
+# crashed the Mosaic compile of the deint/DoVi tails (c5/c5s/c8) — so the
+# DEFAULTS stay at the proven compiler-default footprint; the env knobs
+# remain for future per-kernel experiments.
+_VMEM_LIMIT_BYTES = int(os.environ.get("VRT_VMEM_MB", "16")) * 2**20
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
-_WPASS_TILE_R = int(os.environ.get("VRT_WPASS_TILE_R", "1024"))
-_ROWS_TILE_W = int(os.environ.get("VRT_ROWS_TILE_W", "2048"))
-_ROWS3_TILE_W = int(os.environ.get("VRT_ROWS3_TILE_W", "512"))
+_WPASS_TILE_R = int(os.environ.get("VRT_WPASS_TILE_R", "256"))
+_ROWS_TILE_W = int(os.environ.get("VRT_ROWS_TILE_W", "512"))
+_ROWS3_TILE_W = int(os.environ.get("VRT_ROWS3_TILE_W", "128"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -150,11 +152,13 @@ def _pick_tile(span_bytes_per_row: int, preferred: int, align: int,
     return cap
 
 
-# Half the raised per-kernel scoped-vmem limit (_COMPILER_PARAMS): the
-# other half absorbs Mosaic's staging — measured actual scoped usage runs
-# ~1.4x the modeled double-buffered footprint (67.4 MB vs 48.7 modeled for
-# the 4K luma W pass at tile_r=1024).
-_SCOPED_VMEM_BUDGET = _VMEM_LIMIT_BYTES // 2
+# Leave headroom under the per-kernel scoped-vmem limit for Mosaic's
+# staging: measured actual scoped usage runs ~1.4x the modeled double-
+# buffered footprint (67.4 MB vs 48.7 modeled for the 4K luma W pass at
+# tile_r=1024).  At the default 16 MB limit this reproduces the proven
+# 14 MB budget; raised limits budget half.
+_SCOPED_VMEM_BUDGET = max(14 * 2**20, _VMEM_LIMIT_BYTES // 2) \
+    if _VMEM_LIMIT_BYTES >= 16 * 2**20 else _VMEM_LIMIT_BYTES // 2
 
 
 def _pick_tile_vmem(io_bytes_per_row: int, scratch_bytes_per_row: int,
@@ -361,7 +365,8 @@ def banded_resize_rows_packed(x: jnp.ndarray, starts, w_hi, w_lo,
     l = int(np.prod(lead)) if lead else 1
     w = x.shape[-1]
     x3 = x.reshape(l, h_in, w)
-    if x3.dtype not in (jnp.uint8.dtype, jnp.uint16.dtype, jnp.float32.dtype):
+    if x3.dtype not in (jnp.uint8.dtype, jnp.uint16.dtype, jnp.int16.dtype,
+                        jnp.float32.dtype):
         x3 = x3.astype(jnp.float32)
     tile_w = _pick_tile_vmem(
         h_in_pad * x3.dtype.itemsize + jr_tiles * TILE_N * 4,  # in + out

@@ -382,13 +382,29 @@ def _make_spatial_fused(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
 
     norm = 1.0 / (2.0 ** info.plane_bits - 1.0)
 
+    # Compact int16 W-pass intermediates, same policy + overflow guard as
+    # pipeline._make_fused_fn: halves each shard's intermediate HBM traffic;
+    # the 1/MID16_SCALE unscale folds into the per-shard H bands (so the
+    # quantized plane streams straight into the rows kernel).
+    from ..config import TexFormat
+    from ..kernels.resize_pallas import MID16_SCALE
+    _fits = lambda m: (m is not None and
+                       float(np.abs(m).sum(axis=0).max()) * MID16_SCALE
+                       <= 32767.0)
+    mid16 = use_pallas and s.tex_format != TexFormat.FLOAT16
+    mid16_y = mid16 and _fits(wx)
+    mid16_c = mid16 and _fits(cwx)
+    unscale = 1.0 / MID16_SCALE
+
     # On the Pallas path the UNORM normalization folds into the first matmul
     # (W when present, else the per-shard H bands) so integer planes stream
     # straight from HBM — same folding as _fused_apply2d.
     ry_luma = _RowResize(my_luma, n, axis, use_pallas,
-                         pre_scale=None if wx is not None else norm)
+                         pre_scale=(norm if wx is None
+                                    else unscale if mid16_y else None))
     ry_chroma = (_RowResize(my_chroma, n, axis, use_pallas,
-                            pre_scale=None if cwx is not None else norm)
+                            pre_scale=(norm if cwx is None
+                                       else unscale if mid16_c else None))
                  if info.cs_type == ColorSystem.YUV else None)
 
     hs_surf = surf_h_pad // n
@@ -396,7 +412,7 @@ def _make_spatial_fused(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
     from ..pipeline import _pack_surface_xla, surface_pack_format
     fmt = surface_pack_format(dst) if pack_surface else None
 
-    def apply_w(p, mx, x_lo, x_hi):
+    def apply_w(p, mx, x_lo, x_hi, q=False):
         """W-axis pass on this shard's raw rows: crop columns locally, then
         the banded kernel (normalization folded) or the dense fallback."""
         p = p[..., x_lo:x_hi]
@@ -405,7 +421,7 @@ def _make_spatial_fused(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
         if use_pallas:
             from ..kernels import resize_pallas as rp
             return rp.banded_resize_last_axis(p, np.asarray(mx, np.float32),
-                                              pre_scale=norm)
+                                              pre_scale=norm, mid16=q)
         x = p.astype(dtype) * jnp.asarray(norm, dtype)
         return scale_ops.resize_axis(x, mx, -1)
 
@@ -414,18 +430,19 @@ def _make_spatial_fused(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
         # runs shard_fn outside shard_map entirely)
         idx = jax.lax.axis_index(axis) if n > 1 else 0
         if info.cs_type == ColorSystem.GRAY:
-            y = ry_luma(apply_w(planes[0], wx, l0, r0), dtype)
+            y = ry_luma(apply_w(planes[0], wx, l0, r0, mid16_y), dtype)
             m, c = plan.cmat_m, plan.cmat_c
             rgb = jnp.stack([y * m[i, 0] + c[i] for i in range(3)], axis=-3)
         else:
             if info.cs_type == ColorSystem.YUV:
-                comps = (ry_luma(apply_w(planes[0], wx, l0, r0), dtype),
-                         ry_chroma(apply_w(planes[1], cwx, l0 // dw, r0 // dw),
-                                   dtype),
-                         ry_chroma(apply_w(planes[2], cwx, l0 // dw, r0 // dw),
-                                   dtype))
+                comps = (ry_luma(apply_w(planes[0], wx, l0, r0, mid16_y),
+                                 dtype),
+                         ry_chroma(apply_w(planes[1], cwx, l0 // dw, r0 // dw,
+                                           mid16_c), dtype),
+                         ry_chroma(apply_w(planes[2], cwx, l0 // dw, r0 // dw,
+                                           mid16_c), dtype))
             else:
-                comps = tuple(ry_luma(apply_w(p, wx, l0, r0), dtype)
+                comps = tuple(ry_luma(apply_w(p, wx, l0, r0, mid16_y), dtype)
                               for p in planes)
             if plan.apply_matrix:
                 m = jnp.asarray(plan.cmat_m, dtype)
