@@ -17,11 +17,13 @@ The driver-facing headline stays in bench.py.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -41,6 +43,21 @@ ITERS = 3
 REPEATS = 5
 PSNR_BAR = {"c3sr": 40.0, "c1vh": 40.0}
 DEFAULT_BAR = 55.0
+
+# Raw committed evidence: every row (and every failure, WITH its traceback)
+# is appended here so a hardware flake can never lose its record — the
+# reference never loses a failure either (m_RenderStats.failed,
+# Source/DX11VideoProcessor.cpp:2157).
+SESSION_LOG = "BENCH_HW_SESSION.jsonl"
+
+
+def log_record(rec: dict) -> None:
+    rec = dict(rec)
+    rec.setdefault("_source", "bench_configs")
+    rec.setdefault("_ts",
+                   datetime.datetime.now().isoformat(timespec="seconds"))
+    with open(SESSION_LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
 
 
 def _sync(out):
@@ -231,10 +248,13 @@ def main() -> None:
         try:
             samples, psnr = run_config(key, dev)
         except Exception as e:          # one config must not kill the suite
-            print(json.dumps({"config": bc.NAMES[key],
-                              "error": f"{type(e).__name__}: {e}"[:300]}))
-            failures.append((key, "error", str(e)[:120]))
-            rows.append((key, bc.NAMES[key], 0.0, 0.0, 0.0, 0.0, False))
+            err = f"{type(e).__name__}: {e}"
+            print(json.dumps({"config": bc.NAMES[key], "error": err[:300]}))
+            log_record({"key": key, "config": bc.NAMES[key],
+                        "error": err, "traceback": traceback.format_exc()})
+            failures.append((key, "error", err[:120]))
+            rows.append((key, bc.NAMES[key], 0.0, 0.0, 0.0, 0.0, False,
+                         err))
             continue
         med = float(np.median(samples))
         lo, hi = float(min(samples)), float(max(samples))
@@ -242,13 +262,22 @@ def main() -> None:
         ok = psnr >= bar
         if not ok:
             failures.append((key, psnr, bar))
-        rows.append((key, bc.NAMES[key], med, lo, hi, psnr, ok))
-        print(json.dumps({"config": bc.NAMES[key], "fps_median": round(med, 1),
-                          "fps_min": round(lo, 1), "fps_max": round(hi, 1),
-                          "psnr_db": round(psnr, 2), "psnr_ok": ok}))
+        rows.append((key, bc.NAMES[key], med, lo, hi, psnr, ok, None))
+        rec = {"key": key, "config": bc.NAMES[key],
+               "fps_median": round(med, 1), "fps_min": round(lo, 1),
+               "fps_max": round(hi, 1), "psnr_db": round(psnr, 2),
+               "psnr_ok": ok}
+        print(json.dumps({k: v for k, v in rec.items() if k != "key"}))
+        log_record(rec)
 
     lines = ["# BENCH_DETAILS — per-config throughput (TPU v5e, 1 chip)\n"]
-    for key, name, med, lo, hi, psnr, ok in rows:
+    for key, name, med, lo, hi, psnr, ok, err in rows:
+        if err is not None:
+            # the error row keeps its reason in the table AND the full
+            # traceback in BENCH_HW_SESSION.jsonl — never a bare 0.0
+            lines.append(f"- {name}: **ERROR** `{err[:160]}` "
+                         "(traceback in BENCH_HW_SESSION.jsonl)")
+            continue
         flag = "" if ok else "  **FAILED <%g dB**" % PSNR_BAR.get(key,
                                                                   DEFAULT_BAR)
         note = (" (model-numerics bar 40 dB)" if key in ("c3sr", "c1vh")
@@ -269,10 +298,22 @@ def main() -> None:
         "deployments).")
     if set(keys) == set(bc.ALL_KEYS):
         # only a FULL run may rewrite the table (one atomic source of
-        # truth; partial runs print JSON only and never mix into old rows)
+        # truth; partial runs print JSON only and never mix into old rows).
+        # This writer owns ONLY the table region: every `## ` section
+        # (hw_ingest's measured sections, the roofline) is preserved —
+        # a full rerun must never destroy other harnesses' records.
+        try:
+            with open("BENCH_DETAILS.md") as f:
+                old = f.read()
+        except OSError:
+            old = ""
+        i = old.find("\n## ")
+        tail = old[i + 1:].rstrip() + "\n" if i >= 0 else ""
         tmp = "BENCH_DETAILS.md.tmp"
         with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
+            if tail:
+                f.write("\n" + tail)
         os.replace(tmp, "BENCH_DETAILS.md")
     if failures:
         print(f"PSNR FAILURES: {failures}", file=sys.stderr)

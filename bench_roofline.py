@@ -196,17 +196,23 @@ def config_model(key: str) -> dict:
 
     if key == "c1vh":
         params, cfg = bc.videohdr_params()
-        dom = src.height * src.width
+        # the gain net runs in the s2d domain (models/videohdr.py:148-166,
+        # commit cc55b7c): every conv fires once per (H/s2d, W/s2d) grid
+        # cell, NOT per source pixel — the param shapes already carry the
+        # 3*s2d^2-wide channel blowup
+        s2d = getattr(cfg, "s2d", 1)
+        dom = (src.height // s2d) * (src.width // s2d)
         macs = _model_params_macs(params, dom)
         import jax
         n_convs = sum(1 for leaf in jax.tree_util.tree_leaves(params)
                       if np.asarray(leaf).ndim == 4)
-        act = dom * cfg.channels * 2
-        by = (_in_bytes(plan) + n_convs * 2 * act + dom * 3 * 4 * 2
+        act = dom * cfg.channels * 2                 # bf16, s2d domain
+        src_px = src.height * src.width
+        by = (_in_bytes(plan) + n_convs * 2 * act + src_px * 3 * 4 * 2
               + out_px * 4)
         vpu = out_px * (TAIL_OPS["matrix_pack"] + TAIL_OPS["convert_to_sdr"])
         return {"bytes": by, "macs": macs, "vpu": vpu,
-                "note": f"gain net c={cfg.channels}"}
+                "note": f"gain net c={cfg.channels} s2d={s2d}"}
 
     if key in ("c5", "c5s"):
         # dual-field deint: 3-frame window read, two H-passed field
@@ -261,7 +267,12 @@ def roofline_row(key: str, fps: float) -> dict:
     mxu_pct = 100.0 * mxu / MXU_TFLOPS
     vpu_pct = 100.0 * vpu / VPU_OPS
     top = max(hbm_pct, mxu_pct, vpu_pct)
-    if hbm_pct == top and hbm_pct >= 60:
+    if top > 100.0:
+        # >100% of a hardware peak is physically impossible: the MODEL is
+        # wrong for this config (stale traffic/FLOP count), not the chip
+        # fast — flag it instead of printing nonsense (VERDICT r4 #2)
+        label = "MODEL INVALID (>100% of peak — recount this config)"
+    elif hbm_pct == top and hbm_pct >= 60:
         label = "at HBM roof" if hbm_pct >= 80 else "HBM-leaning"
     elif mxu_pct == top and mxu_pct >= 60:
         label = "at MXU roof" if mxu_pct >= 80 else "MXU-leaning"

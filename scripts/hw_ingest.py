@@ -5,8 +5,11 @@
 each harness prints machine-readable JSON lines to stdout.  This script
 parses the session log and
 
- 1. writes every JSON record (tagged with its step) to
-    ``BENCH_HW_SESSION.jsonl`` — the raw committed evidence;
+ 1. APPENDS every JSON record (tagged with its step) to
+    ``BENCH_HW_SESSION.jsonl`` — the raw committed evidence is append-only
+    so no ingest can destroy an earlier session's record (records whose
+    payload is already present, e.g. rows `bench_configs.py` self-logged,
+    are skipped);
  2. merges human-readable sections (real-time latency, host-fed streaming,
     pipelined-Jinc2 A/B, multi-stream serving, real-time sustain) into
     ``BENCH_DETAILS.md``, BEFORE the roofline section so a later
@@ -254,8 +257,24 @@ def main() -> None:
     if not recs:
         print("no JSON records found in", log, file=sys.stderr)
         sys.exit(1)
-    with open("BENCH_HW_SESSION.jsonl", "w") as f:
-        for r in recs:
+    # append-only evidence file: skip records whose payload (ignoring the
+    # bookkeeping "_" keys) already exists from a prior ingest or from
+    # bench_configs.py's direct self-logging
+    def payload(r: dict) -> str:
+        return json.dumps({k: v for k, v in sorted(r.items())
+                           if not k.startswith("_")})
+
+    seen = set()
+    if os.path.exists("BENCH_HW_SESSION.jsonl"):
+        with open("BENCH_HW_SESSION.jsonl") as f:
+            for line in f:
+                try:
+                    seen.add(payload(json.loads(line)))
+                except (json.JSONDecodeError, AttributeError):
+                    continue
+    fresh = [r for r in recs if payload(r) not in seen]
+    with open("BENCH_HW_SESSION.jsonl", "a") as f:
+        for r in fresh:
             f.write(json.dumps(r) + "\n")
     with open("BENCH_DETAILS.md") as f:
         details_text = f.read()
@@ -268,7 +287,8 @@ def main() -> None:
     ]
     merge("BENCH_DETAILS.md", sections)
     n = sum(1 for s in sections if s)
-    print(f"ingested {len(recs)} records -> BENCH_HW_SESSION.jsonl, "
+    print(f"ingested {len(recs)} records ({len(fresh)} new) -> "
+          f"BENCH_HW_SESSION.jsonl, "
           f"{n} sections merged into BENCH_DETAILS.md")
 
 

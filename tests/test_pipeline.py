@@ -331,6 +331,41 @@ def test_pack_surface_kernel_path_interpret(monkeypatch):
     assert d.mean() < 0.02
 
 
+def test_default_autoint_end_to_end_band(monkeypatch):
+    """Default-settings (AUTOINT) kernel path vs the staged XLA path.
+
+    Under the default TexFormat.AUTOINT the fused kernels carry int16
+    fixed-point W-pass intermediates (a deliberate 2^-14 band vs the
+    staged f32 path, mirroring the reference's UNORM intermediate
+    textures, Source/DX11VideoProcessor.cpp:1145-1151). This golden test
+    pins the band: the end-to-end result must stay within a tight PSNR
+    bar of the staged path rather than bit-equal (the FLOAT16 tests pin
+    bit-equality)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from videorenderer_tpu.pipeline import make_frame_fn, plan_pipeline
+
+    rng = np.random.default_rng(44)
+    planes = (rng.integers(0, 256, (48, 64), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=64, height=48,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=8)
+    ref = np.asarray(make_frame_fn(
+        plan_pipeline(Settings(use_accel_backend=False), src, dst))(planes))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_frame_fn(plan_pipeline(Settings(), src, dst))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fn(planes))
+    assert got.shape == ref.shape
+    # quantized 8-bit outputs: the 2^-14 intermediate band can flip a code
+    # by at most 1 LSB, and only on quantization boundaries
+    assert np.abs(got - ref).max() <= 1.01 / 255.0
+    assert psnr(got, ref) >= 55.0
+
+
 def test_pack_surface_jinc2_kernel_interpret(monkeypatch):
     """In-kernel surface packing on the 3-plane Jinc2 path."""
     import jax

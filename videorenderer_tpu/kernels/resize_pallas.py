@@ -888,7 +888,10 @@ def rows3_tail(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     # (double-buffered), bf16 hi/lo scratch for planes with H matrices,
     # plus the resident weight bands.  Wider tiles cut grid steps and
     # lengthen the per-row DMA chunk of the column stripes.
-    io_per_col = (hy_pad + 2 * hc_pad) * 4 \
+    _kept = (jnp.uint8.dtype, jnp.uint16.dtype, jnp.int16.dtype,
+             jnp.float32.dtype)
+    _isz = lambda p: p.dtype.itemsize if p.dtype in _kept else 4
+    io_per_col = hy_pad * _isz(y) + 2 * hc_pad * _isz(u) \
         + (h_out_pad if pack_format is not None else 3 * h_out_pad) * 4
     scr_per_col = (2 * hy_pad * 2 if y_pack is not None else 0) \
         + (4 * hc_pad * 2 if c_pack is not None else 0)

@@ -20,6 +20,7 @@ target is larger.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 
@@ -152,6 +153,7 @@ def apply_fn(params, lr_rgb: jnp.ndarray, cfg: SuperResConfig = SuperResConfig()
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def _tail_reorder(cfg: SuperResConfig):
     """Host-side constants for the CHW tail (cached per config).
 
@@ -174,6 +176,7 @@ def _tail_reorder(cfg: SuperResConfig):
     return perm, taps
 
 
+@functools.lru_cache(maxsize=8)
 def _spread_matrix(ww: int, K: int) -> np.ndarray:
     """(ww, K, ww*K) one-hot: M[xi, e, K*xi + e] = 1 — the lane-interleave
     as a permutation GEMM (MXU) instead of an XLA transpose."""

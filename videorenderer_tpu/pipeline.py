@@ -951,8 +951,9 @@ def _make_fused_fn(plan: PipelinePlan, dtype=jnp.float32, with_rt: bool = False,
     # inputs in [0,1].  round(x * 16384) must fit int16, so require the
     # bound under 32767/16384; any exotic filter beyond it silently keeps
     # the f32 intermediate (per plane).
+    from .kernels.resize_pallas import MID16_SCALE
     _l1 = lambda m: float(np.abs(m).sum(axis=0).max())
-    _fits = lambda m: m is not None and _l1(m) * 16384.0 <= 32767.0
+    _fits = lambda m: m is not None and _l1(m) * MID16_SCALE <= 32767.0
     mid16 = s.tex_format != TexFormat.FLOAT16
     mid16_y = mid16 and _fits(r3_wxy_f)
     mid16_c = mid16 and _fits(r3_wxc_f)
