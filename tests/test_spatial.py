@@ -461,3 +461,164 @@ def test_spatial_mid16_interpret(monkeypatch):
     diff = np.abs(got - ref)
     assert diff.max() <= 1.5 / 255
     assert (diff > 0.5 / 255).mean() < 0.02
+
+
+def _nv12_planes(rng, w, h):
+    return (rng.integers(0, 256, (h, w), np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+
+
+def test_spatial_learned_superres_exact():
+    """Learned-model plan class, SR: halo-extended per-shard conv trunk is
+    bit-identical to enhance_plane_chw over the single-chip frame (conv
+    SAME zero-padding reproduced by zeroed out-of-frame halo rows)."""
+    from videorenderer_tpu.models.superres import (SuperResConfig,
+                                                   enhance_plane_chw,
+                                                   init_params)
+    from videorenderer_tpu.parallel.spatial import make_spatial_learned_fn
+
+    cfg = SuperResConfig(channels=8, num_blocks=1, scale=2, s2d=2)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    # randomize biases too (init zeroes them): nonzero biases are what the
+    # row_valid frame bounds exist for — zero biases would pass trivially
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(21), len(leaves))
+    params = jax.tree_util.tree_unflatten(tree, [
+        p if p.ndim == 4 else
+        (jax.random.normal(k, p.shape, jnp.float32) * 0.1).astype(p.dtype)
+        for k, p in zip(keys, leaves)])
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    w, h = 64, 48
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=w, height=h, bits=8)   # 1:1 convert base
+    plan = plan_pipeline(Settings(), src, dst)
+    rng = np.random.default_rng(11)
+    planes = tuple(jnp.asarray(p) for p in _nv12_planes(rng, w, h))
+
+    ref = np.asarray(enhance_plane_chw(
+        params, jax.jit(make_frame_fn(plan))(planes), cfg))
+    fn = jax.jit(make_spatial_learned_fn(plan, mesh, params, cfg,
+                                         "superres"))
+    got = np.asarray(fn(shard_planes_rows(mesh, planes)))
+    assert got.shape == (3, h * 2, w * 2)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_spatial_learned_videohdr_halo_math_exact():
+    """The halo/mask math of the learned class is EXACT for VideoHDR:
+    running the net eagerly on a halo-extended block with out-of-frame
+    rows zeroed AND row_valid frame bounds (what each shard does)
+    reproduces the whole-frame result bit-for-bit on the kept rows —
+    including the global-edge shards, where row_valid re-zeroes each
+    conv's out-of-frame rows so fake halo rows never accumulate
+    relu(bias) activations that whole-frame SAME padding lacks."""
+    from videorenderer_tpu.models.videohdr import (VideoHDRConfig,
+                                                   enhance_plane_chw,
+                                                   init_params)
+    from videorenderer_tpu.parallel.spatial import model_receptive_radius_s2d
+
+    # f32 compute isolates the halo MATH from bf16 conv rounding (XLA's
+    # conv lowering is not bit-stable across input heights in bf16)
+    cfg = VideoHDRConfig(channels=8, s2d=2, dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    # randomize ALL weights AND biases: nonzero biases are exactly what
+    # makes naive zero-halo blocks drift at global edges
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(tree, [
+        (jax.random.normal(k, p.shape, jnp.float32) * 0.05).astype(p.dtype)
+        for k, p in zip(keys, leaves)])
+    rng = np.random.default_rng(13)
+    h, w = 48, 64
+    x = jnp.asarray(rng.random((3, h, w)), jnp.float32)
+    full = np.asarray(enhance_plane_chw(params, x, cfg))
+    halo = model_receptive_radius_s2d(params) * cfg.s2d
+    assert halo == 6
+    n, hs = 4, h // 4
+    for i in range(n):
+        lo, hi = i * hs - halo, (i + 1) * hs + halo
+        ext = jnp.zeros((3, hs + 2 * halo, w), jnp.float32)
+        g0, g1 = max(lo, 0), min(hi, h)
+        ext = ext.at[:, g0 - lo:g1 - lo].set(x[:, g0:g1])
+        rv = (-lo // cfg.s2d, (h - lo) // cfg.s2d)
+        y = np.asarray(enhance_plane_chw(params, ext, cfg, row_valid=rv))
+        np.testing.assert_array_equal(y[:, halo:halo + hs],
+                                      full[:, i * hs:(i + 1) * hs])
+
+
+def test_spatial_learned_videohdr_packed_band():
+    """End-to-end sharded VideoHDR with in-class surface packing, on a
+    height the mesh must pad: pad rows come back black and the real rows
+    match the single-chip composition within a tight band.  (Not
+    bit-equal: XLA's SPMD partitioner lowers the bf16 convs differently
+    inside shard_map, flipping conv outputs by 1 bf16 ulp — the halo/mask
+    math itself is proven exact by
+    test_spatial_learned_videohdr_halo_math_exact; the SR class, whose
+    convs lower identically, IS asserted bit-equal.)"""
+    from videorenderer_tpu.models.videohdr import (VideoHDRConfig,
+                                                   enhance_plane_chw,
+                                                   init_params)
+    from videorenderer_tpu.parallel.spatial import (make_spatial_learned_fn,
+                                                    pad_shard_planes_rows,
+                                                    spatial_padded_heights)
+    from videorenderer_tpu.formats import unpack_rgb10
+
+    cfg = VideoHDRConfig(channels=8, s2d=2)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(tree, [
+        (jax.random.normal(k, p.shape, jnp.float32) * 0.05).astype(p.dtype)
+        for k, p in zip(keys, leaves)])
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    w, h = 64, 44        # 44 % (4 shards * s2d 2) != 0 -> pads to 48
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=w, height=h, bits=10)
+    plan = plan_pipeline(Settings(), src, dst)
+    rng = np.random.default_rng(13)
+    planes = tuple(jnp.asarray(p) for p in _nv12_planes(rng, w, h))
+
+    ref = np.asarray(jax.jit(lambda ps: enhance_plane_chw(
+        params, make_frame_fn(plan)(ps), cfg))(planes))
+    fn = jax.jit(make_spatial_learned_fn(plan, mesh, params, cfg,
+                                         "videohdr", pack_surface=True))
+    got = np.asarray(fn(pad_shard_planes_rows(plan, mesh, planes)))
+    _, surf_h_pad = spatial_padded_heights(plan, 4, surf_unit=2)
+    assert got.shape == (surf_h_pad, w)
+    dec = np.moveaxis(unpack_rgb10(got[:h].view(np.uint32)), -1, 0)
+    d = np.abs(dec - ref)
+    assert d.max() <= 0.02               # 1 bf16-ulp gain band, quantized
+    psnr_db = -10 * np.log10(max(float((d ** 2).mean()), 1e-20))
+    assert psnr_db >= 60.0
+    # mesh-pad rows are black (alpha bits only)
+    pad = got[h:].view(np.uint32)
+    assert np.all(pad & 0x3FFFFFFF == 0)
+
+
+def test_spatial_learned_guards():
+    """s2d-divisibility and halo-size guards raise with guidance."""
+    from videorenderer_tpu.models.superres import (SuperResConfig,
+                                                   init_params)
+    from videorenderer_tpu.parallel.spatial import make_spatial_learned_fn
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=64, height=44,
+                           matrix=CSP.BT_709)
+    cfg = SuperResConfig(channels=8, num_blocks=1, scale=2, s2d=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    plan = plan_pipeline(Settings(), src,
+                         OutputDescriptor(width=64, height=44, bits=8))
+    with pytest.raises(ValueError, match="divisible by cfg.s2d"):
+        make_spatial_learned_fn(plan, mesh, params, cfg, "superres")
+
+    # deep trunk on a short frame: halo exceeds the shard height
+    cfg2 = SuperResConfig(channels=8, num_blocks=8, scale=2, s2d=4)
+    params2 = init_params(jax.random.PRNGKey(0), cfg2)
+    plan2 = plan_pipeline(Settings(), SourceDescriptor(
+        format=ColorFormat.NV12, width=64, height=48, matrix=CSP.BT_709),
+        OutputDescriptor(width=64, height=48, bits=8))
+    with pytest.raises(ValueError, match="halo rows"):
+        make_spatial_learned_fn(plan2, mesh, params2, cfg2, "superres")

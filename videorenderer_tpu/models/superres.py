@@ -118,12 +118,31 @@ def _depth_to_space(x: jnp.ndarray, k: int, c_out: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * k, w * k, c_out)
 
 
-def _trunk(params, h: jnp.ndarray) -> jnp.ndarray:
-    """Head + residual body + tail on s2d-domain features (NHWC)."""
-    h = jax.nn.relu(_conv(h, params["head"]["w"], params["head"]["b"]))
+def _row_valid_mask(hh: int, row_valid, dtype):
+    """(hh, 1, 1) 0/1 mask of s2d-domain rows inside ``row_valid=(lo, hi)``
+    (local coordinates; lo/hi may be traced).  Used by the spatially
+    sharded path (parallel/spatial.make_spatial_learned_fn): zeroing every
+    conv's out-of-frame output rows reproduces SAME zero-padding semantics
+    at the GLOBAL frame edges layer-by-layer — without it, out-of-frame
+    halo rows accumulate relu(bias) activations that whole-frame SAME
+    padding never sees, and edge shards drift from the single-chip
+    result."""
+    if row_valid is None:
+        return None
+    lo, hi = row_valid
+    r = jnp.arange(hh)
+    return ((r >= lo) & (r < hi)).astype(dtype)[:, None, None]
+
+
+def _trunk(params, h: jnp.ndarray, row_mask=None) -> jnp.ndarray:
+    """Head + residual body + tail on s2d-domain features (NHWC).
+    ``row_mask``: optional (hh, 1, 1) validity mask applied after every
+    conv (see :func:`_row_valid_mask`)."""
+    mk = (lambda a: a) if row_mask is None else (lambda a: a * row_mask)
+    h = mk(jax.nn.relu(_conv(h, params["head"]["w"], params["head"]["b"])))
     for blk in params["body"]:
-        r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
-        r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
+        r = mk(jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"])))
+        r = mk(_conv(r, blk["c2"]["w"], blk["c2"]["b"]))
         h = h + r
     return _conv(h, params["tail"]["w"], params["tail"]["b"])
 
@@ -188,7 +207,7 @@ def _spread_matrix(ww: int, K: int) -> np.ndarray:
 
 
 def apply_fn_chw(params, rgb_chw: jnp.ndarray,
-                 cfg: SuperResConfig = SuperResConfig()):
+                 cfg: SuperResConfig = SuperResConfig(), row_valid=None):
     """(N, 3, H, W) in [0,1] -> (N, 3, H*scale, W*scale) — the SAME model
     as :func:`apply_fn` staying channels-first at both 4K ends, with the
     depth-to-space lane interleave done by the MXU.
@@ -223,10 +242,12 @@ def apply_fn_chw(params, rgb_chw: jnp.ndarray,
     # s2d from CHW: (n,3,hh,k,ww,k) -> (n,hh,ww,k,k,3) -> (n,hh,ww,k*k*3)
     h0 = x.reshape(n, 3, hh, k, ww, k).transpose(0, 2, 4, 3, 5, 1) \
         .reshape(n, hh, ww, k * k * 3)
-    h = jax.nn.relu(_conv(h0, params["head"]["w"], params["head"]["b"]))
+    row_mask = _row_valid_mask(hh, row_valid, cfg.dtype)
+    mk = (lambda a: a) if row_mask is None else (lambda a: a * row_mask)
+    h = mk(jax.nn.relu(_conv(h0, params["head"]["w"], params["head"]["b"])))
     for blk in params["body"]:
-        r = jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"]))
-        r = _conv(r, blk["c2"]["w"], blk["c2"]["b"])
+        r = mk(jax.nn.relu(_conv(h, blk["c1"]["w"], blk["c1"]["b"])))
+        r = mk(_conv(r, blk["c2"]["w"], blk["c2"]["b"]))
         h = h + r
     perm, taps = _tail_reorder(cfg)
     w_aug = jnp.concatenate(
@@ -281,12 +302,15 @@ def init_opt_state(params):
 
 
 def enhance_plane_chw(params, rgb_chw: jnp.ndarray,
-                      cfg: SuperResConfig = SuperResConfig()) -> jnp.ndarray:
+                      cfg: SuperResConfig = SuperResConfig(),
+                      row_valid=None) -> jnp.ndarray:
     """Pipeline hook: (..., 3, H, W) float -> (..., 3, H*s, W*s) — the
     CHW-native path (see :func:`apply_fn_chw`): same model as
     moveaxis(apply_fn(moveaxis)) within 2 bf16 ulps, with no 4K NHWC
-    relayouts and the d2s interleave on the MXU."""
+    relayouts and the d2s interleave on the MXU.  ``row_valid``: optional
+    (lo, hi) s2d-row frame bounds for the sharded path (see
+    :func:`_row_valid_mask`)."""
     lead = rgb_chw.shape[:-3]
     x = rgb_chw.reshape((-1,) + rgb_chw.shape[-3:])
-    y = apply_fn_chw(params, x, cfg)
+    y = apply_fn_chw(params, x, cfg, row_valid=row_valid)
     return y.reshape(lead + y.shape[-3:])

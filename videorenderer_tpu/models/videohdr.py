@@ -100,11 +100,17 @@ def _conv(x, p):
     return y + p["b"].astype(y.dtype)
 
 
-def _gain_s2d(params, h0: jnp.ndarray) -> jnp.ndarray:
+def _gain_s2d(params, h0: jnp.ndarray, row_valid=None) -> jnp.ndarray:
     """(n, hh, ww, 3k^2) s2d pixels -> (n, hh, ww, k^2) raw (pre-tanh)
-    gain logits, channel order (d, e)."""
-    h = jax.nn.relu(_conv(h0, params["c1"]))
-    h = jax.nn.relu(_conv(h, params["c2"]))
+    gain logits, channel order (d, e).  ``row_valid``: optional (lo, hi)
+    s2d-row frame bounds — zeroes each conv's out-of-frame rows so the
+    spatially sharded path reproduces whole-frame SAME-padding semantics
+    (see models/superres._row_valid_mask)."""
+    from .superres import _row_valid_mask
+    row_mask = _row_valid_mask(h0.shape[-3], row_valid, h0.dtype)
+    mk = (lambda a: a) if row_mask is None else (lambda a: a * row_mask)
+    h = mk(jax.nn.relu(_conv(h0, params["c1"])))
+    h = mk(jax.nn.relu(_conv(h, params["c2"])))
     return _conv(h, params["c3"])
 
 
@@ -142,7 +148,8 @@ def apply_fn(params, sdr_rgb_nhwc: jnp.ndarray,
 
 
 def enhance_plane_chw(params, rgb_chw: jnp.ndarray,
-                      cfg: VideoHDRConfig = VideoHDRConfig()) -> jnp.ndarray:
+                      cfg: VideoHDRConfig = VideoHDRConfig(),
+                      row_valid=None) -> jnp.ndarray:
     """Pipeline hook: (..., 3, H, W) sRGB -> PQ/BT.2020 — CHW-native.
 
     Same model as :func:`apply_fn`: the s2d transform runs at source
@@ -163,7 +170,7 @@ def enhance_plane_chw(params, rgb_chw: jnp.ndarray,
     hh, ww = xp.shape[-2] // k, xp.shape[-1] // k
     h0 = xp.astype(cfg.dtype).reshape(n, 3, hh, k, ww, k) \
         .transpose(0, 2, 4, 3, 5, 1).reshape(n, hh, ww, k * k * 3)
-    g = _gain_s2d(params, h0)                       # (n, hh, ww, k*k)
+    g = _gain_s2d(params, h0, row_valid)            # (n, hh, ww, k*k)
     lhs = g.reshape(n, hh, ww, k, k)
     g = jax.lax.dot_general(
         lhs, jnp.asarray(_spread_matrix(ww, k), cfg.dtype),

@@ -161,16 +161,20 @@ class _RowResize:
         return jnp.moveaxis(out, -1, -2)
 
 
-def spatial_padded_heights(plan: PipelinePlan, n: int) -> tuple[int, int]:
+def spatial_padded_heights(plan: PipelinePlan, n: int,
+                           surf_unit: int = 1) -> tuple[int, int]:
     """(padded source height, padded surface height) for an ``n``-shard row
     mesh: the smallest heights divisible by n for every plane (luma AND
     chroma) and for the surface.  1080p NV12 on 8 shards pads 1080 -> 1088
-    (chroma 540 -> 544); already-divisible geometry pads by zero."""
+    (chroma 540 -> 544); already-divisible geometry pads by zero.
+    ``surf_unit`` additionally forces each SHARD's surface rows to a
+    multiple of it (the learned-model class needs s2d-aligned shards)."""
     info = plan.info
     dh = info.chroma_div[1] if info.cs_type == ColorSystem.YUV else 1
     unit = n * dh
     src_h_pad = -(-plan.src.height // unit) * unit
-    surf_h_pad = -(-plan.dst.height // n) * n
+    sunit = n * surf_unit
+    surf_h_pad = -(-plan.dst.height // sunit) * sunit
     return src_h_pad, surf_h_pad
 
 
@@ -199,7 +203,8 @@ def _jinc2_spatial_ok(plan: PipelinePlan) -> bool:
 def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
                           axis: str = "spatial", dtype=jnp.float32,
                           pack_surface: bool = False,
-                          pad_to_mesh: bool = True):
+                          pad_to_mesh: bool = True,
+                          surf_row_unit: int = 1):
     """Row-sharded version of the frame pipeline.
 
     Input planes are (..., H, W) sharded on H over ``mesh[axis]``; output is
@@ -230,7 +235,11 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
     from ..pipeline import _can_split_fuse
     if _can_fuse(plan):
         return _make_spatial_fused(plan, mesh, axis, dtype, pack_surface,
-                                   pad_to_mesh)
+                                   pad_to_mesh, surf_row_unit)
+    if surf_row_unit != 1:
+        raise ValueError("surf_row_unit is only supported for fusable "
+                         "(linear-prefix) plans — the learned-model class "
+                         "composes on those")
     if _can_split_fuse(plan):
         return _make_spatial_dovi(plan, mesh, axis, dtype, pack_surface,
                                   pad_to_mesh)
@@ -245,11 +254,11 @@ def make_spatial_frame_fn(plan: PipelinePlan, mesh: Mesh,
 
 
 def _check_divisible(plan: PipelinePlan, n: int, pad_to_mesh: bool,
-                     surf_h: int) -> tuple[int, int, bool]:
+                     surf_h: int, surf_unit: int = 1) -> tuple[int, int, bool]:
     """(src_h_pad, surf_h_pad, pad_rows) plus the non-divisible guard."""
     info = plan.info
     dh = info.chroma_div[1] if info.cs_type == ColorSystem.YUV else 1
-    src_h_pad, surf_h_pad = spatial_padded_heights(plan, n)
+    src_h_pad, surf_h_pad = spatial_padded_heights(plan, n, surf_unit)
     if not pad_to_mesh and (src_h_pad != plan.src.height
                             or surf_h_pad != surf_h):
         raise ValueError(
@@ -317,7 +326,8 @@ def _wrap_shard_map(shard_fn, mesh: Mesh, axis: str, n: int,
 
 
 def _make_spatial_fused(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
-                        pack_surface: bool, pad_to_mesh: bool):
+                        pack_surface: bool, pad_to_mesh: bool,
+                        surf_row_unit: int = 1):
     """Row-sharded fused (linear-prefix) pipeline — see
     :func:`make_spatial_frame_fn`."""
     s = plan.settings
@@ -336,7 +346,7 @@ def _make_spatial_fused(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
 
     dw, dh = info.chroma_div
     src_h_pad, surf_h_pad, pad_rows = _check_divisible(plan, n, pad_to_mesh,
-                                                       surf_h)
+                                                       surf_h, surf_row_unit)
 
     # --- axis maps, exactly as _make_fused_fn builds them ------------------
     cx = scale_ops.select_scaler(crop_w, vid_w, s.upscaling,
@@ -788,6 +798,134 @@ def _make_spatial_jinc2(plan: PipelinePlan, mesh: Mesh, axis: str, dtype,
                             fmt)
 
     return _wrap_shard_map(shard_fn, mesh, axis, n, fmt)
+
+
+def model_receptive_radius_s2d(params) -> int:
+    """Total receptive-field row radius (in s2d-domain pixels) of a conv
+    trunk: the sum of each 4-D conv kernel's row radius.  Every conv sits
+    on the deepest path through the residual trunks of models/superres.py
+    and models/videohdr.py, so the radii add."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if getattr(leaf, "ndim", 0) == 4:
+            total += (int(leaf.shape[0]) - 1) // 2
+    return total
+
+
+def make_spatial_learned_fn(plan: PipelinePlan, mesh: Mesh, params, cfg,
+                            kind: str, axis: str = "spatial",
+                            dtype=jnp.float32, pack_surface: bool = False,
+                            pad_to_mesh: bool = True):
+    """Row-sharded learned-model composition (the fourth spatial plan
+    class): the 1:1 convert pipeline runs in its sharded fused class, then
+    the conv net runs per shard on halo-extended rows.
+
+    ``kind`` is ``"superres"`` (models/superres.enhance_plane_chw — the
+    vendor-SR slot, Source/D3D11VP.cpp:712-844) or ``"videohdr"``
+    (models/videohdr.enhance_plane_chw — the RTX Video HDR slot,
+    Source/D3D11VP.cpp:846-891).  ``params``/``cfg`` as the api setters
+    take them.
+
+    Why it is exact: every conv is SAME-padded, so an output row at
+    distance >= R (the summed conv radius, :func:`model_receptive_radius_s2d`)
+    from a block edge equals the whole-frame result.  Each shard extends
+    its rows by ``halo = R * cfg.s2d`` source pixels via
+    :func:`..parallel.mesh.halo_exchange`, ZEROES the halo rows that fall
+    outside the global frame (conv SAME zero-padding semantics — the
+    exchange itself edge-replicates, which would NOT match), applies the
+    net with ``row_valid`` frame bounds (each conv's out-of-frame output
+    rows are re-zeroed — without this, fake halo rows accumulate
+    relu(bias) activations that whole-frame SAME padding never produces,
+    and global-edge shards drift), and crops the halo back off.  The s2d
+    space-to-depth transform stays shard-local because shard heights are
+    padded to a multiple of ``cfg.s2d`` (``surf_row_unit`` on the base
+    builder).
+
+    Output: (..., 3, H*scale, W*scale) float (scale = cfg.scale for
+    superres, 1 for videohdr) sharded on rows, matching
+    ``enhance_plane_chw(params, make_frame_fn(plan)(planes), cfg)`` — or
+    the packed int32 surface with ``pack_surface``.  Heights padded by
+    the mesh come back as black rows; crop with ``[..., :H*scale, :]``.
+
+    Equality caveat: the halo/mask algebra is exact (f32 halo-math test),
+    but XLA's bf16 conv lowering is not bit-stable across input heights,
+    so bf16 trunks can differ from single-chip by ~1 conv ulp (~66 dB;
+    the shipped SR configuration happens to lower shape-stably and IS
+    bit-identical — both pinned in tests/test_spatial.py)."""
+    if kind == "superres":
+        from ..models.superres import enhance_plane_chw as net_apply
+        scale = cfg.scale
+    elif kind == "videohdr":
+        from ..models.videohdr import enhance_plane_chw as net_apply
+        scale = 1
+    else:
+        raise ValueError(f"unknown learned-model kind {kind!r}")
+    s2d = int(getattr(cfg, "s2d", 1))
+    n = mesh.shape[axis]
+    surf_h = plan.dst.height
+    if surf_h % s2d != 0:
+        raise ValueError(
+            f"spatial learned-model sharding needs the model input height "
+            f"({surf_h}) divisible by cfg.s2d={s2d}: the single-chip model "
+            "edge-pads the s2d grid, which zero halos cannot reproduce")
+
+    base = make_spatial_frame_fn(plan, mesh, axis, dtype,
+                                 pack_surface=False, pad_to_mesh=pad_to_mesh,
+                                 surf_row_unit=s2d)
+    _, surf_h_pad = spatial_padded_heights(plan, n, surf_unit=s2d)
+    hs = surf_h_pad // n
+    radius = model_receptive_radius_s2d(params)
+    halo = radius * s2d
+    if halo > hs:
+        raise ValueError(
+            f"learned-model sharding needs {halo} halo rows but each shard "
+            f"only holds {hs}; use fewer shards for this size")
+
+    from ..pipeline import _pack_surface_xla, surface_pack_format
+    fmt = surface_pack_format(plan.dst) if pack_surface else None
+    pad_rows = surf_h_pad != surf_h
+
+    def model_shard(rgb):
+        if n == 1:
+            y = net_apply(params, rgb, cfg)
+        else:
+            idx = jax.lax.axis_index(axis)
+            ext = halo_exchange(rgb, halo, axis)
+            start = idx * hs - halo          # block's global source row 0
+            gr = start + jnp.arange(hs + 2 * halo)
+            mask = ((gr >= 0) & (gr < surf_h)).astype(ext.dtype)
+            ext = ext * mask[:, None]
+            # frame bounds in the block's local s2d rows: the net re-zeroes
+            # each conv's out-of-frame rows (SAME zero-pad parity)
+            row_valid = (-start // s2d, (surf_h - start) // s2d)
+            y = net_apply(params, ext, cfg, row_valid=row_valid)
+            y = y[..., halo * scale:(halo + hs) * scale, :]
+            if pad_rows:
+                # keep the mesh-pad rows black (the net's bias terms would
+                # otherwise leak nonzero values into them)
+                gro = idx * hs * scale + jnp.arange(hs * scale)
+                y = y * (gro < surf_h * scale).astype(y.dtype)[:, None]
+        if fmt is not None:
+            y = _pack_surface_xla(y, fmt)
+        return y
+
+    def spec_for(ndim):
+        parts = [None] * ndim
+        parts[-2] = axis
+        return P(*parts)
+
+    def fn(planes):
+        rgb = base(planes)
+        if n == 1:
+            return model_shard(rgb)
+        from jax import shard_map
+        smfn = shard_map(
+            model_shard, mesh=mesh, in_specs=spec_for(rgb.ndim),
+            out_specs=spec_for(rgb.ndim - (1 if fmt is not None else 0)),
+            check_vma=False)
+        return smfn(rgb)
+
+    return fn
 
 
 def shard_planes_rows(mesh: Mesh, planes, axis: str = "spatial"):
