@@ -202,11 +202,12 @@ def run_config(key: str, dev) -> tuple[list[float], float]:
 
     # plain frame-fn configs
     if key == "c3rot":
-        # geometry rides the packed surface (a dword is one pixel): the
-        # base keeps its in-kernel pack, rotation is an int32 transpose
-        from videorenderer_tpu.ops import geometry as geo
-        base = make_frame_fn(plan, pack_surface=True)
-        fn = jax.jit(lambda p: geo.rotate_flip(base(p), 90, True))
+        # rotation rides the resize: the one-pass Jinc2 kernel runs in the
+        # rotated geometry (pre-rotated uint8 source planes, transformed
+        # maps + dither pattern) and writes the final surface directly —
+        # no 4K packed-surface transpose pass (VERDICT r4 #3)
+        fn = jax.jit(make_frame_fn(plan, pack_surface=True,
+                                   rotation=90, flip=True))
     elif key == "c3sr":
         from videorenderer_tpu.models.superres import enhance_plane_chw
         params, cfg = bc.superres_params()

@@ -169,7 +169,10 @@ def config_model(key: str) -> dict:
         by = _in_bytes(plan) + out_px * 4
         vpu = out_px * (TAIL_OPS["matrix_pack"] + TAIL_OPS["jinc2_ar"])
         if key == "c3rot":
-            by += 2 * out_px * 4        # packed-surface transpose pass
+            # rotation rides the resize kernel: the only extra traffic is
+            # the uint8 SOURCE-plane transpose (read+write), not a packed
+            # 4K surface pass (make_frame_fn rotation path)
+            by += 2 * _in_bytes(plan)
         return {"bytes": by, "macs": macs, "vpu": vpu,
                 "note": f"jinc2 low-rank K={k}"}
 

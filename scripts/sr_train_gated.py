@@ -12,14 +12,17 @@ evaluation stays honest.
 Gates mirrored from the test suite:
  * synth192: net beats Catmull-Rom on never-trained synth 192px
    (tests/test_sr_checkpoint.py, seed 424242)
- * real:     net >= classical - 0.1 dB on real-photo crops
+ * real (r5, VERDICT #5 "win, don't tie"): on EVERY real photo the
+   hermetic env offers (real_eval.real_photos — portrait, webcam scenes,
+   outdoor shots, MRI), the net must never lose more than 0.1 dB, and on
+   at least --real-wins of them must WIN by > --real-margin dB
    (tests/test_real_eval.py gate; SELECTION uses seed 11 crops, the
    final report also prints the test's seed-7 crops)
 
 Usage:
   python scripts/sr_train_gated.py --out weights/superres_2x.npz \
       --resume weights/superres_2x.npz --steps 1500 --lr 2e-4 \
-      --natural-mix 0.5
+      --natural-mix 0.4 --jpeg-mix 0.3
   python scripts/sr_train_gated.py --out /tmp/slim.npz --steps 3000 \
       --channels 96 --blocks 2 --natural-mix 0.5       # fresh slim net
 """
@@ -46,7 +49,13 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--patch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=2e-4)
-    ap.add_argument("--natural-mix", type=float, default=0.5)
+    ap.add_argument("--natural-mix", type=float, default=0.4)
+    ap.add_argument("--jpeg-mix", type=float, default=0.3,
+                    help="fraction of frames that are JPEG-roundtripped "
+                         "natural frames (codec-artifact statistics)")
+    ap.add_argument("--real-margin", type=float, default=0.5)
+    ap.add_argument("--real-wins", type=int, default=3,
+                    help="min #photos that must clear --real-margin")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--channels", type=int, default=None)
@@ -59,8 +68,9 @@ def main() -> int:
     import optax
 
     from videorenderer_tpu.models.checkpoint import load_params, save_params
-    from videorenderer_tpu.models.real_eval import real_frames
+    from videorenderer_tpu.models.real_eval import real_frames, real_photos
     from videorenderer_tpu.models.sr_train import (degrade, evaluate_psnr,
+                                                   jpeg_roundtrip,
                                                    natural_frames,
                                                    synth_frames)
     from videorenderer_tpu.models.superres import (SuperResConfig, init_params,
@@ -78,11 +88,19 @@ def main() -> int:
                               "blocks": cfg.num_blocks, "s2d": cfg.s2d},
                       **vars(args)}), flush=True)
 
-    # -- data: synth + natural mix, degraded by the framework's downscaler
+    # -- data: synth + natural + JPEG-roundtripped natural (still zero
+    # photographs — the codec is the augmentation), degraded by the
+    # framework's downscaler
     n_nat = int(args.frames * args.natural_mix)
-    data = np.concatenate([
-        synth_frames(seed=args.seed, n=args.frames - n_nat, size=args.patch),
-        natural_frames(seed=args.seed + 3, n=n_nat, size=args.patch)])
+    n_jpg = int(args.frames * args.jpeg_mix)
+    n_syn = max(args.frames - n_nat - n_jpg, 0)
+    parts = [synth_frames(seed=args.seed, n=n_syn, size=args.patch),
+             natural_frames(seed=args.seed + 3, n=n_nat, size=args.patch)]
+    if n_jpg:
+        parts.append(jpeg_roundtrip(
+            natural_frames(seed=args.seed + 9, n=n_jpg, size=args.patch),
+            seed=args.seed + 13))
+    data = np.concatenate([p for p in parts if len(p)])
     data = np.random.default_rng(args.seed + 5).permutation(data)
     hr = jnp.asarray(data)
     lr_frames = jnp.asarray(degrade(data, cfg.scale))
@@ -90,8 +108,11 @@ def main() -> int:
     # -- eval sets (held out; selection crops use a different seed than the
     # test's seed-7 crops)
     synth_val = synth_frames(seed=424242, n=12, size=192)
-    real_sel = real_frames(6, 96, seed=11)
-    real_test = real_frames(6, 96, seed=7)
+    photos = real_photos()
+    real_sel = [(nm, real_frames(6, 96, seed=11, photo=im))
+                for nm, im in photos]
+    real_test = [(nm, real_frames(6, 96, seed=7, photo=im))
+                 for nm, im in photos]
 
     params = init_params(jax.random.PRNGKey(args.seed), cfg)
     if args.resume:
@@ -109,14 +130,21 @@ def main() -> int:
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 
+    def real_margins(p, sets):
+        return {nm: (lambda t: t[0] - t[1])(evaluate_psnr(p, cfg, hrv))
+                for nm, hrv in sets}
+
     def gates(p):
         s_net, s_cls = evaluate_psnr(p, cfg, synth_val)
-        r_net, r_cls = evaluate_psnr(p, cfg, real_sel)
-        ok = s_net > s_cls and r_net >= r_cls - 0.1
-        # score: real margin, tie-broken by synth margin
-        return ok, (r_net - r_cls, s_net - s_cls), {
+        ms = real_margins(p, real_sel)
+        wins = sum(1 for v in ms.values() if v > args.real_margin)
+        mmin = min(ms.values())
+        ok = s_net > s_cls and mmin >= -0.1 and wins >= args.real_wins
+        # score: worst-photo margin, then win count, then synth margin
+        return ok, (mmin, wins, s_net - s_cls), {
             "synth192_net": round(s_net, 2), "synth192_cls": round(s_cls, 2),
-            "real_sel_net": round(r_net, 2), "real_sel_cls": round(r_cls, 2)}
+            "real_sel_margins": {k: round(v, 2) for k, v in ms.items()},
+            "real_sel_min": round(mmin, 2), "real_sel_wins": wins}
 
     best = None       # (score, params, report, step)
     ok0, sc0, rep0 = gates(params)
@@ -146,11 +174,13 @@ def main() -> int:
               flush=True)
         return 1
     # final report on the untouched test crops (seed 7)
-    t_net, t_cls = evaluate_psnr(best[1], cfg, real_test)
+    tm = real_margins(best[1], real_test)
     print(json.dumps({"result": "ok", "best_step": best[3], **best[2],
-                      "real_test_net": round(t_net, 2),
-                      "real_test_cls": round(t_cls, 2),
-                      "real_test_margin": round(t_net - t_cls, 2),
+                      "real_test_margins": {k: round(v, 2)
+                                            for k, v in tm.items()},
+                      "real_test_min": round(min(tm.values()), 2),
+                      "real_test_wins": sum(1 for v in tm.values()
+                                            if v > args.real_margin),
                       "out": args.out}), flush=True)
     return 0
 

@@ -41,13 +41,32 @@ def test_shipped_videohdr_beats_base_on_real_content():
     assert net_db > 30.0
 
 
-def test_shipped_superres_on_real_content():
-    """The shipped SuperRes checkpoint on real photographic content must at
-    least match the classical upscaler it replaces (the vendor-SR bar:
-    engaging the model must not LOSE quality vs the pipeline's own
-    interpolation, Source/D3D11VP.cpp:804-844)."""
+def test_real_photos_distinct_assets():
+    """The hermetic env offers >= 3 distinct real photographic sources
+    (portrait + webcam scenes + outdoor shots + MRI) for the model gates."""
+    photos = real_eval.real_photos()
+    names = [n for n, _ in photos]
+    assert len(photos) >= 3, names
+    assert "grace_hopper" in names
+    for _, img in photos:
+        assert img.ndim == 3 and img.shape[-1] == 3
+        assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_shipped_superres_wins_on_real_content():
+    """The shipped SuperRes checkpoint must WIN on real photographic
+    content, not tie (VERDICT r4 #5): the vendor-SR feature it replaces
+    exists to *enhance* (Source/D3D11VP.cpp:804-844).  Gate: on every
+    available real photo the net never loses more than 0.1 dB to the
+    classical upscaler, and on at least 3 distinct photos it wins by
+    > 0.5 dB."""
     from videorenderer_tpu.models.sr_train import evaluate_psnr
     params, cfg = real_eval.load_shipped_superres()
-    hr = real_eval.real_frames(6, 96, seed=7)
-    net_db, classical_db = evaluate_psnr(params, cfg, hr)
-    assert net_db >= classical_db - 0.1, (net_db, classical_db)
+    margins = {}
+    for name, img in real_eval.real_photos():
+        hr = real_eval.real_frames(6, 96, seed=7, photo=img)
+        net_db, classical_db = evaluate_psnr(params, cfg, hr)
+        margins[name] = net_db - classical_db
+    assert min(margins.values()) >= -0.1, margins
+    wins = sum(1 for v in margins.values() if v > 0.5)
+    assert wins >= 3, margins

@@ -369,8 +369,14 @@ class VideoRenderer:
                          and not sr_engaged and not hdr_engaged)
         in_kernel_pack = (fmt is not None
                           and (not float_tail or geo_only_tail))
-        base = make_frame_fn(base_plan, pack_surface=in_kernel_pack)
         rotation, flip = self._rotation, self._flip
+        # geometry-only tails hand rotation to make_frame_fn: on the
+        # one-pass Jinc2 chain it rides the resize kernel (pre-rotated
+        # source planes + transformed maps — no 4K surface transpose at
+        # all); other paths rotate the packed surface as before
+        base = make_frame_fn(base_plan, pack_surface=in_kernel_pack,
+                             rotation=rotation if geo_only_tail else 0,
+                             flip=flip if geo_only_tail else False)
         stereo = self._stereo3d_transform
         pre = tuple(self._user_pre_fns)
         post = tuple(self._user_post_fns)
@@ -393,7 +399,7 @@ class VideoRenderer:
                 rgb = vh_apply(_vh[0], rgb, _vh[1])
             # ... then the geometry + user-shader chain rides the post-scale
             # ring (Source/DX11VideoProcessor.cpp:3337-3428)
-            if rotation or flip:
+            if (rotation or flip) and not geo_only_tail:
                 rgb = geo_ops.rotate_flip(rgb, rotation, flip)
             for f in pre + post:
                 rgb = f(rgb)

@@ -34,6 +34,62 @@ def real_photo() -> np.ndarray:
     return np.asarray(Image.open(path), np.float32) / 255.0
 
 
+def _pygame_images_dir() -> str | None:
+    try:
+        import pygame
+    except ImportError:
+        return None
+    import os
+    d = os.path.join(os.path.dirname(pygame.__file__), "docs", "generated",
+                     "_images")
+    return d if os.path.isdir(d) else None
+
+
+def real_photos() -> list[tuple[str, np.ndarray]]:
+    """Every real photographic asset the hermetic environment offers, as
+    (name, (H, W, 3) float32 [0,1]) pairs — distinct scenes/sensors so the
+    model-vs-classical verdict is not a one-photo artifact:
+
+     * ``grace_hopper`` — matplotlib's 512x600 studio portrait (skin,
+       fabric, flag stripes);
+     * ``camera_background`` / ``camera_average`` — pygame's 320x240
+       webcam shots of a room scene (sensor noise, clutter, low light);
+     * ``intro_freedom`` / ``intro_blade`` — pygame's 200x150 outdoor
+       photos (foliage, sky gradients, motion);
+     * ``mri_slice`` — matplotlib's s1045.ima.gz 256x256 MRI scan
+       (non-optical sensor content, grayscale replicated to RGB).
+
+    Assets are loaded defensively: missing packages drop their entries
+    (callers assert on the minimum count they need)."""
+    import gzip
+    import os
+
+    out = [("grace_hopper", real_photo())]
+
+    pg = _pygame_images_dir()
+    if pg is not None:
+        from PIL import Image
+        for name in ("camera_background", "camera_average",
+                     "intro_freedom", "intro_blade"):
+            p = os.path.join(pg, f"{name}.jpg")
+            if os.path.exists(p):
+                out.append((name,
+                            np.asarray(Image.open(p).convert("RGB"),
+                                       np.float32) / 255.0))
+
+    try:
+        import matplotlib
+        p = os.path.join(matplotlib.get_data_path(), "sample_data",
+                         "s1045.ima.gz")
+        with gzip.open(p, "rb") as f:
+            raw = np.frombuffer(f.read(), np.uint16).reshape(256, 256)
+        g = (raw.astype(np.float32) / max(float(raw.max()), 1.0))
+        out.append(("mri_slice", np.repeat(g[..., None], 3, axis=-1)))
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def real_frames(n: int, size: int, seed: int = 0,
                 photo: np.ndarray | None = None) -> np.ndarray:
     """(n, size, size, 3) float32 [0,1] crops panning over the real photo —
@@ -119,6 +175,10 @@ def evaluate_real(sr_params=None, sr_cfg=None, hdr_params=None, hdr_cfg=None,
     net_db, classical_db = evaluate_psnr(sr_params, sr_cfg, hr)
     out["superres_net_db"] = float(net_db)
     out["superres_classical_db"] = float(classical_db)
+    out["superres_margins_db"] = {
+        name: float(np.subtract(*evaluate_psnr(
+            sr_params, sr_cfg, real_frames(n, size, seed=seed, photo=img))))
+        for name, img in real_photos()}
 
     if hdr_params is None:
         hdr_params, hdr_cfg = load_shipped_videohdr()

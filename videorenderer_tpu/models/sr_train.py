@@ -129,6 +129,31 @@ def natural_frames(seed: int, n: int, size: int) -> np.ndarray:
     return out
 
 
+def jpeg_roundtrip(frames: np.ndarray, seed: int,
+                   quality_range: tuple[int, int] = (55, 90)) -> np.ndarray:
+    """Re-encode each frame through a real JPEG encode/decode at a random
+    quality — the dominant *non-optical* statistic of consumer content
+    (block-DCT ringing, chroma subsampling, quant noise).  Generative
+    frames stay photograph-free; the codec is the augmentation.  A net
+    fine-tuned without this over-sharpens JPEG sources' artifacts and
+    loses to neutral classical interpolation on them (measured r5:
+    -0.35/-0.63 dB on the two webcam eval photos)."""
+    from io import BytesIO
+
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    out = np.empty_like(frames)
+    for i, f in enumerate(frames):
+        q = int(rng.integers(quality_range[0], quality_range[1] + 1))
+        buf = BytesIO()
+        Image.fromarray((np.clip(f, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)) \
+            .save(buf, "JPEG", quality=q)
+        buf.seek(0)
+        out[i] = np.asarray(Image.open(buf).convert("RGB"),
+                            np.float32) / 255.0
+    return out
+
+
 def degrade(hr: np.ndarray, scale: int = 2, method=None) -> np.ndarray:
     """HR -> LR with the framework's own downscale matrices (box default,
     matching a mastering-chain decimation; any `Downscaling` works)."""

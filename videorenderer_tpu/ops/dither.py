@@ -77,14 +77,28 @@ def ordered_dither(img: jnp.ndarray, bits: int,
     return _requantize(jnp.floor(img * q + d), q)
 
 
-def bayer_field(h: int, w: int, row0: int = 0, col0: int = 0) -> jnp.ndarray:
+def bayer_field(h: int, w: int, row0: int = 0, col0: int = 0,
+                transpose: bool = False, flip_rows: bool = False,
+                flip_cols: bool = False) -> jnp.ndarray:
     """The 32x32 Bayer pattern tiled to (h, w), computed from iota bit math
     (no array constant — required inside Pallas kernels, which may not
     capture tensor constants).  Bit-identical to tiling
     :func:`bayer_matrix`: digit b of the base-4 value is
-    ``2*bit_b(i^j) + bit_b(i)`` with weight ``4**(4-b)``."""
+    ``2*bit_b(i^j) + bit_b(i)`` with weight ``4**(4-b)``.
+
+    ``transpose``/``flip_rows``/``flip_cols`` (ops.geometry.rf_decompose
+    order) emit the pattern as the same transform of the tiled field —
+    how the fused-rotation paths keep the dither phase of the
+    PRE-rotation frame while writing the rotated surface directly (valid
+    at any tile origin that is a multiple of 32 on both axes)."""
     ii = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0) & (DITHER_SIZE - 1)
     jj = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + col0) & (DITHER_SIZE - 1)
+    if flip_rows:
+        ii = (DITHER_SIZE - 1) - ii
+    if flip_cols:
+        jj = (DITHER_SIZE - 1) - jj
+    if transpose:
+        ii, jj = jj, ii
     x = jnp.bitwise_xor(ii, jj)
     v = jnp.zeros((h, w), jnp.int32)
     for b in range(5):
@@ -94,12 +108,16 @@ def bayer_field(h: int, w: int, row0: int = 0, col0: int = 0) -> jnp.ndarray:
 
 
 def ordered_dither_iota(img: jnp.ndarray, bits: int,
-                        row0: int = 0, col0: int = 0) -> jnp.ndarray:
+                        row0: int = 0, col0: int = 0,
+                        transpose: bool = False, flip_rows: bool = False,
+                        flip_cols: bool = False) -> jnp.ndarray:
     """:func:`ordered_dither` with the pattern generated in-register
-    (kernel-safe; same quantization rule and values)."""
+    (kernel-safe; same quantization rule and values).  The transform
+    flags pass through to :func:`bayer_field`."""
     q = float(2 ** bits - 1)
     h, w = img.shape[-2], img.shape[-1]
-    d = bayer_field(h, w, row0, col0).astype(img.dtype)
+    d = bayer_field(h, w, row0, col0, transpose=transpose,
+                    flip_rows=flip_rows, flip_cols=flip_cols).astype(img.dtype)
     return _requantize(jnp.floor(img * q + d), q)
 
 

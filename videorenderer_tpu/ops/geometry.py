@@ -16,6 +16,7 @@ surrounding copies.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def rotate_flip(x: jnp.ndarray, rotation: int = 0, flip: bool = False) -> jnp.ndarray:
@@ -33,6 +34,41 @@ def rotate_flip(x: jnp.ndarray, rotation: int = 0, flip: bool = False) -> jnp.nd
     if flip:
         x = jnp.flip(x, axis=-1)
     return x
+
+
+def rf_decompose(rotation: int, flip: bool) -> tuple[bool, bool, bool]:
+    """Decompose :func:`rotate_flip` into (transpose, flip_rows, flip_cols)
+    applied in that order — the canonical form the fused-rotation paths
+    use to transform axis maps and dither patterns instead of moving the
+    full-size output (the reference rides rotation inside the resize
+    pass, Source/DX11VideoProcessor.cpp:3125-3135)."""
+    tr, fr, fc = {0: (False, False, False), 90: (True, False, True),
+                  180: (False, True, True), 270: (True, True, False)}[rotation]
+    if flip:
+        fc = not fc
+    return tr, fr, fc
+
+
+def transform_axis_maps(wy, wx, rotation: int, flip: bool):
+    """Transform separable (row-map, col-map) matrices so that running the
+    pipeline on ``rotate_flip``-ed input planes with the returned maps
+    yields exactly ``rotate_flip(pipeline(planes))``.
+
+    For ``OUT = Wy^T P Wx`` and any axis permutation/reversal ``T``:
+    ``T(OUT) = Wy'^T T(P) Wx'`` with transpose swapping the maps and each
+    output-axis reversal reversing the corresponding map in BOTH indices
+    (input rows reverse with the rotated plane, output columns with the
+    rotated surface).  ``None`` maps (identity axes) stay ``None`` — a
+    reversed identity is the identity."""
+    tr, fr, fc = rf_decompose(rotation, flip)
+    if tr:
+        wy, wx = wx, wy
+    rr = lambda m: None if m is None else np.asarray(m)[::-1, ::-1]
+    if fr:
+        wy = rr(wy)
+    if fc:
+        wx = rr(wx)
+    return wy, wx
 
 
 def rotated_size(width: int, height: int, rotation: int) -> tuple[int, int]:

@@ -1267,7 +1267,8 @@ def _make_dovi_fused_fn(plan: PipelinePlan, dtype=jnp.float32,
 
 
 def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = None,
-                  pack_surface: bool = False):
+                  pack_surface: bool = False,
+                  rotation: int = 0, flip: bool = False):
     """Build the per-frame processing function (unjitted).
 
     Input: tuple of plane arrays (uint8/uint16), each (..., Hp, Wp) with
@@ -1280,7 +1281,21 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
 
     ``fused=None`` auto-selects the fused linear-resample path when legal
     (see :func:`_can_fuse`); ``False`` forces the staged reference path.
-    """
+
+    ``rotation``/``flip`` produce ``rotate_flip(out, rotation, flip)``.
+    On the one-pass Jinc2 kernel chain the rotation RIDES THE RESIZE
+    (the reference's FillVertices permutation,
+    Source/DX11VideoProcessor.cpp:3115-3199): input planes pre-rotate at
+    SOURCE size, the axis maps swap/reverse (ops.geometry.
+    transform_axis_maps) and the in-kernel dither pattern transforms to
+    keep the pre-rotation phase — the kernel writes the final surface
+    directly, with no full-size output transpose pass.  Other paths
+    rotate the finished surface (the packed dword IS one pixel)."""
+    if rotation not in (0, 90, 180, 270):
+        raise ValueError(f"rotation must be 0/90/180/270, got {rotation}")
+    want_rot = rotation != 0 or flip
+    from .ops import geometry as geo_ops
+
     s = plan.settings
     dst = plan.dst
     fmt = surface_pack_format(dst) if pack_surface else None
@@ -1289,8 +1304,13 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
         fused = _can_fuse(plan) or _can_split_fuse(plan)
     if fused:
         if plan.dovi is not None:
-            return _make_dovi_fused_fn(plan, dtype, pack_format=fmt)
-        return _make_fused_fn(plan, dtype, pack_format=fmt)
+            base = _make_dovi_fused_fn(plan, dtype, pack_format=fmt)
+        else:
+            base = _make_fused_fn(plan, dtype, pack_format=fmt)
+        if not want_rot:
+            return base
+        return lambda planes: geo_ops.rotate_flip(base(planes),
+                                                  rotation, flip)
 
     # Jinc2 with a dither-only tail: quantization runs inside the one-pass
     # kernel's epilogue (output tile origins are 128-aligned, so the dither
@@ -1342,16 +1362,32 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
                 y_scale=knorm,
                 c_scale=knorm if kux_f is None else None)
 
-    def _j2_epilogue(tile):
+    # rotation decomposition for the fused-rotation Jinc2 path (identity
+    # flags when no rotation — the epilogue below is shared)
+    tr_rf = fr_rf = fc_rf = False
+    if want_rot:
+        tr_rf, fr_rf, fc_rf = geo_ops.rf_decompose(rotation, flip)
+
+    def _j2_epilogue_flags(tile, tr=False, fr=False, fc=False):
         db = plan.dither_bits
         if db < 0:
             return dither_ops.quantize(jnp.clip(tile, 0.0, 1.0), -db)
-        return dither_ops.ordered_dither_iota(jnp.clip(tile, 0.0, 1.0), db)
+        return dither_ops.ordered_dither_iota(
+            jnp.clip(tile, 0.0, 1.0), db,
+            transpose=tr, flip_rows=fr, flip_cols=fc)
+
+    # plain epilogue for paths whose output rotates AFTERWARDS; the
+    # fused-rotation kernel call uses the transformed pattern instead
+    _j2_epilogue = _j2_epilogue_flags
+    _j2_epilogue_rot = (lambda tile: _j2_epilogue_flags(
+        tile, tr_rf, fr_rf, fc_rf))
 
     # whole-chain Jinc2 kernel: raw integer planes -> chroma upsample +
     # color matrix + 2D Jinc2 + anti-ringing + dither in ONE kernel (no
     # convert intermediate at all); engages when the 2D one-pass geometry
-    # applies and the packed weights fit scoped VMEM
+    # applies and the packed weights fit scoped VMEM.  Under rotation the
+    # kernel runs in the ROTATED frame: pre-rotated planes, transformed
+    # chroma maps, swapped output dims.
     use_k3 = False
     if use_kconvert and j2_tail:
         k3_w, k3_h = dst.video_size
@@ -1360,22 +1396,43 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
         if (rx3 == "up" and ry3 in ("up", None)
                 and (src_h, src_w) != (k3_h, k3_w)):
             from .kernels.jinc2_pallas import jinc2_convert_fits
-            use_k3 = jinc2_convert_fits(src_h, k3_h, src_w, k3_w,
-                                        kuy_f, kux_f,
-                                        y_scale=knorm, c_scale=knorm)
+            if want_rot:
+                kuy_r, kux_r = geo_ops.transform_axis_maps(
+                    kuy_f, kux_f, rotation, flip)
+                k3r_h, k3r_w = (k3_w, k3_h) if tr_rf else (k3_h, k3_w)
+                srr_h, srr_w = (src_w, src_h) if tr_rf else (src_h, src_w)
+                use_k3 = jinc2_convert_fits(srr_h, k3r_h, srr_w, k3r_w,
+                                            kuy_r, kux_r,
+                                            y_scale=knorm, c_scale=knorm)
+            else:
+                kuy_r, kux_r = kuy_f, kux_f
+                k3r_h, k3r_w = k3_h, k3_w
+                use_k3 = jinc2_convert_fits(src_h, k3_h, src_w, k3_w,
+                                            kuy_f, kux_f,
+                                            y_scale=knorm, c_scale=knorm)
 
     def _maybe_pack(rgb):
         return rgb if fmt is None else _pack_surface_xla(rgb, fmt)
 
+    def _k3_call(planes):
+        from .kernels.jinc2_pallas import jinc2_convert_fused
+        y, u, v = _crop_planes(plan, planes)
+        if want_rot:
+            # rotation rides the resize: rotate the SMALL integer planes
+            # (uint8 source, ~16x less traffic than the 4K surface) and
+            # run the kernel in the rotated geometry
+            y = geo_ops.rotate_flip(y, rotation, flip)
+            u = geo_ops.rotate_flip(u, rotation, flip)
+            v = geo_ops.rotate_flip(v, rotation, flip)
+        # packing happens inside the kernel when a surface is requested
+        return jinc2_convert_fused(y, u, v, kuy_r, kux_r, kcm, kcc,
+                                   k3r_h, k3r_w, knorm, knorm,
+                                   epilogue=_j2_epilogue_rot,
+                                   pack_format=fmt)
+
     def fn(planes):
         if use_k3 and len(planes) == 3:
-            from .kernels.jinc2_pallas import jinc2_convert_fused
-            y, u, v = _crop_planes(plan, planes)
-            # packing happens inside the kernel when a surface is requested
-            return jinc2_convert_fused(y, u, v, kuy_f, kux_f, kcm, kcc,
-                                       k3_h, k3_w, knorm, knorm,
-                                       epilogue=_j2_epilogue,
-                                       pack_format=fmt)
+            return _k3_call(planes)
         if use_kconvert and len(planes) == 3:
             rgb = _kconvert(_crop_planes(plan, planes))
         else:
@@ -1401,7 +1458,15 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
             rgb = _local_tonemap(plan, rgb)
         return _maybe_pack(_final_pass(plan, rgb))
 
-    return fn
+    if not want_rot:
+        return fn
+
+    def fn_rot(planes):
+        if use_k3 and len(planes) == 3:
+            return _k3_call(planes)      # already in final orientation
+        return geo_ops.rotate_flip(fn(planes), rotation, flip)
+
+    return fn_rot
 
 
 def serving_rt_keys(plan: PipelinePlan) -> set:
