@@ -98,6 +98,67 @@ def run(key: str, fps: float, seconds: float, dev) -> None:
         }), flush=True)
 
 
+def run_deint_double_rate(fps: float, seconds: float, dev) -> None:
+    """Double-rate deinterlace sustain (VERDICT r4 #7): the c5 chain
+    through PresentClock.schedule at a device-fed ``fps`` (120 Hz = the
+    8.3 ms/field contract).  Each schedule tick is one FIELD; even ticks
+    run the dual-field program for the next source frame (both fields of
+    one program — the reference's field-2-at-+duration/2 model,
+    Source/DX11VideoProcessor.cpp:2176-2197), odd ticks present the
+    already-computed second field.  Device-fed only: the host feed is
+    relay-tunnel-bound on this box and stays covered (and labeled) by the
+    60/30 Hz rows."""
+    from videorenderer_tpu.runner import DeinterlaceSession
+    plan = bc.build_plan("c5")
+    fmt, w, h, _ = bc.input_spec("c5")
+    host_frames = [bc.make_planes(fmt, w, h, 1, seed=s) for s in range(POOL)]
+    dev_frames = [tuple(jax.device_put(jnp.asarray(p), dev) for p in f)
+                  for f in host_frames]
+    n = int(fps * seconds)
+
+    sess = DeinterlaceSession(plan, double_rate=True, pack_surface=True)
+    pend = []
+    for i in range(3):                 # prime the 3-frame window + compile
+        pend = sess.push_batch(dev_frames[i % POOL])
+    for o in pend:
+        _sync(o)
+
+    metrics = Metrics()
+    clock = PresentClock(fps=fps, metrics=metrics)
+    prev = None
+    rendered = 0
+    fi = 3
+    t0 = time.perf_counter()
+    for j in range(n):
+        if j % 2 == 0:                 # the next sample arrives
+            pend = sess.push_batch(dev_frames[fi % POOL])
+            fi += 1
+        if not clock.schedule(j):
+            continue                   # this field's present is dropped
+        clock.quality.on_render_start()
+        out = pend[j % 2] if len(pend) > j % 2 else None
+        if out is not None:
+            if prev is not None:
+                _sync(prev)            # depth-2 present queue
+            prev = out
+            rendered += 1
+        clock.quality.on_render_end()
+    if prev is not None:
+        _sync(prev)
+    wall = time.perf_counter() - t0
+    snap = metrics.snapshot()
+    print(json.dumps({
+        "config": "c5 double-rate (fields)", "feed": "device",
+        "target_fps": fps, "frames": n, "rendered": rendered,
+        "dropped": clock.dropped,
+        "drop_pct": round(100.0 * clock.dropped / n, 2),
+        "wall_s": round(wall, 2),
+        "sustained": clock.dropped == 0 and wall <= seconds * 1.02,
+        "avg_sync_offset_ms": round(snap["avg_sync_offset_ms"], 3),
+        "dev_sync_offset_ms": round(snap["dev_sync_offset_ms"], 3),
+    }), flush=True)
+
+
 def main() -> None:
     argv = sys.argv[1:]
 
@@ -109,7 +170,10 @@ def main() -> None:
             and not a.replace(".", "").isdigit()] or DEFAULT_KEYS
     dev = jax.devices()[0]
     for key in keys:
-        run(key, fps, seconds, dev)
+        if key == "c5deint":
+            run_deint_double_rate(arg("--fps", 120.0), seconds, dev)
+        else:
+            run(key, fps, seconds, dev)
 
 
 if __name__ == "__main__":

@@ -35,5 +35,10 @@ timeout 1200 python bench_roofline.py
 step "6/6 multi-stream serving + real-time sustain"
 timeout 2400 python bench_multistream.py
 timeout 2400 python bench_realtime.py
+# 30 Hz rows prove the sustained case under the relay tunnel's ~26 ms
+# host floor; the c5 double-rate row proves the 8.3 ms/field contract
+# device-side at 120 Hz (VERDICT r4 #7)
+timeout 2400 python bench_realtime.py --fps 30 c1 c4
+timeout 2400 python bench_realtime.py --fps 120 c5deint
 
 step "done"

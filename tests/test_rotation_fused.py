@@ -78,11 +78,13 @@ def test_make_frame_fn_rotation_fallback_matches():
 @pytest.mark.parametrize("rotation,flip", [(90, True), (90, False),
                                            (270, False), (180, True)])
 def test_jinc2_fused_rotation_interpret(monkeypatch, rotation, flip):
-    """The rotated one-pass Jinc2 kernel (pre-rotated planes + transformed
-    maps + transformed dither pattern) vs rotating the unrotated kernel's
-    packed surface.  The jinc2 taps are mirror/swap-symmetric so the values
-    agree; the per-rank accumulation order differs along the swapped axis,
-    so quantization-boundary codes may flip by 1 LSB."""
+    """Rotation on the one-pass Jinc2 chain vs rotating the unrotated
+    kernel's packed surface.  (90, True) is a pure transpose and rides the
+    kernel as a transposed STORE (compute untouched — see
+    test_jinc2_fused_transpose_bit_identical for the exact gate); the other
+    rotations fall back to the XLA chain + post-rotation, whose per-rank
+    accumulation order differs, so quantization-boundary codes may flip by
+    1 LSB."""
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(17)
@@ -111,3 +113,32 @@ def test_jinc2_fused_rotation_interpret(monkeypatch, rotation, flip):
     rb = np.stack([(ra >> s) & 0xFF for s in (0, 8, 16)], 0).astype(int)
     assert np.abs(db - rb).max() <= 1
     assert (db != rb).mean() < 0.02
+
+
+def test_jinc2_fused_transpose_bit_identical(monkeypatch):
+    """rotation 90 + flip (a pure transpose) rides the one-pass Jinc2
+    kernel as a transposed STORE: the compute is the unrotated program's,
+    so the packed surface must equal the transposed unrotated surface
+    BIT-FOR-BIT (the r5 design constraint that replaced the rotated-
+    geometry variant — interpret-exact but hardware-corrupt, see the note
+    in pipeline.make_frame_fn)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(23)
+    w, h = 64, 48
+    planes = (rng.integers(0, 256, (h, w), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+    src = SourceDescriptor(format=ColorFormat.NV12, width=w, height=h,
+                           matrix=CSP.BT_709)
+    dst = OutputDescriptor(width=128, height=96, bits=8)
+    st = Settings(upscaling=Upscaling.JINC2, use_dither=True)
+    plan = plan_pipeline(st, src, dst)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(make_frame_fn(plan, fused=False,
+                                        pack_surface=True)(planes))
+        got = np.asarray(make_frame_fn(plan, fused=False, pack_surface=True,
+                                       rotation=90, flip=True)(planes))
+    np.testing.assert_array_equal(got, base.T)

@@ -441,10 +441,17 @@ def _pack_plane_impl(in_h: int, out_h: int, in_w: int, out_w: int,
     chi = [int(chi_a[t * TILE: min((t + 1) * TILE, out_w)].max())
            for t in range(n_wt)]
     w_pad = _round_up(src_w, TILE)
+    # shift-copy alignment granularity: 8 keeps the in-block band offset
+    # (loc0) <= 7, so near-unity W ratios (e.g. the rotation configs'
+    # 1.125x pass, band span ~117+7=124) stay within ONE 128 block
+    # (kbw=128) instead of straddling two (kbw=256 = 2x the W-pass MACs).
+    # Only the shifts actually used materialize as input copies, and copy
+    # traffic (~MBs) is noise next to the halved matmul; isotropic 2x
+    # geometries have offset 0 and are untouched.
     shifts_used: list[int] = []
     shift_of, bstart, loc0 = [], [], []
     for lo, hi in zip(clo, chi):
-        sig = (lo % TILE) - (lo % 32)
+        sig = (lo % TILE) - (lo % 8)
         if sig not in shifts_used:
             shifts_used.append(sig)
         b = (lo - sig) // TILE * TILE
@@ -524,7 +531,8 @@ def _pack_plane_impl(in_h: int, out_h: int, in_w: int, out_w: int,
 
 
 def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
-                  pack_format: str | None = None):
+                  pack_format: str | None = None,
+                  out_transpose: bool = False):
     n_jr, r = py["n_jr"], py["r"]
     nb_y, nb_c = py["nb"], pc["nb"]
     rh_y, rh_c = py["rh"], pc["rh"]
@@ -623,8 +631,19 @@ def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
                 res = epilogue(res)
             if pack_format is not None:
                 from .resize_pallas import pack_surface_tiles
-                o_ref[0, pl.ds(jr * TILE, TILE), :] = \
-                    pack_surface_tiles(res, pack_format)
+                packed = pack_surface_tiles(res, pack_format)
+                if out_transpose:
+                    # rotation rides the store: the (TILE, TILE) packed
+                    # tile transposes in-register and lands at the
+                    # transposed position — the compute above is untouched
+                    # (bit-identical to the unrotated kernel)
+                    o_ref[0, :, pl.ds(jr * TILE, TILE)] = \
+                        jnp.swapaxes(packed, 0, 1)
+                else:
+                    o_ref[0, pl.ds(jr * TILE, TILE), :] = packed
+            elif out_transpose:
+                o_ref[0, :, :, pl.ds(jr * TILE, TILE)] = \
+                    jnp.swapaxes(res, 1, 2)
             else:
                 o_ref[0, :, pl.ds(jr * TILE, TILE), :] = res
 
@@ -672,10 +691,18 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                         out_h: int, out_w: int,
                         y_scale: float, c_scale: float,
                         epilogue=None,
-                        pack_format: str | None = None) -> jnp.ndarray:
+                        pack_format: str | None = None,
+                        out_transpose: bool = False) -> jnp.ndarray:
     """Raw integer (..., H, W) luma + (..., ch, cw) chroma planes ->
     (..., 3, out_h, out_w) float32: chroma upsample + color matrix + 2D
     Jinc2 + anti-ringing (+ epilogue, e.g. dither) in ONE kernel.
+
+    ``out_transpose`` emits the TRANSPOSED result (..., out_w, out_h)
+    directly: each output tile transposes in-register at the store and the
+    output index map swaps — the rotation-90+flip path with zero extra HBM
+    passes (the reference rides rotation inside the resize,
+    Source/DX11VideoProcessor.cpp:3115-3199).  The COMPUTE is untouched:
+    bit-identical to transposing the unrotated kernel's output.
 
     Cross-tile software pipelining was removed after failing the hardware
     PSNR gate twice (see the hazard note in _make_kernel3)."""
@@ -762,12 +789,24 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
 
     cs_all = np.concatenate([py["cs"].reshape(-1), pc["cs"].reshape(-1)])
 
-    if pack_format is not None:
+    if pack_format is not None and out_transpose:
+        out_spec = pl.BlockSpec((1, TILE, out_h_pad),
+                                lambda b, wt, cs: (b, wt, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((l, n_wt * TILE, out_h_pad),
+                                       jnp.int32)
+    elif pack_format is not None:
         out_spec = pl.BlockSpec((1, out_h_pad, TILE),
                                 lambda b, wt, cs: (b, 0, wt),
                                 memory_space=pltpu.VMEM)
         out_sds = jax.ShapeDtypeStruct((l, out_h_pad, n_wt * TILE),
                                        jnp.int32)
+    elif out_transpose:
+        out_spec = pl.BlockSpec((1, 3, TILE, out_h_pad),
+                                lambda b, wt, cs: (b, 0, wt, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((l, 3, n_wt * TILE, out_h_pad),
+                                       jnp.float32)
     else:
         out_spec = pl.BlockSpec((1, 3, out_h_pad, TILE),
                                 lambda b, wt, cs: (b, 0, 0, wt),
@@ -781,7 +820,7 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     out = pl.pallas_call(
         _make_kernel3(py, pc, np.asarray(cmat_m, np.float32),
                       np.asarray(cmat_c, np.float32), epilogue,
-                      pack_format=pack_format),
+                      pack_format=pack_format, out_transpose=out_transpose),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(l, n_wt),
@@ -794,8 +833,14 @@ def jinc2_convert_fused(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             vmem_limit_bytes=_VMEM3_LIMIT + (8 << 20)),
     )(jnp.asarray(cs_all), *inputs)
 
+    if pack_format is not None and out_transpose:
+        out = out[:, :out_w, :out_h]
+        return out.reshape(lead + (out_w, out_h))
     if pack_format is not None:
         out = out[:, :out_h, :out_w]
         return out.reshape(lead + (out_h, out_w))
+    if out_transpose:
+        out = out[:, :, :out_w, :out_h]
+        return out.reshape(lead + (3, out_w, out_h))
     out = out[:, :, :out_h, :out_w]
     return out.reshape(lead + (3, out_h, out_w))

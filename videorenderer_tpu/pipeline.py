@@ -1283,14 +1283,14 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
     (see :func:`_can_fuse`); ``False`` forces the staged reference path.
 
     ``rotation``/``flip`` produce ``rotate_flip(out, rotation, flip)``.
-    On the one-pass Jinc2 kernel chain the rotation RIDES THE RESIZE
-    (the reference's FillVertices permutation,
-    Source/DX11VideoProcessor.cpp:3115-3199): input planes pre-rotate at
-    SOURCE size, the axis maps swap/reverse (ops.geometry.
-    transform_axis_maps) and the in-kernel dither pattern transforms to
-    keep the pre-rotation phase — the kernel writes the final surface
-    directly, with no full-size output transpose pass.  Other paths
-    rotate the finished surface (the packed dword IS one pixel)."""
+    For rotation 90 + flip (a pure transpose) on the one-pass Jinc2
+    kernel chain, the rotation RIDES THE RESIZE (the reference's
+    FillVertices permutation, Source/DX11VideoProcessor.cpp:3115-3199):
+    the kernel's output tiles transpose in-register at the store, so the
+    final surface is written directly with zero extra HBM passes and the
+    compute stays bit-identical to the unrotated program.  All other
+    combinations rotate the finished surface (the packed dword IS one
+    pixel)."""
     if rotation not in (0, 90, 180, 270):
         raise ValueError(f"rotation must be 0/90/180/270, got {rotation}")
     want_rot = rotation != 0 or flip
@@ -1362,54 +1362,44 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
                 y_scale=knorm,
                 c_scale=knorm if kux_f is None else None)
 
-    # rotation decomposition for the fused-rotation Jinc2 path (identity
-    # flags when no rotation — the epilogue below is shared)
-    tr_rf = fr_rf = fc_rf = False
-    if want_rot:
-        tr_rf, fr_rf, fc_rf = geo_ops.rf_decompose(rotation, flip)
+    # fused rotation: ONLY the pure-transpose case (rotation 90 + flip,
+    # rf_decompose == (True, False, False)) rides the kernel — as a
+    # transposed STORE, leaving the compute bit-identical to the proven
+    # unrotated program.  A full rotated-geometry variant (pre-rotated
+    # planes + transform_axis_maps'd weights) was built and REMOVED in r5:
+    # exact in interpret mode at every size including 1080p->4K, ~32 dB
+    # corrupt on real hardware — the third interpret-exact/hardware-corrupt
+    # Mosaic miscompile on this kernel family (history: _make_kernel3's
+    # pipelining note).  Do not re-attempt without a hardware gate.
+    k3_transpose = (want_rot and
+                    geo_ops.rf_decompose(rotation, flip) ==
+                    (True, False, False))
 
-    def _j2_epilogue_flags(tile, tr=False, fr=False, fc=False):
+    def _j2_epilogue(tile):
         db = plan.dither_bits
         if db < 0:
             return dither_ops.quantize(jnp.clip(tile, 0.0, 1.0), -db)
-        return dither_ops.ordered_dither_iota(
-            jnp.clip(tile, 0.0, 1.0), db,
-            transpose=tr, flip_rows=fr, flip_cols=fc)
-
-    # plain epilogue for paths whose output rotates AFTERWARDS; the
-    # fused-rotation kernel call uses the transformed pattern instead
-    _j2_epilogue = _j2_epilogue_flags
-    _j2_epilogue_rot = (lambda tile: _j2_epilogue_flags(
-        tile, tr_rf, fr_rf, fc_rf))
+        return dither_ops.ordered_dither_iota(jnp.clip(tile, 0.0, 1.0), db)
 
     # whole-chain Jinc2 kernel: raw integer planes -> chroma upsample +
     # color matrix + 2D Jinc2 + anti-ringing + dither in ONE kernel (no
     # convert intermediate at all); engages when the 2D one-pass geometry
-    # applies and the packed weights fit scoped VMEM.  Under rotation the
-    # kernel runs in the ROTATED frame: pre-rotated planes, transformed
-    # chroma maps, swapped output dims.
+    # applies and the packed weights fit scoped VMEM.  For the rotation-
+    # 90+flip (pure transpose) case the kernel computes the plan's normal
+    # pre-rotation frame and only the STORE transposes.
     use_k3 = False
-    if use_kconvert and j2_tail:
+    if use_kconvert and j2_tail and not (want_rot and not k3_transpose):
+        # the kernel always computes the plan's PRE-rotation frame at the
+        # plan's own dims; with k3_transpose only the STORE transposes
         k3_w, k3_h = dst.video_size
         rx3, ry3 = scale_ops.jinc2_passes(src_h, src_w, k3_h, k3_w,
                                           s.interpolate_at_50pct)
         if (rx3 == "up" and ry3 in ("up", None)
                 and (src_h, src_w) != (k3_h, k3_w)):
             from .kernels.jinc2_pallas import jinc2_convert_fits
-            if want_rot:
-                kuy_r, kux_r = geo_ops.transform_axis_maps(
-                    kuy_f, kux_f, rotation, flip)
-                k3r_h, k3r_w = (k3_w, k3_h) if tr_rf else (k3_h, k3_w)
-                srr_h, srr_w = (src_w, src_h) if tr_rf else (src_h, src_w)
-                use_k3 = jinc2_convert_fits(srr_h, k3r_h, srr_w, k3r_w,
-                                            kuy_r, kux_r,
-                                            y_scale=knorm, c_scale=knorm)
-            else:
-                kuy_r, kux_r = kuy_f, kux_f
-                k3r_h, k3r_w = k3_h, k3_w
-                use_k3 = jinc2_convert_fits(src_h, k3_h, src_w, k3_w,
-                                            kuy_f, kux_f,
-                                            y_scale=knorm, c_scale=knorm)
+            use_k3 = jinc2_convert_fits(src_h, k3_h, src_w, k3_w,
+                                        kuy_f, kux_f,
+                                        y_scale=knorm, c_scale=knorm)
 
     def _maybe_pack(rgb):
         return rgb if fmt is None else _pack_surface_xla(rgb, fmt)
@@ -1417,18 +1407,13 @@ def make_frame_fn(plan: PipelinePlan, dtype=jnp.float32, fused: bool | None = No
     def _k3_call(planes):
         from .kernels.jinc2_pallas import jinc2_convert_fused
         y, u, v = _crop_planes(plan, planes)
-        if want_rot:
-            # rotation rides the resize: rotate the SMALL integer planes
-            # (uint8 source, ~16x less traffic than the 4K surface) and
-            # run the kernel in the rotated geometry
-            y = geo_ops.rotate_flip(y, rotation, flip)
-            u = geo_ops.rotate_flip(u, rotation, flip)
-            v = geo_ops.rotate_flip(v, rotation, flip)
-        # packing happens inside the kernel when a surface is requested
-        return jinc2_convert_fused(y, u, v, kuy_r, kux_r, kcm, kcc,
-                                   k3r_h, k3r_w, knorm, knorm,
-                                   epilogue=_j2_epilogue_rot,
-                                   pack_format=fmt)
+        # packing happens inside the kernel when a surface is requested;
+        # with k3_transpose the store transposes (final orientation out)
+        return jinc2_convert_fused(y, u, v, kuy_f, kux_f, kcm, kcc,
+                                   k3_h, k3_w, knorm, knorm,
+                                   epilogue=_j2_epilogue,
+                                   pack_format=fmt,
+                                   out_transpose=k3_transpose)
 
     def fn(planes):
         if use_k3 and len(planes) == 3:
