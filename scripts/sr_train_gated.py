@@ -56,6 +56,15 @@ def main() -> int:
     ap.add_argument("--real-margin", type=float, default=0.5)
     ap.add_argument("--real-wins", type=int, default=3,
                     help="min #photos that must clear --real-margin")
+    ap.add_argument("--sel-min", type=float, default=-0.1,
+                    help="selection floor for the worst-photo margin; set "
+                         "ABOVE the test's -0.1 (e.g. 0.0) so the selected "
+                         "iterate has slack against crop-seed variance")
+    ap.add_argument("--sel-seeds", type=int, nargs="+", default=[11],
+                    help="crop seeds for selection (averaged margins, min "
+                         "over all seeds' worst photo); the test's seed 7 "
+                         "stays held out")
+    ap.add_argument("--jpeg-quality", type=int, nargs=2, default=[55, 90])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--channels", type=int, default=None)
@@ -99,7 +108,7 @@ def main() -> int:
     if n_jpg:
         parts.append(jpeg_roundtrip(
             natural_frames(seed=args.seed + 9, n=n_jpg, size=args.patch),
-            seed=args.seed + 13))
+            seed=args.seed + 13, quality_range=tuple(args.jpeg_quality)))
     data = np.concatenate([p for p in parts if len(p)])
     data = np.random.default_rng(args.seed + 5).permutation(data)
     hr = jnp.asarray(data)
@@ -109,8 +118,8 @@ def main() -> int:
     # test's seed-7 crops)
     synth_val = synth_frames(seed=424242, n=12, size=192)
     photos = real_photos()
-    real_sel = [(nm, real_frames(6, 96, seed=11, photo=im))
-                for nm, im in photos]
+    real_sel = [[(nm, real_frames(6, 96, seed=sd, photo=im))
+                 for nm, im in photos] for sd in args.sel_seeds]
     real_test = [(nm, real_frames(6, 96, seed=7, photo=im))
                  for nm, im in photos]
 
@@ -136,10 +145,14 @@ def main() -> int:
 
     def gates(p):
         s_net, s_cls = evaluate_psnr(p, cfg, synth_val)
-        ms = real_margins(p, real_sel)
+        per_seed = [real_margins(p, sets) for sets in real_sel]
+        # average margins across selection seeds for the report/score,
+        # but gate the FLOOR on every seed's worst photo
+        ms = {k: float(np.mean([d[k] for d in per_seed]))
+              for k in per_seed[0]}
         wins = sum(1 for v in ms.values() if v > args.real_margin)
-        mmin = min(ms.values())
-        ok = s_net > s_cls and mmin >= -0.1 and wins >= args.real_wins
+        mmin = min(min(d.values()) for d in per_seed)
+        ok = s_net > s_cls and mmin >= args.sel_min and wins >= args.real_wins
         # score: worst-photo margin, then win count, then synth margin
         return ok, (mmin, wins, s_net - s_cls), {
             "synth192_net": round(s_net, 2), "synth192_cls": round(s_cls, 2),

@@ -183,18 +183,26 @@ def test_lanczos3_reference_bug_compat():
 
 def test_jinc2_lowrank_matches_gather():
     """The low-rank separable (MXU) formulation == the general gather
-    formulation, rational and irrational-period scales alike."""
+    formulation, rational and irrational-period scales alike, to the
+    documented truncation bound: the SVD rank cutoff _JINC2_SV_CUTOFF
+    drops singular values <= 1e-4 relative, so weights (and therefore
+    [0,1]-signal outputs) may differ from the exact gather by a few times
+    that — an ~-80 dB floor, far below the 8-bit quantization the
+    pipeline ends in.  2x upscales are rank-4 EXACT (tested at 1e-6)."""
     from videorenderer_tpu.ops.scale import _jinc2_lowrank
     rng = np.random.default_rng(10)
     x = rng.random((2, 24, 32)).astype(np.float32)
     for (oh, ow) in [(48, 64), (36, 48), (37, 53), (24, 61)]:
         lr = np.asarray(_jinc2_lowrank(jnp.asarray(x), oh, ow))
         slow = np.asarray(scale._jinc2_gather(jnp.asarray(x), oh, ow))
-        np.testing.assert_allclose(lr, slow, atol=2e-5)
+        atol = 1e-6 if (2 * 24, 2 * 32) == (oh, ow) else 5e-4
+        np.testing.assert_allclose(lr, slow, atol=atol)
 
 
 def test_jinc2_lowrank_normalization_vectors():
-    """wsum factorization == the true per-pixel weight sums."""
+    """wsum factorization == the true per-pixel weight sums, to the same
+    _JINC2_SV_CUTOFF truncation bound (numerator and normalization
+    truncate together, so the resample RATIO error stays first-order)."""
     from videorenderer_tpu.ops.scale import (_jinc2_g, _jinc2_tap_data,
                                              jinc2_lr_matrices)
     in_h, out_h, in_w, out_w = 20, 47, 30, 29
@@ -206,4 +214,4 @@ def test_jinc2_lowrank_normalization_vectors():
         for x in (0, 17, 28):
             w = _jinc2_g((fy[y] - offs)[:, None] ** 2
                          + (fx[x] - offs)[None, :] ** 2)
-            np.testing.assert_allclose(ay[y] @ bx[x], w.sum(), rtol=1e-6)
+            np.testing.assert_allclose(ay[y] @ bx[x], w.sum(), rtol=5e-4)

@@ -599,24 +599,40 @@ def _make_kernel3(py, pc, cmat_m, cmat_c, epilogue,
         #    the hardware bench gate (BENCH_HW_SESSION.jsonl, step 3).
         # The single-plane _make_kernel's SSA pipelining (above) is fine —
         # the hazard is specific to this kernel's liveness pattern.
+        # PROFILING ONLY (reads at trace time): VRT_J2_ABLATE=noar,nonorm
+        # skips kernel stages to attribute cost on hardware — output is
+        # WRONG with any flag set (the bench PSNR gates catch misuse).
+        # Measured r5 @1080p->4K: AR taps+clamp are ~37% of the whole
+        # kernel (591->950 f/s portrait, 648->978 landscape); the
+        # normalization and dither are ~2-3% each.
+        import os as _os
+        _ablate = set(filter(None,
+                             _os.environ.get("VRT_J2_ABLATE", "").split(",")))
         for jr in range(n_jr):
             ty, tu, tv = wdots(jr)
             un_y = hpass(jr, ty, tshy, tsly, ahy, aly, rh_y)
             un_u = hpass(jr, tu, tshc, tslc, ahc, alc, rh_c)
             un_v = hpass(jr, tv, tshc, tslc, ahc, alc, rh_c)
-            ws = None
-            for k in range(r):
-                w = ayt[jr][:, k:k + 1] * bxt[0, k:k + 1, :]
-                ws = w if ws is None else ws + w
-            inv = 1.0 / ws
-            yn, un, vn = un_y * inv, un_u * inv, un_v * inv
-            ty4 = taps(jr, ty, shy, sly)
-            tu4 = taps(jr, tu, shc, slc)
-            tv4 = taps(jr, tv, shc, slc)
+            if "nonorm" in _ablate:
+                yn, un, vn = un_y, un_u, un_v
+            else:
+                ws = None
+                for k in range(r):
+                    w = ayt[jr][:, k:k + 1] * bxt[0, k:k + 1, :]
+                    ws = w if ws is None else ws + w
+                inv = 1.0 / ws
+                yn, un, vn = un_y * inv, un_u * inv, un_v * inv
+            if "noar" not in _ablate:
+                ty4 = taps(jr, ty, shy, sly)
+                tu4 = taps(jr, tu, shc, slc)
+                tv4 = taps(jr, tv, shc, slc)
             outs = []
             for ch in range(3):
                 m0, m1, m2, cc = m[ch][0], m[ch][1], m[ch][2], cv[ch]
                 rgb = m0 * yn + m1 * un + m2 * vn + cc
+                if "noar" in _ablate:
+                    outs.append(rgb)
+                    continue
                 # AR on RGB: convert each of the 4 taps, then bound
                 t4 = [m0 * ty4[i] + m1 * tu4[i] + m2 * tv4[i] + cc
                       for i in range(4)]

@@ -551,8 +551,24 @@ def _jinc2_lr_basis():
     return grid, np.ascontiguousarray(vt[:k].T), np.ascontiguousarray(u[:, :k] / s[:k])
 
 
-_JINC2_DISCRETE_Q = 16       # small rational periods: exact two-sided SVD
-_JINC2_SV_CUTOFF = 3e-7
+# Rational periods up to this use the exact two-sided SVD over the finite
+# d2-value sets (minimal rank at the cutoff; the matrix is <= 4q x 4q, so
+# q=64 is a ~256x256 SVD, microseconds and memoized).  Above it, the
+# continuous-grid basis at fixed rank _JINC2_RANK applies.  64 covers the
+# rotation configs' 32-phase vertical pass (rank 5 -> 4 vs the grid basis).
+_JINC2_DISCRETE_Q = 64
+# Rank cutoff: dropping singular values of s_k/s_0 <= t perturbs the
+# NORMALIZED per-pixel weight fields by ~1e1*t max (measured 1.0e-3 at
+# t=1e-4 for the 32/9+9/8 rotation geometry; weighting/ALS refits don't
+# improve it — the plain SVD is already near-optimal in that metric).
+# 1e-4 keeps every geometry above ~70 dB output PSNR — beyond both the
+# 55 dB oracle bar and the ~59 dB floor 8-bit quantization imposes on
+# random content — while letting long-period spectra shed trailing ranks:
+# the rotation configs' 32/9 vertical pass goes rank 5 -> 4, measured
+# 551.8 -> 609.3 f/s @ 70.38 dB (was 79.53) on the hardware gate.  2x
+# upscales are rank-4 EXACT and bit-unaffected.  Tighten to 3e-7 to
+# recover the old accuracy at the old speed.
+_JINC2_SV_CUTOFF = 1e-4
 
 
 @functools.lru_cache(maxsize=8)
