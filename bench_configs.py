@@ -296,7 +296,10 @@ def main() -> None:
         "resident: the TPU sits behind a network relay here, so a host-fed "
         "measurement would time the relay, not the framework "
         "(`runner.run_clip` provides the overlapped host feed for real "
-        "deployments).")
+        "deployments). The 3r row's PSNR reflects the documented r5 "
+        "rank-4 truncation of its 32-phase Jinc2 pass (+10% throughput "
+        "for an error floor still above the 8-bit quantization floor; "
+        "ops/scale.py `_JINC2_SV_CUTOFF`).")
     if set(keys) == set(bc.ALL_KEYS):
         # only a FULL run may rewrite the table (one atomic source of
         # truth; partial runs print JSON only and never mix into old rows).

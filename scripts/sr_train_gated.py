@@ -65,6 +65,11 @@ def main() -> int:
                          "over all seeds' worst photo); the test's seed 7 "
                          "stays held out")
     ap.add_argument("--jpeg-quality", type=int, nargs=2, default=[55, 90])
+    ap.add_argument("--soft-mix", type=float, default=0.0,
+                    help="fraction of frames that are DEFOCUSED natural "
+                         "frames (soft-optics HR: the net must learn "
+                         "restraint, sr_train.soften); JPEG-roundtripped "
+                         "at the same rate as the sharp natural frames")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--channels", type=int, default=None)
@@ -97,18 +102,29 @@ def main() -> int:
                               "blocks": cfg.num_blocks, "s2d": cfg.s2d},
                       **vars(args)}), flush=True)
 
-    # -- data: synth + natural + JPEG-roundtripped natural (still zero
-    # photographs — the codec is the augmentation), degraded by the
-    # framework's downscaler
+    # -- data: synth + natural + JPEG-roundtripped natural + defocused
+    # natural (still zero photographs — codec and optics are the
+    # augmentations), degraded by the framework's downscaler
+    from videorenderer_tpu.models.sr_train import soften
     n_nat = int(args.frames * args.natural_mix)
     n_jpg = int(args.frames * args.jpeg_mix)
-    n_syn = max(args.frames - n_nat - n_jpg, 0)
+    n_soft = int(args.frames * args.soft_mix)
+    n_syn = max(args.frames - n_nat - n_jpg - n_soft, 0)
     parts = [synth_frames(seed=args.seed, n=n_syn, size=args.patch),
              natural_frames(seed=args.seed + 3, n=n_nat, size=args.patch)]
     if n_jpg:
         parts.append(jpeg_roundtrip(
             natural_frames(seed=args.seed + 9, n=n_jpg, size=args.patch),
             seed=args.seed + 13, quality_range=tuple(args.jpeg_quality)))
+    if n_soft:
+        soft = soften(natural_frames(seed=args.seed + 21, n=n_soft,
+                                     size=args.patch), seed=args.seed + 23)
+        half = n_soft // 2      # half of the soft frames also JPEG (webcam)
+        if half:
+            soft[:half] = jpeg_roundtrip(
+                soft[:half], seed=args.seed + 27,
+                quality_range=tuple(args.jpeg_quality))
+        parts.append(soft)
     data = np.concatenate([p for p in parts if len(p)])
     data = np.random.default_rng(args.seed + 5).permutation(data)
     hr = jnp.asarray(data)

@@ -154,6 +154,26 @@ def jpeg_roundtrip(frames: np.ndarray, seed: int,
     return out
 
 
+def soften(frames: np.ndarray, seed: int,
+           sigma_range: tuple[float, float] = (0.5, 1.4)) -> np.ndarray:
+    """Defocus a clip: per-frame Gaussian blur at a random sigma — the
+    dominant statistic of low-grade optics (webcam/phone video), where the
+    HR ground truth ITSELF is soft.  A net trained only on sharp HR
+    hallucinates detail on such content and loses to neutral classical
+    interpolation (measured r5: the two webcam eval photos).  PIL's
+    GaussianBlur keeps this dependency-free."""
+    from PIL import Image, ImageFilter
+    rng = np.random.default_rng(seed)
+    out = np.empty_like(frames)
+    for i, f in enumerate(frames):
+        sig = float(rng.uniform(*sigma_range))
+        im = Image.fromarray(
+            (np.clip(f, 0.0, 1.0) * 255 + 0.5).astype(np.uint8))
+        out[i] = np.asarray(im.filter(ImageFilter.GaussianBlur(sig)),
+                            np.float32) / 255.0
+    return out
+
+
 def degrade(hr: np.ndarray, scale: int = 2, method=None) -> np.ndarray:
     """HR -> LR with the framework's own downscale matrices (box default,
     matching a mastering-chain decimation; any `Downscaling` works)."""
