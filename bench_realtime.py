@@ -117,9 +117,12 @@ def run_deint_double_rate(fps: float, seconds: float, dev,
     speed — the documented tunnel floor.  Single-device execution is
     in-order, so syncing every ``depth``-th present retires everything
     dispatched before it at one round trip per ``depth`` fields
-    (amortized RTT/depth per field), proving the per-field DEVICE cost
-    meets the contract.  Both rows are published: depth 2
-    (tunnel-labeled) and the amortizing depth."""
+    (amortized RTT/depth per field).  Measured at depth 16 after the
+    push_batch step was jitted (it previously built the sliding window
+    with ~15 EAGER device ops per push — ~26 ms of control-plane round
+    trips that capped paced AND burst issue at ~80 fields/s): 120 Hz
+    device-fed SUSTAINS with 0 drops and ~2 ms sync offsets.  Both rows
+    are published: depth 2 (tunnel-labeled) and the amortizing depth."""
     from videorenderer_tpu.runner import DeinterlaceSession
     plan = bc.build_plan("c5")
     fmt, w, h, _ = bc.input_spec("c5")

@@ -234,18 +234,18 @@ def sec_realtime(recs: list[dict]) -> list[str]:
         "", "Plays N seconds of frames through `PresentClock.schedule` (the "
         "renbase2 quality loop); depth = present-confirmation interval "
         "(2 = the reference's swap-chain analogue, every present "
-        "confirmed; larger depths amortize the relay sync round trip). "
-        "Sustained = zero drops and wall time within 2% of the clip "
-        "duration. PACED issue through the relay tunnel pays ~20 ms per "
-        "dispatch (sleeps between dispatches defeat the relay's RPC "
-        "pipelining) on top of the ~26 ms sync floor, so paced "
-        "presentation tops out between 60 and 120 Hz from this host "
-        "regardless of device speed — tunnel properties, labeled, that "
-        "no co-located host pays. The 30 Hz rows (budget > floor) prove "
-        "the sustained steady state, the 60 Hz depth-16 double-rate row "
-        "the paced ceiling, and the burst row the device-side 120 Hz "
-        "contract (same amortization as the latency section's deep-queue "
-        "interval)."]
+        "confirmed; larger depths amortize the ~26 ms relay sync round "
+        "trip, which no co-located host pays). Sustained = zero drops "
+        "and wall time within 2% of the clip duration. With the "
+        "double-rate step jitted as one program (runner.push_batch), the "
+        "c5 field chain SUSTAINS a device-fed 120 Hz (8.3 ms/field "
+        "contract, Source/DX11VideoProcessor.cpp:2176-2197) at depth 16 "
+        "with ~2 ms sync offsets; the depth-2 row times one tunnel round "
+        "trip per present (labeled, environment floor). Single-frame "
+        "feeds (c1/c4 rows) confirm every present individually, so their "
+        "60 Hz rows stay tunnel-bound from this host; the 30 Hz rows "
+        "(budget > floor) prove their sustained steady state, and the "
+        "burst row the raw fields/s capacity ceiling."]
 
 
 def merge(details_path: str, sections: list[list[str]]) -> None:
