@@ -248,6 +248,84 @@ def sec_realtime(recs: list[dict]) -> list[str]:
         "burst row the raw fields/s capacity ceiling."]
 
 
+PROGRESS_NOTES_MARK = "## Notes (hand-maintained)"
+
+
+def _cfg_sort_key(cfg: str):
+    m = re.match(r"(\d+)([a-z]*)\.", cfg)
+    return (int(m.group(1)), m.group(2)) if m else (99, cfg)
+
+
+def gen_progress(progress_path: str = "PROGRESS.md",
+                 jsonl_path: str = "BENCH_HW_SESSION.jsonl") -> bool:
+    """Regenerate PROGRESS.md's measured headline + per-config table from
+    the append-only session record, so the front-page numbers can never
+    drift from the committed evidence again (VERDICT r4 weak #6: the r4
+    headline lagged its own HEAD by three optimization commits).  The
+    freshest record wins per config; anything below PROGRESS_NOTES_MARK
+    is hand-maintained and preserved verbatim."""
+    if not os.path.exists(jsonl_path):
+        return False
+    headline = None
+    latest: dict[str, dict] = {}
+    sustain120 = None
+    with open(jsonl_path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "vs_baseline" in r and "value" in r:
+                headline = r
+            if "fps_median" in r and "config" in r and "error" not in r:
+                latest[r["config"]] = r
+            if (r.get("queue_depth") and r.get("target_fps") == 120.0
+                    and r.get("sustained")):
+                sustain120 = r
+    lines = ["# Status — measured on real hardware (TPU v5e, 1 chip)",
+             "",
+             "*(generated by `scripts/hw_ingest.py --progress` from "
+             "`BENCH_HW_SESSION.jsonl` — the append-only raw evidence; "
+             "do not hand-edit above the notes marker)*", ""]
+    if headline is not None:
+        lines += [
+            f"**Headline** (`bench.py`): **{headline['value']:.0f} f/s/chip** "
+            f"{headline['metric'].split(' (')[0].replace(' frames/sec/chip', '')} @ "
+            f"**{headline['psnr_db']} dB** vs the float64 oracle — "
+            f"{headline['vs_baseline']:.2f}x the 600 f/s north-star.", ""]
+    if latest:
+        lines += ["## Per-config (freshest measurement per row)", "",
+                  "| config | f/s median | min-max | PSNR dB |",
+                  "|---|---|---|---|"]
+        for cfg in sorted(latest, key=_cfg_sort_key):
+            r = latest[cfg]
+            lines.append(
+                f"| {cfg} | **{r['fps_median']}** | "
+                f"{r['fps_min']}-{r['fps_max']} | {r['psnr_db']} |")
+        lines.append("")
+    if sustain120 is not None:
+        lines += [
+            f"Real-time: device-fed **120 Hz double-rate deinterlacing "
+            f"sustains** ({sustain120['frames']} fields, "
+            f"{sustain120['dropped']} drops, "
+            f"{sustain120['avg_sync_offset_ms']} ms avg sync offset, "
+            f"confirmation depth {sustain120['queue_depth']}).", ""]
+    lines += ["Full tables (latency, streaming overlap, multi-stream, "
+              "sustain, roofline): `BENCH_DETAILS.md`. Raw session "
+              "records: `BENCH_HW_SESSION.jsonl`.", ""]
+    notes = ""
+    if os.path.exists(progress_path):
+        with open(progress_path) as f:
+            text = f.read()
+        if PROGRESS_NOTES_MARK in text:
+            notes = text[text.index(PROGRESS_NOTES_MARK):]
+    if not notes:
+        notes = PROGRESS_NOTES_MARK + "\n"
+    with open(progress_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + notes)
+    return True
+
+
 def merge(details_path: str, sections: list[list[str]]) -> None:
     with open(details_path) as f:
         text = f.read()
@@ -273,7 +351,15 @@ def merge(details_path: str, sections: list[list[str]]) -> None:
 
 
 def main() -> None:
-    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hw_session.log"
+    argv = [a for a in sys.argv[1:] if a != "--progress"]
+    want_progress = "--progress" in sys.argv[1:]
+    if not argv and want_progress:
+        # progress-only mode: regenerate PROGRESS.md from the committed
+        # evidence without ingesting a new session log
+        if gen_progress():
+            print("PROGRESS.md regenerated from BENCH_HW_SESSION.jsonl")
+        return
+    log = argv[0] if argv else "/tmp/hw_session.log"
     recs = parse(log)
     if not recs:
         print("no JSON records found in", log, file=sys.stderr)
@@ -311,6 +397,8 @@ def main() -> None:
     print(f"ingested {len(recs)} records ({len(fresh)} new) -> "
           f"BENCH_HW_SESSION.jsonl, "
           f"{n} sections merged into BENCH_DETAILS.md")
+    if want_progress and gen_progress():
+        print("PROGRESS.md regenerated from BENCH_HW_SESSION.jsonl")
 
 
 if __name__ == "__main__":
