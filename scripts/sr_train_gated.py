@@ -70,6 +70,11 @@ def main() -> int:
                          "frames (soft-optics HR: the net must learn "
                          "restraint, sr_train.soften); JPEG-roundtripped "
                          "at the same rate as the sharp natural frames")
+    ap.add_argument("--grain", type=float, default=0.02,
+                    help="max sensor-grain sigma for natural frames "
+                         "(unrecoverable stochastic texture -> restraint "
+                         "on noisy clutter; raise to ~0.05 for webcam-"
+                         "statistics emphasis)")
     ap.add_argument("--soft-sigma", type=float, nargs=2, default=[0.5, 1.4],
                     help="defocus sigma range for --soft-mix frames; widen "
                          "the top (e.g. 0.5 2.2) to cover heavily "
@@ -120,14 +125,16 @@ def main() -> int:
     n_soft = int(args.frames * args.soft_mix)
     n_syn = max(args.frames - n_nat - n_jpg - n_soft, 0)
     parts = [synth_frames(seed=args.seed, n=n_syn, size=args.patch),
-             natural_frames(seed=args.seed + 3, n=n_nat, size=args.patch)]
+             natural_frames(seed=args.seed + 3, n=n_nat, size=args.patch,
+                            grain_max=args.grain)]
     if n_jpg:
         parts.append(jpeg_roundtrip(
-            natural_frames(seed=args.seed + 9, n=n_jpg, size=args.patch),
+            natural_frames(seed=args.seed + 9, n=n_jpg, size=args.patch,
+                           grain_max=args.grain),
             seed=args.seed + 13, quality_range=tuple(args.jpeg_quality)))
     if n_soft:
         soft = soften(natural_frames(seed=args.seed + 21, n=n_soft,
-                                     size=args.patch), seed=args.seed + 23,
+                                     size=args.patch, grain_max=args.grain), seed=args.seed + 23,
                       sigma_range=tuple(args.soft_sigma))
         half = n_soft // 2      # half of the soft frames also JPEG (webcam)
         if half:

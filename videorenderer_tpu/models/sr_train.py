@@ -78,7 +78,8 @@ def synth_frames(seed: int, n: int, size: int) -> np.ndarray:
     return out
 
 
-def natural_frames(seed: int, n: int, size: int) -> np.ndarray:
+def natural_frames(seed: int, n: int, size: int,
+                   grain_max: float = 0.02) -> np.ndarray:
     """(n, size, size, 3) float32 frames with NATURAL-image statistics —
     1/f^alpha (pink-noise) spectra, luma-correlated chroma, soft specular
     blobs, sensor grain.  Purely generative (no photographs), so mixing
@@ -123,7 +124,13 @@ def natural_frames(seed: int, n: int, size: int) -> np.ndarray:
             g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r))
             img += rng.uniform(0.2, 0.6) * g[..., None]
         # sensor grain (white, channel-independent)
-        img += rng.normal(0.0, rng.uniform(0.0, 0.02),
+        # sensor grain: unrecoverable stochastic texture.  The optimal
+        # predictor given the downsampled LR of noisy HR is a SMOOTHED
+        # estimate, so grain is the statistic that teaches restraint on
+        # noise-like clutter (measured r5: the net's real-photo losses
+        # concentrate in the highest-gradient noisy crops of the webcam
+        # eval photos); raise grain_max (e.g. 0.05) to weight it up.
+        img += rng.normal(0.0, rng.uniform(0.0, grain_max),
                           img.shape).astype(np.float32)
         out[i] = np.clip(img, 0.0, 1.0)
     return out
