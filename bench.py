@@ -160,7 +160,7 @@ def main() -> None:
     mse = np.mean((got - ref) ** 2)
     psnr = float(10 * np.log10(1.0 / mse)) if mse > 0 else float("inf")
 
-    print(json.dumps({
+    rec = {
         "metric": "4K HDR10->SDR frames/sec/chip (P010->RGB10, Lanczos3 + tone-map + dither, packed surface out)",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
@@ -168,7 +168,20 @@ def main() -> None:
         "psnr_db": round(psnr, 2),
         "batch": BATCH,
         "device": str(dev),
-    }))
+    }
+    print(json.dumps(rec))
+
+    # Append to the append-only evidence log so hw_ingest --progress can
+    # regenerate PROGRESS.md's headline from the freshest measurement (the
+    # r4 lesson: docs drifted because the headline never entered the log).
+    try:
+        import datetime
+        rec = dict(rec, _source="bench", _step_name="headline bench.py",
+                   _ts=datetime.datetime.now().isoformat(timespec="seconds"))
+        with open("BENCH_HW_SESSION.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line is still the artifact
 
 
 if __name__ == "__main__":
