@@ -248,11 +248,20 @@ def input_spec(key: str):
         # s2d gain net: (B, 270, 480, 64) bf16 activations; footprint is
         # the 1080p f32 planes, same class as c1 -> same timing batch
         return ColorFormat.NV12, 1920, 1080, 32
-    if key in ("c1", "c3", "c3rot"):
+    if key == "c1":
+        # 1080p frames are cheap (3 MB in / 8 MB out): batch 128 amortizes
+        # the relay's fixed per-dispatch cost that is ~26% of a batch-32
+        # dispatch at this rate (headline sweep r5: same lever)
+        return ColorFormat.NV12, 1920, 1080, 128
+    if key in ("c3", "c3rot"):
         return ColorFormat.NV12, 1920, 1080, 32
     if key == "c2":
         return ColorFormat.P010, 3840, 2160, 60
-    if key in ("c4", "c6"):
+    if key == "c4":
+        # 4K in/out both live: batch 64 keeps ~6 GB peak, halves the
+        # per-dispatch overhead share vs 32
+        return ColorFormat.P010, 3840, 2160, 64
+    if key == "c6":
         return ColorFormat.P010, 3840, 2160, 32
     if key in ("c5", "c5s"):
         # throughput batch: the ~4 ms fixed per-dispatch cost of the remote
